@@ -4,7 +4,15 @@ no offline multi-device story; we make it first-class)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the ambient environment routes JAX to the TPU chip via axon,
+# whose default matmul precision would break fp32 golden tests). The ambient
+# sitecustomize imports jax before this file runs, so the env var alone is not
+# enough — update the live config too. Set VR2_TEST_TPU=1 to run on the chip.
+if not os.environ.get("VR2_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,125 @@
+"""Model configuration for the Qwen2.5-VL family (TPU rebuild).
+
+One typed config tree (SURVEY §5 calls out the reference's three disjoint
+config systems; model config is the first unified piece). Values mirror the HF
+checkpoint configs so weights load 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    depth: int = 32
+    hidden_size: int = 1280
+    intermediate_size: int = 3420
+    num_heads: int = 16
+    in_channels: int = 3
+    patch_size: int = 14
+    spatial_merge_size: int = 2
+    temporal_patch_size: int = 2
+    tokens_per_second: float = 2.0
+    window_size: int = 112
+    fullatt_block_indexes: tuple[int, ...] = (7, 15, 23, 31)
+    out_hidden_size: int = 3584
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def patch_input_dim(self) -> int:
+        return self.in_channels * self.temporal_patch_size * self.patch_size ** 2
+
+    @property
+    def spatial_merge_unit(self) -> int:
+        return self.spatial_merge_size ** 2
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    vocab_size: int = 152064
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 28
+    num_key_value_heads: int = 4
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    mrope_section: tuple[int, int, int] = (16, 24, 24)
+    max_position_embeddings: int = 128_000
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    # Special token ids (Qwen2.5-VL tokenizer).
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+    vision_end_token_id: int = 151653
+    bos_token_id: int = 151643
+    eos_token_id: int = 151645   # <|im_end|>
+    pad_token_id: int = 151643
+    dtype: str = "bfloat16"
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def qwen25vl_7b() -> ModelConfig:
+    """Qwen/Qwen2.5-VL-7B-Instruct (the Video-R2 base model)."""
+    return ModelConfig()
+
+
+def qwen25vl_3b() -> ModelConfig:
+    return ModelConfig(
+        text=TextConfig(hidden_size=2048, intermediate_size=11008,
+                        num_hidden_layers=36, num_attention_heads=16,
+                        num_key_value_heads=2, vocab_size=151936,
+                        tie_word_embeddings=True),
+        vision=VisionConfig(out_hidden_size=2048),
+    )
+
+
+def qwen25vl_72b() -> ModelConfig:
+    return ModelConfig(
+        text=TextConfig(hidden_size=8192, intermediate_size=29568,
+                        num_hidden_layers=80, num_attention_heads=64,
+                        num_key_value_heads=8),
+        vision=VisionConfig(out_hidden_size=8192),
+    )
+
+
+def tiny_test_config(vocab_size: int = 512) -> ModelConfig:
+    """Small config for CPU golden tests vs HF (dims aligned to head counts)."""
+    return ModelConfig(
+        vision=VisionConfig(
+            depth=4, hidden_size=64, intermediate_size=128, num_heads=4,
+            out_hidden_size=48, fullatt_block_indexes=(2,), window_size=112,
+        ),
+        text=TextConfig(
+            vocab_size=vocab_size, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            mrope_section=(2, 2, 2),  # sums to head_dim/2 = 6
+            rope_theta=10000.0, tie_word_embeddings=False,
+        ),
+        image_token_id=500, video_token_id=501, vision_start_token_id=502,
+        vision_end_token_id=503, bos_token_id=0, eos_token_id=1, pad_token_id=0,
+        dtype="float32",
+    )

@@ -1,0 +1,119 @@
+"""Qwen2.5-VL text decoder (functional JAX, scan-over-layers).
+
+TPU-first structure: all 28 layers' weights are stacked on a leading axis and
+the layer loop is a `lax.scan` — one compiled layer body, FSDP-shardable
+stacked params, O(1) compile time in depth. The KV cache is likewise a stacked
+[L, B, Smax, kv_heads, head_dim] pair carried through the scan, updated with
+`dynamic_update_slice` at `cache_position` (static-shape decode).
+
+Attention runs through ops.attention.dot_product_attention, which dispatches
+between a pure-XLA reference path and the Pallas flash kernel.
+
+Behavioral spec: HF Qwen2_5_VLTextModel / Qwen2_5_VLAttention (GQA, bias on
+qkv, rotary applied to q/k in fp32, fp32 softmax).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+from .config import TextConfig
+from .layers import apply_rotary, linear, rms_norm, swiglu_mlp
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, Smax, kv_heads, head_dim]
+    v: jax.Array
+
+    @classmethod
+    def init(cls, cfg: TextConfig, batch: int, max_len: int, dtype) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
+           cache_position=None, attn_impl: str = "xla"):
+    """One decoder layer. Returns (x, (new_k_slice, new_v_slice))."""
+    B, S, _ = x.shape
+    nh, kh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = rms_norm(p["input_layernorm"]["scale"], x, cfg.rms_norm_eps)
+    q = linear(p["attn"]["q"], h).reshape(B, S, nh, hd)
+    k = linear(p["attn"]["k"], h).reshape(B, S, kh, hd)
+    v = linear(p["attn"]["v"], h).reshape(B, S, kh, hd)
+    q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_position, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_position, 0, 0))
+        k_all, v_all, new_kv = ck, cv, (ck, cv)
+    else:
+        k_all, v_all, new_kv = k, v, (k, v)
+
+    attn = dot_product_attention(q, k_all, v_all, bias=mask_bias, impl=attn_impl)
+    x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd))
+    h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
+    return x + swiglu_mlp(p["mlp"], h), new_kv
+
+
+def decoder_forward(
+    params: dict,
+    cfg: TextConfig,
+    hidden: jax.Array,            # [B, S, H] input embeddings
+    cos: jax.Array,               # [B, S, head_dim] (mrope-combined)
+    sin: jax.Array,
+    mask_bias: jax.Array | None,  # [B, 1, S, Skv] additive, or None
+    cache: KVCache | None = None,
+    cache_position: jax.Array | int = 0,
+    attn_impl: str = "xla",
+) -> tuple[jax.Array, KVCache | None]:
+    """Run the stacked decoder. Returns (final hidden [B,S,H], updated cache)."""
+    layers = params["layers"]
+
+    if cache is None:
+        def body(x, p):
+            x, _ = _layer(p, x, cos, sin, mask_bias, cfg, attn_impl=attn_impl)
+            return x, None
+
+        hidden, _ = jax.lax.scan(body, hidden, layers)
+        new_cache = None
+    else:
+        def body(x, inp):
+            p, ck, cv = inp
+            x, (nk, nv) = _layer(p, x, cos, sin, mask_bias, cfg,
+                                 cache_kv=(ck, cv), cache_position=cache_position,
+                                 attn_impl=attn_impl)
+            return x, (nk, nv)
+
+        hidden, (ks, vs) = jax.lax.scan(body, hidden, (layers, cache.k, cache.v))
+        new_cache = KVCache(ks, vs)
+
+    hidden = rms_norm(params["norm"]["scale"], hidden, cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
+def causal_mask_bias(seq_len: int, attention_mask: jax.Array | None,
+                     dtype=jnp.float32) -> jax.Array:
+    """[B, 1, S, S] additive bias: causal + padding."""
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    causal = j <= i
+    if attention_mask is not None:
+        allowed = causal[None] & (attention_mask[:, None, :] == 1)
+    else:
+        allowed = causal[None]
+    return jnp.where(allowed[:, None], 0.0, -1e30).astype(dtype)
+
+
+def decode_mask_bias(max_len: int, lengths: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, 1, 1, max_len] bias for single-token decode: keys < lengths valid."""
+    j = jnp.arange(max_len)[None, :]
+    allowed = j < lengths[:, None]
+    return jnp.where(allowed[:, None, None], 0.0, -1e30).astype(dtype)

@@ -1,0 +1,52 @@
+"""Shared functional building blocks (params are plain pytrees of jnp arrays).
+
+Numerics match HF Qwen2: RMSNorm in fp32 with cast-back-before-scale, gated
+SiLU MLP, rotate-half rotary application in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(params: dict, x: jax.Array) -> jax.Array:
+    """x @ kernel (+ bias). kernel is [in, out]."""
+    y = jnp.einsum("...i,io->...o", x, params["kernel"])
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def rms_norm(scale: jax.Array, x: jax.Array, eps: float) -> jax.Array:
+    """HF Qwen2RMSNorm: fp32 variance, cast back to input dtype, then scale."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = (x32 * jax.lax.rsqrt(var + eps)).astype(dtype)
+    return scale * normed
+
+
+def swiglu_mlp(params: dict, x: jax.Array) -> jax.Array:
+    """down(silu(gate(x)) * up(x)) — Qwen2MLP / Qwen2_5_VLMLP."""
+    return linear(params["down"], jax.nn.silu(linear(params["gate"], x)) * linear(params["up"], x))
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
+    """Apply rotary embedding in fp32, preserving input dtype.
+    cos/sin broadcast against q/k (already expanded by the caller)."""
+    qd, kd = q.dtype, k.dtype
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    cos32, sin32 = cos.astype(jnp.float32), sin.astype(jnp.float32)
+    q_out = q32 * cos32 + rotate_half(q32) * sin32
+    k_out = k32 * cos32 + rotate_half(k32) * sin32
+    return q_out.astype(qd), k_out.astype(kd)
+
+
+def rotary_inv_freq(dim: int, theta: float) -> jnp.ndarray:
+    return 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))

@@ -1,0 +1,225 @@
+"""Qwen2.5-VL vision tower, TPU-first.
+
+Design (vs the HF/CUDA reference, modeling_qwen2_5_vl.py):
+
+The reference runs the ViT over a ragged concatenation of every image/video's
+patches and hands FlashAttention-2 `cu_seqlens` for both the windowed layers
+and the four full-attention layers. That layout is hostile to XLA (dynamic
+shapes, varlen attention). Here the *host planner* (`plan_vision_layout`, pure
+numpy, runs once per shape bucket) lays patches out in **physically padded
+window order**: every 112x112 attention window owns exactly
+(ws_units x ws_units x merge_unit) = 64 patch slots, pad slots are masked.
+Then on device:
+
+- windowed layers are a plain reshape to [num_windows, 64, D] batched dense
+  attention — MXU-friendly, zero masks except validity, no gathers;
+- full-attention layers gather contiguous per-frame-group runs into a
+  [groups, max_group_len] batch (exact reshape when shapes agree);
+- the 2x2 patch merger is a reshape because pad slots come in whole merge
+  units, and one final gather restores the caller's original token order.
+
+Behavioral parity: Qwen2_5_VisionTransformerPretrainedModel.forward (window
+index construction :get_window_index, rot_pos_emb, merger), golden-tested
+against HF logits in tests/test_model_golden.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import VisionConfig
+from .layers import apply_rotary, linear, rms_norm, rotary_inv_freq, swiglu_mlp
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class VisionLayout:
+    """Static (host-planned) layout for one batch of images/videos."""
+
+    patch_gather: np.ndarray      # [S_pad] int32: source row in the real patch
+                                  #  array, or -1 for a pad slot
+    pos_hw: np.ndarray            # [S_pad, 2] int32: (h, w) rotary positions
+    valid: np.ndarray             # [S_pad] bool
+    full_gather: np.ndarray       # [G, Lmax] int32 into S_pad rows, -1 = pad
+    out_unit_gather: np.ndarray   # [U_real] int32: padded unit slot per
+                                  #  original merge-unit (restores input order)
+    seq_len_real: int             # number of real patches
+    window_patches: int           # patches per attention window (64)
+
+    @property
+    def s_pad(self) -> int:
+        return int(self.patch_gather.shape[0])
+
+
+def plan_vision_layout(grid_thws: list[tuple[int, int, int]], cfg: VisionConfig) -> VisionLayout:
+    """Host planner: padded-window patch layout + full-attention grouping.
+
+    Mirrors get_window_index / rot_pos_emb semantics of the HF ViT but keeps
+    pad slots physical so every window is a fixed 64-row block.
+    """
+    m = cfg.spatial_merge_size
+    ws_units = cfg.window_size // m // cfg.patch_size  # 4 for 112/2/14
+    unit = cfg.spatial_merge_unit                       # 4 patches per unit
+    wp = ws_units * ws_units * unit                     # 64 patches per window
+
+    patch_gather, pos_hw, out_unit_gather = [], [], []
+    full_groups: list[tuple[int, int]] = []  # (start, len) in padded patch rows
+    pad_off = 0    # running offset in padded patch rows
+    real_off = 0   # running offset in real patch rows
+
+    for (t, h, w) in grid_thws:
+        lh, lw = h // m, w // m                    # llm grid (merge units)
+        nwh = -(-lh // ws_units)
+        nww = -(-lw // ws_units)
+        group_len = nwh * nww * wp                 # padded patches per t-group
+        video_units = lh * lw                      # real units per t-group
+        unit_slot = np.full((t * video_units,), -1, dtype=np.int64)
+
+        for ti in range(t):
+            full_groups.append((pad_off + ti * group_len, group_len))
+        # enumerate padded slots in window order
+        for ti in range(t):
+            for wh in range(nwh):
+                for ww in range(nww):
+                    for iuh in range(ws_units):
+                        for iuw in range(ws_units):
+                            uh = wh * ws_units + iuh
+                            uw = ww * ws_units + iuw
+                            slot_unit = (pad_off // unit) + (
+                                ((ti * nwh + wh) * nww + ww) * ws_units * ws_units
+                                + iuh * ws_units + iuw
+                            )
+                            if uh < lh and uw < lw:
+                                orig_unit = (ti * lh + uh) * lw + uw
+                                unit_slot[orig_unit] = slot_unit
+                                for j in range(unit):
+                                    dh, dw = j // m, j % m
+                                    patch_gather.append(real_off + orig_unit * unit + j)
+                                    pos_hw.append((uh * m + dh, uw * m + dw))
+                            else:
+                                for j in range(unit):
+                                    patch_gather.append(-1)
+                                    pos_hw.append((0, 0))
+        out_unit_gather.append(unit_slot)
+        pad_off += t * group_len
+        real_off += t * video_units * unit
+
+    patch_gather = np.asarray(patch_gather, dtype=np.int32)
+    pos_hw = np.asarray(pos_hw, dtype=np.int32)
+    valid = patch_gather >= 0
+    lmax = max(l for _, l in full_groups)
+    full_gather = np.full((len(full_groups), lmax), -1, dtype=np.int32)
+    for gi, (start, length) in enumerate(full_groups):
+        full_gather[gi, :length] = np.arange(start, start + length, dtype=np.int32)
+    out_unit_gather = np.concatenate(out_unit_gather).astype(np.int32)
+    assert (out_unit_gather >= 0).all()
+    return VisionLayout(patch_gather, pos_hw, valid, full_gather,
+                        out_unit_gather, real_off, wp)
+
+
+def _vision_rotary(pos_hw: jax.Array, head_dim: int, theta: float):
+    """cos/sin [S_pad, head_dim] from (h, w) positions.
+    Parity: Qwen2_5_VisionRotaryEmbedding + rot_pos_emb (freqs for h and w
+    interleaved as [h_freqs | w_freqs], then duplicated)."""
+    inv = rotary_inv_freq(head_dim // 2, theta)  # [head_dim/4]
+    fh = pos_hw[:, 0:1].astype(jnp.float32) * inv[None, :]
+    fw = pos_hw[:, 1:2].astype(jnp.float32) * inv[None, :]
+    half = jnp.concatenate([fh, fw], axis=-1)    # [S, head_dim/2]
+    emb = jnp.concatenate([half, half], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _window_attention(q, k, v, valid, wp: int, scale: float):
+    """[S_pad, nh, hd] -> dense attention within fixed-size windows."""
+    s, nh, hd = q.shape
+    nw = s // wp
+    qw = q.reshape(nw, wp, nh, hd)
+    kw = k.reshape(nw, wp, nh, hd)
+    vw = v.reshape(nw, wp, nh, hd)
+    mask = valid.reshape(nw, wp)
+    scores = jnp.einsum("wqnd,wknd->wnqk", qw, kw,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vw.dtype)
+    out = jnp.einsum("wnqk,wknd->wqnd", probs, vw)
+    return out.reshape(s, nh, hd)
+
+
+def _full_attention(q, k, v, valid, full_gather, scale: float):
+    """Gather contiguous frame-group runs into [G, Lmax] and attend densely."""
+    s, nh, hd = q.shape
+    g_idx = jnp.asarray(full_gather)
+    safe = jnp.maximum(g_idx, 0)
+    gmask = (g_idx >= 0) & valid[safe]
+    qg, kg, vg = (x[safe] for x in (q, k, v))       # [G, Lmax, nh, hd]
+    scores = jnp.einsum("gqnd,gknd->gnqk", qg, kg,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(gmask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vg.dtype)
+    out = jnp.einsum("gnqk,gknd->gqnd", probs, vg)  # [G, Lmax, nh, hd]
+    # scatter back to [S_pad] (pad rows -> trash slot s)
+    flat_idx = jnp.where(g_idx >= 0, g_idx, s).reshape(-1)
+    buf = jnp.zeros((s + 1, nh, hd), dtype=out.dtype)
+    buf = buf.at[flat_idx].set(out.reshape(-1, nh, hd), mode="drop")
+    return buf[:s]
+
+
+def _vision_block(p, x, cos, sin, valid, full_gather, use_full: bool,
+                  cfg: VisionConfig, wp: int):
+    nh, hd = cfg.num_heads, cfg.head_dim
+    s = x.shape[0]
+    h = rms_norm(p["norm1"]["scale"], x, cfg.rms_norm_eps)
+    qkv = linear(p["attn"]["qkv"], h).reshape(s, 3, nh, hd)
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    q, k = apply_rotary(q, k, cos[:, None, :], sin[:, None, :])
+    scale = hd ** -0.5
+    if use_full:
+        attn = _full_attention(q, k, v, valid, full_gather, scale)
+    else:
+        attn = _window_attention(q, k, v, valid, wp, scale)
+    x = x + linear(p["attn"]["proj"], attn.reshape(s, nh * hd))
+    h = rms_norm(p["norm2"]["scale"], x, cfg.rms_norm_eps)
+    return x + swiglu_mlp(p["mlp"], h)
+
+
+@partial(jax.jit, static_argnames=("cfg", "wp"))
+def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
+                     valid, full_gather, out_unit_gather, wp: int):
+    # patch embed: kernel==stride conv3d is a single matmul over flattened patches
+    emb = jnp.einsum("si,io->so", patches, params["patch_embed"]["kernel"])
+    safe = jnp.maximum(patch_gather, 0)
+    x = jnp.where(valid[:, None], emb[safe], 0).astype(patches.dtype)
+
+    cos, sin = _vision_rotary(pos_hw, cfg.head_dim, cfg.rope_theta)
+    fullset = set(cfg.fullatt_block_indexes)
+    for i in range(cfg.depth):
+        p_i = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        x = _vision_block(p_i, x, cos, sin, valid, full_gather,
+                          i in fullset, cfg, wp)
+
+    # merger: RMSNorm per patch, merge 2x2 units, 2-layer MLP with exact GELU
+    mcfg = params["merger"]
+    h = rms_norm(mcfg["ln_q"]["scale"], x, cfg.rms_norm_eps)
+    u = h.reshape(x.shape[0] // cfg.spatial_merge_unit,
+                  cfg.spatial_merge_unit * cfg.hidden_size)
+    u = linear(mcfg["fc1"], u)
+    u = jax.nn.gelu(u, approximate=False)
+    u = linear(mcfg["fc2"], u)
+    return u[out_unit_gather]  # [U_real, out_hidden], original token order
+
+
+def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
+                layout: VisionLayout) -> jax.Array:
+    """patches [S_real, C*tps*p*p] -> merged vision embeddings
+    [S_real/4, out_hidden] in the same order the processor emitted patches."""
+    return _vit_forward_jit(
+        params, cfg, patches,
+        jnp.asarray(layout.patch_gather), jnp.asarray(layout.pos_hw),
+        jnp.asarray(layout.valid), jnp.asarray(layout.full_gather),
+        jnp.asarray(layout.out_unit_gather), layout.window_patches)

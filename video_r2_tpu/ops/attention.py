@@ -1,0 +1,44 @@
+"""Attention ops: XLA reference path + Pallas TPU flash kernel dispatch.
+
+TPU-native replacement for FlashAttention-2 (reference binds it via
+attn_implementation="flash_attention_2", train/src/train/train_sft.py:127).
+The XLA path is the numerics reference (fp32 softmax, GQA via reshape); the
+Pallas kernel (flash.py) is used on TPU for long sequences.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def dot_product_attention(
+    q: jax.Array,            # [B, Sq, num_heads, head_dim]
+    k: jax.Array,            # [B, Skv, kv_heads, head_dim]
+    v: jax.Array,            # [B, Skv, kv_heads, head_dim]
+    bias: jax.Array | None,  # [B, 1, Sq, Skv] additive (broadcast over heads)
+    impl: str = "xla",
+) -> jax.Array:
+    """GQA attention, fp32 accumulation. Returns [B, Sq, num_heads, head_dim]."""
+    if impl == "flash":
+        from .flash import flash_attention
+
+        return flash_attention(q, k, v, bias=bias)
+    return _xla_attention(q, k, v, bias)
+
+
+def _xla_attention(q, k, v, bias):
+    B, Sq, nh, hd = q.shape
+    kh = k.shape[2]
+    g = nh // kh
+    qg = q.reshape(B, Sq, kh, g, hd)
+    scale = hd ** -0.5
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias[:, :, None].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(B, Sq, nh, hd)

@@ -51,8 +51,14 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
 
     if cache_kv is not None:
         ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_position, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_position, 0, 0))
+        if isinstance(cache_position, jax.Array) and cache_position.ndim == 1:
+            # per-sample positions (decode step, S==1)
+            b_idx = jnp.arange(B)
+            ck = ck.at[b_idx, cache_position].set(k[:, 0])
+            cv = cv.at[b_idx, cache_position].set(v[:, 0])
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_position, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_position, 0, 0))
         k_all, v_all, new_kv = ck, cv, (ck, cv)
     else:
         k_all, v_all, new_kv = k, v, (k, v)

@@ -1,0 +1,113 @@
+"""Kernel tests: Pallas flash attention vs the XLA reference (interpret mode on
+CPU), chunked fused CE vs the unfused oracle (values + gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_r2_tpu.ops.attention import _xla_attention
+from video_r2_tpu.ops.flash import flash_attention
+from video_r2_tpu.ops.fused_ce import (
+    IGNORE_INDEX,
+    cross_entropy_reference,
+    fused_linear_cross_entropy,
+)
+
+
+def _rand_qkv(rng, B, Sq, Sk, nh, kh, hd):
+    q = rng.normal(size=(B, Sq, nh, hd)).astype(np.float32)
+    k = rng.normal(size=(B, Sk, kh, hd)).astype(np.float32)
+    v = rng.normal(size=(B, Sk, kh, hd)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def _ref_causal(q, k, v, lengths):
+    B, Sq, _, _ = q.shape
+    Sk = k.shape[1]
+    i = jnp.arange(Sq)[:, None]
+    j = jnp.arange(Sk)[None, :]
+    allowed = (j <= i + (Sk - Sq)) if Sq == Sk else (j <= i)
+    allowed = allowed[None] & (j[None] < lengths[:, None, None])
+    bias = jnp.where(allowed[:, None], 0.0, -1e30)
+    return _xla_attention(q, k, v, bias)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 128, 128, 4, 2, 64),     # GQA, one block
+    (1, 300, 300, 4, 4, 64),     # MHA, ragged block boundary
+    (2, 512, 512, 8, 2, 128),    # multi-block
+])
+def test_flash_causal_matches_reference(rng, shape):
+    B, Sq, Sk, nh, kh, hd = shape
+    q, k, v = _rand_qkv(rng, B, Sq, Sk, nh, kh, hd)
+    lengths = jnp.asarray([Sk] * B if B == 1 else [Sk, Sk - 37])
+    ref = _ref_causal(q, k, v, lengths)
+    out = flash_attention(q, k, v, kv_lengths=lengths, causal=True,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # padded rows (beyond length) produce finite values
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_non_causal(rng):
+    B, S, nh, kh, hd = 1, 256, 4, 2, 64
+    q, k, v = _rand_qkv(rng, B, S, S, nh, kh, hd)
+    lengths = jnp.asarray([S - 10])
+    j = jnp.arange(S)[None, :]
+    allowed = (j[None] < lengths[:, None, None])
+    bias = jnp.where(allowed[:, None, None, :].repeat(S, 2), 0.0, -1e30)
+    ref = _xla_attention(q, k, v, bias[:, :, 0])
+    out = flash_attention(q, k, v, kv_lengths=lengths, causal=False,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[:, :, :, :],
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_offset(rng):
+    """Sq=1 with q_offset = cache position (decode step shape)."""
+    B, Sk, nh, kh, hd = 2, 256, 4, 2, 64
+    q, k, v = _rand_qkv(rng, B, 8, Sk, nh, kh, hd)
+    q = q[:, :1]
+    lengths = jnp.asarray([100, 200])
+    # reference: keys < length valid (q at position length-1)
+    j = jnp.arange(Sk)[None, :]
+    bias = jnp.where((j[None] < lengths[:, None, None])[:, None], 0.0, -1e30)
+    ref = _xla_attention(q, k, v, bias)
+    out = flash_attention(q, k, v, kv_lengths=lengths, causal=False,
+                          block_q=8, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ce_value_and_grad(rng):
+    N, H, V = 50, 16, 97
+    hidden = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    weight = jnp.asarray(rng.normal(size=(H, V)).astype(np.float32) * 0.1)
+    labels = np.asarray(rng.integers(0, V, size=N))
+    labels[::7] = IGNORE_INDEX
+    labels = jnp.asarray(labels)
+
+    ref_fn = lambda h, w: cross_entropy_reference(h, w, labels)
+    our_fn = lambda h, w: fused_linear_cross_entropy(h, w, labels, 16)
+
+    ref = ref_fn(hidden, weight)
+    ours = our_fn(hidden, weight)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-6)
+
+    gref = jax.grad(ref_fn, argnums=(0, 1))(hidden, weight)
+    gours = jax.grad(our_fn, argnums=(0, 1))(hidden, weight)
+    for a, b in zip(gours, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_ce_all_ignored():
+    hidden = jnp.ones((8, 4))
+    weight = jnp.ones((4, 11))
+    labels = jnp.full((8,), IGNORE_INDEX)
+    loss = fused_linear_cross_entropy(hidden, weight, labels, 8)
+    assert float(loss) == 0.0
+    g = jax.grad(lambda h: fused_linear_cross_entropy(h, weight, labels, 8))(hidden)
+    assert np.all(np.asarray(g) == 0.0)

@@ -1,0 +1,114 @@
+"""Mesh/sharding + SFT train-step tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_r2_tpu.models import init_params, tiny_test_config
+from video_r2_tpu.parallel import MeshConfig, make_mesh, param_shardings, shard_params
+from video_r2_tpu.train import (
+    OptimConfig,
+    SFTConfig,
+    init_train_state,
+    make_optimizer,
+    make_sft_step,
+    sft_loss,
+)
+from video_r2_tpu.ops.fused_ce import IGNORE_INDEX
+
+
+def _batch(cfg, rng, B=4, S=16):
+    ids = rng.integers(2, 400, size=(B, S))
+    labels = ids.copy()
+    labels[:, :5] = IGNORE_INDEX  # prompt masking
+    pos = np.broadcast_to(np.arange(S)[None, None], (3, B, S)).copy()
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "position_ids": jnp.asarray(pos),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+    }
+
+
+def test_mesh_and_param_shardings():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=4, tp=2))
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    sh = param_shardings(params, mesh)
+    # q kernel [L, H, H]: H=48 divisible by fsdp=4 and tp=2
+    q_spec = sh["model"]["layers"]["attn"]["q"]["kernel"].spec
+    assert q_spec == jax.sharding.PartitionSpec(None, "fsdp", "tp")
+    # norm scales replicated
+    assert sh["model"]["norm"]["scale"].spec == jax.sharding.PartitionSpec()
+    sharded = shard_params(params, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded["model"]["layers"]["attn"]["q"]["kernel"]),
+        np.asarray(params["model"]["layers"]["attn"]["q"]["kernel"]))
+
+
+def test_sft_step_single_device(rng):
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    opt = make_optimizer(OptimConfig(learning_rate=1e-3, total_steps=10), params)
+    step = make_sft_step(cfg, SFTConfig(ce_chunk_size=32), opt)
+    state = init_train_state(params, opt)
+    batch = _batch(cfg, rng)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses  # overfits a fixed batch
+    assert int(state.step) == 5
+
+
+def test_sft_step_sharded_matches_single(rng):
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    opt = make_optimizer(OptimConfig(learning_rate=1e-3, total_steps=10), params)
+    batch = _batch(cfg, rng, B=8)
+
+    state1 = init_train_state(params, opt)
+    step1 = make_sft_step(cfg, SFTConfig(ce_chunk_size=32), opt, donate=False)
+    _, m1 = step1(state1, batch)
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    state2 = init_train_state(params, opt, mesh=mesh)
+    step2 = make_sft_step(cfg, SFTConfig(ce_chunk_size=32), opt, mesh=mesh,
+                          donate=False)
+    sbatch = step2.shard_batch(batch)
+    _, m2 = step2(state2, sbatch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_freeze_flags(rng):
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    opt = make_optimizer(
+        OptimConfig(learning_rate=1e-2, total_steps=10,
+                    freeze_vision=True, freeze_merger=True), params)
+    step = make_sft_step(cfg, SFTConfig(ce_chunk_size=32), opt, donate=False)
+    state = init_train_state(params, opt)
+    new_state, _ = step(state, _batch(cfg, rng))
+    # vision params unchanged, decoder params changed
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["visual"]["merger"]["fc1"]["kernel"]),
+        np.asarray(params["visual"]["merger"]["fc1"]["kernel"]))
+    assert not np.array_equal(
+        np.asarray(new_state.params["model"]["layers"]["mlp"]["gate"]["kernel"]),
+        np.asarray(params["model"]["layers"]["mlp"]["gate"]["kernel"]))
+
+
+def test_param_group_classification():
+    from video_r2_tpu.train.optim import classify_param
+
+    class L:  # fake leaf
+        def __init__(self, ndim):
+            self.ndim = ndim
+
+    assert classify_param("model/layers/mlp/gate/kernel", L(3)) == "base_decay"
+    assert classify_param("model/norm/scale", L(1)) == "base_nodecay"
+    assert classify_param("visual/blocks/attn/qkv/kernel", L(3)) == "vision_decay"
+    assert classify_param("visual/merger/fc1/kernel", L(2)) == "merger_decay"
+    assert classify_param("visual/merger/fc1/bias", L(1)) == "merger_nodecay"

@@ -136,13 +136,18 @@ def load_hf_checkpoint(path: str | Path, cfg: ModelConfig,
     return convert_hf_state_dict(state, cfg, dtype)
 
 
-def init_params(cfg: ModelConfig, seed: int = 0, dtype: str | None = None) -> dict:
-    """Random init with HF-matching shapes (for benchmarks / smoke tests)."""
+def init_params(cfg: ModelConfig, seed: int = 0, dtype: str | None = None,
+                method: str = "normal") -> dict:
+    """Init with HF-matching shapes (benchmarks / smoke tests).
+    method='zeros' skips host-side RNG — same compile geometry and FLOPs,
+    instant setup for multi-billion-param benchmark models."""
     dtype = jnp.dtype(dtype or cfg.dtype)
     rng = np.random.default_rng(seed)
     v, t = cfg.vision, cfg.text
 
     def w(*shape, scale=None):
+        if method == "zeros":
+            return jnp.zeros(shape, dtype=dtype)
         scale = scale or 1.0 / math.sqrt(shape[0])
         return jnp.asarray(rng.normal(0, scale, shape), dtype=dtype)
 

@@ -1,0 +1,48 @@
+"""Device mesh construction (replaces torchrun + DeepSpeed topology, N3/N4).
+
+Axes:
+- "dp"   : pure data parallel (replicated params)
+- "fsdp" : sharded-parameter data parallel (ZeRO-3 equivalent; params and
+           optimizer state sharded, all-gathered per layer by XLA)
+- "tp"   : tensor parallel (megatron-style head/intermediate sharding)
+
+Collectives ride ICI inside a slice; the mesh axis order puts "tp" innermost so
+its all-reduces stay on the fastest links.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    dp: int = 1
+    fsdp: int = 1
+    tp: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.dp * self.fsdp * self.tp
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if cfg is None:
+        cfg = MeshConfig(fsdp=len(devices))
+    n = cfg.num_devices
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(cfg.dp, cfg.fsdp, cfg.tp)
+    return Mesh(arr, ("dp", "fsdp", "tp"))
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host initialization (replaces torchrun; single launcher per host)."""
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator, num_processes, process_id)

@@ -1,0 +1,108 @@
+"""Sharding rules: param-path -> PartitionSpec.
+
+FSDP+TP layout for the stacked-layer param tree (ZeRO-3 + megatron parity,
+SURVEY §2.5). XLA/GSPMD inserts the collectives (all-gather for FSDP params,
+all-reduce/reduce-scatter for TP partials and gradients) from these
+annotations — no hand-written NCCL calls to translate.
+
+Scheme (leading L axis on stacked decoder/ViT leaves is never sharded so scan
+stays layerwise):
+- attention q/k/v and mlp gate/up kernels: output dim on "tp", input on "fsdp"
+- attention o and mlp down kernels:        input dim on "tp", output on "fsdp"
+- embed/lm_head:                           vocab on "tp", hidden on "fsdp"
+- norms/biases/small leaves:               replicated
+- batch dims of data:                      ("dp", "fsdp")
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# path-suffix -> spec builder keyed on leaf ndim; leading layer-stack axis
+# (ndim == base + 1) gets None prepended automatically.
+_TEXT_RULES: list[tuple[tuple[str, ...], P]] = [
+    (("attn", "q", "kernel"), P("fsdp", "tp")),
+    (("attn", "k", "kernel"), P("fsdp", "tp")),
+    (("attn", "v", "kernel"), P("fsdp", "tp")),
+    (("attn", "q", "bias"), P("tp")),
+    (("attn", "k", "bias"), P("tp")),
+    (("attn", "v", "bias"), P("tp")),
+    (("attn", "o", "kernel"), P("tp", "fsdp")),
+    (("mlp", "gate", "kernel"), P("fsdp", "tp")),
+    (("mlp", "up", "kernel"), P("fsdp", "tp")),
+    (("mlp", "down", "kernel"), P("tp", "fsdp")),
+    (("mlp", "gate", "bias"), P("tp")),
+    (("mlp", "up", "bias"), P("tp")),
+    (("mlp", "down", "bias"), P()),
+    (("embed_tokens", "embedding"), P("tp", "fsdp")),
+    (("lm_head", "kernel"), P("fsdp", "tp")),
+    (("attn", "qkv", "kernel"), P("fsdp", "tp")),
+    (("attn", "qkv", "bias"), P("tp")),
+    (("attn", "proj", "kernel"), P("tp", "fsdp")),
+    (("attn", "proj", "bias"), P()),
+    (("patch_embed", "kernel"), P(None, "fsdp")),
+    (("fc1", "kernel"), P("fsdp", "tp")),
+    (("fc1", "bias"), P("tp")),
+    (("fc2", "kernel"), P("tp", "fsdp")),
+    (("fc2", "bias"), P()),
+]
+
+
+def _spec_for(path: tuple[str, ...], leaf) -> P:
+    stacked = False
+    for suffix, spec in _TEXT_RULES:
+        if path[-len(suffix):] == suffix:
+            base = len([a for a in spec])
+            if leaf.ndim == base + 1:       # stacked over layers
+                return P(None, *spec)
+            if leaf.ndim == base:
+                return P(*spec)
+    return P()  # norms, scalars: replicated
+
+
+def _path_tuple(keypath) -> tuple[str, ...]:
+    out = []
+    for k in keypath:
+        if hasattr(k, "key"):
+            out.append(str(k.key))
+        elif hasattr(k, "idx"):
+            out.append(str(k.idx))
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching `params`."""
+
+    def f(keypath, leaf):
+        spec = _spec_for(_path_tuple(keypath), leaf)
+        # drop axes that don't divide evenly -> replicate that dim
+        fixed = []
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                fixed.append(None)
+                continue
+            size = mesh.shape[axis] if isinstance(axis, str) else int(
+                np.prod([mesh.shape[a] for a in axis]))
+            fixed.append(axis if leaf.shape[dim] % size == 0 else None)
+        return NamedSharding(mesh, P(*fixed) if fixed else P())
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params on the mesh per the rules (host -> sharded device arrays)."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading batch dim over (dp, fsdp)."""
+    return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

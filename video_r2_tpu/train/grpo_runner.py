@@ -1,0 +1,232 @@
+"""GRPO runner: host orchestration of one generation->score->train cycle.
+
+The reference interleaves this inside a forked HF Trainer
+(grpo_trainer.py:747-1030 + compute_loss buffering :1066-1083). Here it is an
+explicit loop on the single JAX controller:
+
+  sample B prompts -> preprocess vision ONCE per prompt -> repeat G x
+  -> engine rollouts (shared params, no ZeRO gather) -> EOS masking
+  -> reward fns (host python; judge HTTP off-mesh) -> group advantages
+  -> ref/old logps (jitted) -> mu jitted train steps on the buffered batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.chat import expand_vision_placeholders, pack_prompts, render_messages
+from ..engine.generate import generate
+from ..engine.sampling import SamplingParams
+from ..models.config import ModelConfig
+from ..models.mrope import get_rope_index
+from ..models.vision import plan_vision_layout, vit_forward
+from ..video import VideoPreprocessConfig, fetch_video
+from .grpo import (
+    GRPOConfig,
+    combine_rewards,
+    completion_mask_from_ids,
+    compute_advantages,
+    per_token_logps,
+)
+
+
+@dataclass
+class PreparedPrompt:
+    messages: list[dict]
+    input_ids: np.ndarray            # [S] unpadded
+    video_embeds: Any | None         # [N, H] device array (merged ViT out)
+    video_grid_thw: list[tuple[int, int, int]]
+    second_per_grid_ts: list[float]
+    sample: dict                     # original dataset record fields
+
+
+class GRPORunner:
+    def __init__(self, params, cfg: ModelConfig, gcfg: GRPOConfig, tokenizer,
+                 reward_funcs: list[Callable], reward_func_names: list[str],
+                 step_fn, ref_params=None, judge=None, embedder=None,
+                 video_cfg: VideoPreprocessConfig | None = None,
+                 attn_impl: str = "xla", seed: int = 0):
+        self.params = params
+        self.ref_params = ref_params
+        self.cfg = cfg
+        self.gcfg = gcfg
+        self.tok = tokenizer
+        self.reward_funcs = reward_funcs
+        self.reward_func_names = reward_func_names
+        self.step_fn = step_fn
+        self.judge = judge
+        self.embedder = embedder
+        self.video_cfg = video_cfg or VideoPreprocessConfig()
+        self.attn_impl = attn_impl
+        self._seed = seed
+
+    # ------------------------------------------------------------------
+    def prepare_prompt(self, sample: dict, params) -> PreparedPrompt:
+        """Render messages, preprocess vision once, tokenize."""
+        messages = sample["prompt"]
+        text = render_messages(messages, add_generation_prompt=True,
+                               default_system=None)
+        vid_feats = []
+        for m in messages:
+            if isinstance(m.get("content"), list):
+                for ele in m["content"]:
+                    if ele.get("type") == "video" or "video" in ele:
+                        vid_feats.append(fetch_video(ele, self.video_cfg))
+        embeds = None
+        grids = [f.grid_thw for f in vid_feats]
+        if vid_feats:
+            patches = np.concatenate([f.patches for f in vid_feats])
+            layout = plan_vision_layout(grids, self.cfg.vision)
+            embeds = vit_forward(params["visual"], self.cfg.vision,
+                                 jnp.asarray(patches), layout)
+            text = expand_vision_placeholders(
+                text, [f.num_tokens for f in vid_feats], [])
+        ids = np.asarray(self.tok.encode(text), np.int32)
+        if ids.shape[0] > self.gcfg.max_prompt_length:
+            ids = ids[-self.gcfg.max_prompt_length:]  # left truncation (TRL parity)
+        return PreparedPrompt(messages, ids, embeds, grids,
+                              [f.second_per_grid_t for f in vid_feats], sample)
+
+
+    def rollout_and_score(self, samples: list[dict]):
+        """One generation batch: returns (device_batch dict, metrics dict)."""
+        G = self.gcfg.num_generations
+        prepared = [self.prepare_prompt(s, self.params) for s in samples]
+
+        # repeat each prompt G times, consecutive (RepeatSampler layout)
+        token_lists = [list(p.input_ids) for p in prepared for _ in range(G)]
+        packed = pack_prompts(token_lists, pad_id=self.cfg.pad_token_id)
+        B = packed.input_ids.shape[0]
+
+        # positions: per repeated row
+        vid_grids = [g for p in prepared for _ in range(G) for g in p.video_grid_thw]
+        spg = [s for p in prepared for _ in range(G) for s in p.second_per_grid_ts]
+        mask = (np.arange(packed.input_ids.shape[1])[None, :]
+                < packed.lengths[:, None]).astype(np.int64)
+        pos, deltas = get_rope_index(
+            packed.input_ids, self.cfg,
+            video_grid_thw=np.asarray(vid_grids) if vid_grids else None,
+            second_per_grid_ts=np.asarray(spg) if spg else None,
+            attention_mask=mask)
+
+        embeds = None
+        if any(p.video_embeds is not None for p in prepared):
+            embeds = jnp.concatenate(
+                [p.video_embeds for p in prepared for _ in range(G)
+                 if p.video_embeds is not None])
+
+        sp = SamplingParams(
+            do_sample=True, temperature=self.gcfg.temperature,
+            top_p=self.gcfg.top_p, top_k=self.gcfg.top_k,
+            max_new_tokens=self.gcfg.max_completion_length,
+            eos_token_ids=(self.cfg.eos_token_id,),
+            pad_token_id=self.cfg.pad_token_id)
+        self._seed += 1
+        res = generate(self.params, self.cfg, packed.input_ids, packed.lengths,
+                       sp, position_ids=pos, rope_deltas=deltas[:, 0],
+                       vision_embeds=embeds,
+                       vision_token_id=self.cfg.video_token_id,
+                       seed=self._seed, attn_impl=self.attn_impl)
+
+        completion_ids = res.sequences
+        cmask = completion_mask_from_ids(
+            completion_ids, self.cfg.eos_token_id,
+            self.gcfg.mask_truncated_completions)
+        completions_text = [
+            self.tok.decode(completion_ids[b][: res.lengths[b]],
+                            skip_special_tokens=True)
+            for b in range(B)]
+        completions = [[{"role": "assistant", "content": t}]
+                       for t in completions_text]
+
+        # rewards (host)
+        reward_kwargs = {
+            "prompts": [p.messages for p in prepared for _ in range(G)],
+            "assistant": [{"content": p.sample.get("assistant", "")}
+                          for p in prepared for _ in range(G)],
+            "temporal_grounding": [p.sample.get("temporal_grounding", {})
+                                   for p in prepared for _ in range(G)],
+            "temporal_captions": [p.sample.get("temporal_captions", {})
+                                  for p in prepared for _ in range(G)],
+            "judge": self.judge,
+            "embedder": self.embedder,
+            "buffer_seconds": self.gcfg.buffer_seconds,
+            "similarity_threshold": self.gcfg.similarity_threshold,
+            "length_reinforcement_buffer": self.gcfg.length_reinforcement_buffer,
+        }
+        F = len(self.reward_funcs)
+        rewards_per_func = np.full((B, F), np.nan)
+        for i, fn in enumerate(self.reward_funcs):
+            out = fn(completions=completions, **reward_kwargs)
+            rewards_per_func[:, i] = [np.nan if r is None else r for r in out]
+
+        rewards = combine_rewards(rewards_per_func, self.reward_func_names,
+                                  self.gcfg)
+        advantages = compute_advantages(rewards, rewards_per_func,
+                                        self.reward_func_names, self.gcfg)
+
+        # full sequence = prompt (right-padded region removed?) Keep layout:
+        # [prompt_padded | completion]; attention mask covers prompt valid +
+        # completion mask. Positions for completion tokens continue per-sample.
+        P = packed.input_ids.shape[1]
+        C = completion_ids.shape[1]
+        full_ids = np.concatenate([packed.input_ids, completion_ids], axis=1)
+        full_mask = np.concatenate([mask.astype(np.int32), cmask], axis=1)
+        # completion positions: prompt_len + step + delta (text-only region)
+        comp_pos = (packed.lengths[:, None] + np.arange(C)[None, :]
+                    + deltas)  # [B, C]
+        full_pos = np.concatenate(
+            [pos, np.broadcast_to(comp_pos[None], (3, B, C))], axis=2)
+
+        batch = {
+            "input_ids": jnp.asarray(full_ids),
+            "position_ids": jnp.asarray(full_pos),
+            "attention_mask": jnp.asarray(full_mask),
+            "completion_mask": jnp.asarray(cmask),
+            "advantages": jnp.asarray(advantages, jnp.float32),
+        }
+        if embeds is not None:
+            batch["video_embeds"] = embeds
+
+        # ref / old logps (no grad)
+        if self.gcfg.beta != 0.0:
+            assert self.ref_params is not None, "beta>0 requires ref_params"
+            batch["ref_per_token_logps"] = self._logps(self.ref_params, batch, C)
+        if self.gcfg.num_iterations > 1:
+            batch["old_per_token_logps"] = self._logps(self.params, batch, C)
+
+        metrics = {
+            "reward_mean": float(np.mean(rewards)),
+            "reward_std": float(np.std(rewards)),
+            "completion_len_mean": float(cmask.sum(1).mean()),
+            "clipped_ratio": float(
+                1 - (completion_ids == self.cfg.eos_token_id).any(1).mean()),
+        }
+        for i, name in enumerate(self.reward_func_names):
+            metrics[f"rewards/{name}/mean"] = float(
+                np.nanmean(rewards_per_func[:, i]))
+        return batch, metrics
+
+    def _logps(self, params, batch, C):
+        return jax.lax.stop_gradient(per_token_logps(
+            params, self.cfg, batch["input_ids"], batch["position_ids"],
+            batch["attention_mask"], C, self.gcfg.temperature,
+            self.gcfg.logp_chunk_size,
+            video_embeds=batch.get("video_embeds"),
+            attn_impl=self.attn_impl))
+
+    # ------------------------------------------------------------------
+    def train_cycle(self, state, samples: list[dict]):
+        """One full GRPO cycle: rollout once, mu optimizer steps."""
+        batch, gen_metrics = self.rollout_and_score(samples)
+        metrics = dict(gen_metrics)
+        for _ in range(self.gcfg.num_iterations):
+            state, step_metrics = self.step_fn(state, batch)
+            self.params = state.params
+        metrics.update({k: float(v) for k, v in step_metrics.items()})
+        return state, metrics

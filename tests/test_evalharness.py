@@ -1,0 +1,189 @@
+"""Eval harness tests: task registry, mvbench/vsibench scoring parity, the
+runner's JSONL contract, from_log replay, TAC 3-lens + consistency metrics,
+VAS scoring — all with fake models/judges (the reference's from_log idea)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from video_r2_tpu.evalharness import evaluate, get_task, list_tasks
+from video_r2_tpu.evalharness.model_api import FromLogModel, StaticModel
+from video_r2_tpu.evalharness.tac import (
+    consistency_metrics,
+    evaluate_tac_samples,
+    extract_letter,
+    run_tac_on_file,
+)
+from video_r2_tpu.evalharness.tasks.common import (
+    mcq_acc,
+    mean_relative_accuracy,
+)
+from video_r2_tpu.evalharness.vas import (
+    evaluate_vas_rows,
+    parse_llm_json,
+    run_vas_on_file,
+)
+from video_r2_tpu.rewards.judge import StaticJudge
+
+
+def _mvbench_docs(n=4):
+    return [{
+        "video": f"v{i}.mp4",
+        "question": f"What happens {i}?",
+        "candidates": ["jumping", "running", "sitting"],
+        "answer": "running",
+    } for i in range(n)]
+
+
+def test_registry_has_all_benchmarks():
+    names = list_tasks()
+    for b in ["mvbench", "videomme", "tempcompass", "mlvu", "longvideobench",
+              "videomathqa", "videommmu", "mmvu", "vsibench", "minerva",
+              "scivideobench"]:
+        assert b in names and f"{b}_think" in names
+
+
+def test_mcq_acc_parity():
+    assert mcq_acc("B. running", "B") == 1
+    assert mcq_acc("B. running", "(B) running") == 1
+    assert mcq_acc("B. running", "The answer is B.") == 1
+    # reference parity: bare option text (no letter) does NOT match
+    assert mcq_acc("B. running", "running") == 0
+    assert mcq_acc("B. running", "A") == 0
+
+
+def test_mvbench_task_end_to_end(tmp_path):
+    task = get_task("mvbench_think", docs=_mvbench_docs())
+    model = StaticModel("<think>I watch closely</think><answer>B</answer>")
+    out = evaluate(model, [task], output_dir=tmp_path)
+    res = out["results"]["mvbench_think"]
+    assert res["accuracy"] == 1.0
+    # think post-prompt present in input
+    rows = out["samples"]["mvbench_think"]
+    assert "<think>" in rows[0]["input"]
+    # samples jsonl has the TAC/VAS contract fields
+    lines = [json.loads(l) for l in open(tmp_path / "samples_mvbench_think.jsonl")]
+    for field in ["doc_id", "doc", "input", "resps", "filtered_resps",
+                  "target", "accuracy", "doc_hash"]:
+        assert field in lines[0], field
+    assert (tmp_path / "results.json").exists()
+
+
+def test_vsibench_metrics():
+    assert mean_relative_accuracy(10.0, 10.0) == 1.0
+    # reference formula: accuracy over the 0.5..0.95 confidence sweep
+    confs = np.linspace(0.5, 0.95, int((0.95 - 0.5) / 0.05 + 2))
+    expected = float((0.5 <= 1 - confs).mean())
+    assert mean_relative_accuracy(5.0, 10.0) == pytest.approx(expected)
+    assert mean_relative_accuracy(50.0, 10.0) == 0.0
+    assert 0 < mean_relative_accuracy(9.0, 10.0) < 1.0
+
+    docs = [
+        {"video": "a.mp4", "question": "count?", "question_type": "object_counting",
+         "ground_truth": "4"},
+        {"video": "b.mp4", "question": "dir?", "question_type": "route_planning",
+         "options": ["A. left", "B. right"], "ground_truth": "A"},
+    ]
+    task = get_task("vsibench_think", docs=docs)
+    model = StaticModel(["<answer>4</answer>", "<answer>A</answer>"])
+    out = evaluate(model, [task])
+    r = out["results"]["vsibench_think"]
+    assert r["accuracy"] == 1.0
+    assert r["vsibench_score"] == 100.0
+
+
+def test_from_log_replay(tmp_path):
+    task = get_task("mvbench", docs=_mvbench_docs(2))
+    model = StaticModel(["<answer>B</answer>", "<answer>A</answer>"])
+    out = evaluate(model, [task], output_dir=tmp_path)
+    replay = FromLogModel(tmp_path / "samples_mvbench.jsonl")
+    out2 = evaluate(replay, [task])
+    assert (out["results"]["mvbench"]["accuracy"]
+            == out2["results"]["mvbench"]["accuracy"] == 0.5)
+
+
+def test_limit(tmp_path):
+    task = get_task("mvbench", docs=_mvbench_docs(4))
+    out = evaluate(StaticModel("<answer>B</answer>"), [task], limit=2)
+    assert out["results"]["mvbench"]["samples"] == 2
+
+
+def _tac_rows():
+    return [
+        {"doc_id": 0, "accuracy": 1,
+         "filtered_resps": ["<think>so the answer is B</think><answer>B</answer>"],
+         "doc": {"candidates": ["x", "y", "z"], "answer": "y"}},
+        {"doc_id": 1, "accuracy": 0,
+         "filtered_resps": ["<think>clearly C</think><answer>A</answer>"],
+         "doc": {"candidates": ["x", "y", "z"], "answer": "y"}},
+    ]
+
+
+def test_tac_three_lenses(tmp_path):
+    # judge alternates: answer-parse then think-extract per row
+    judge = StaticJudge(["B", "B", "A", "C"])
+    rows = _tac_rows()
+    results, summary = evaluate_tac_samples(
+        rows, judge,
+        get_options=lambda r: r["doc"]["candidates"],
+        get_gt_letter=lambda r: "B")
+    assert results[0].answer_correct and results[0].thinking_correct
+    assert not results[1].answer_correct and not results[1].thinking_correct
+    assert summary["answer_accuracy"] == 0.5
+    assert summary["thinking_accuracy"] == 0.5
+    assert summary["answer_to_thinking_correlation"] == 1.0
+    cm = consistency_metrics(summary)
+    assert cm["consistency_score"] == 0.0
+    assert cm["nonlinear_consistency"] == 0.0
+
+    # file-level run with skip-if-done
+    sp = tmp_path / "samples.jsonl"
+    with open(sp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    judge2 = StaticJudge(["B", "B", "A", "C"])
+    s1 = run_tac_on_file(sp, judge2, lambda r: r["doc"]["candidates"],
+                         lambda r: "B", tmp_path / "tac")
+    ncalls = len(judge2.calls)
+    s2 = run_tac_on_file(sp, judge2, lambda r: r["doc"]["candidates"],
+                         lambda r: "B", tmp_path / "tac")
+    assert len(judge2.calls) == ncalls  # skipped, no extra judge calls
+    assert s1["answer_accuracy"] == s2["answer_accuracy"]
+
+
+def test_extract_letter():
+    assert extract_letter("B") == "B"
+    assert extract_letter(" (c) ") == "C"
+    assert extract_letter("UNKNOWN") == ""
+    assert extract_letter("") == ""
+
+
+def test_vas_scoring(tmp_path):
+    assert parse_llm_json('{"score": 7, "rationale": "good"}') == (7, "good")
+    assert parse_llm_json('junk {"score": 11, "rationale": "x"} junk')[0] == 10
+    assert parse_llm_json("no json here") == (None, "")
+
+    rows = [{"doc_id": 0, "input": "Q?",
+             "filtered_resps": [["<think>the red car at left</think><answer>A</answer>"]]}]
+    judge = StaticJudge('{"score": 8, "rationale": "specific visual claims"}')
+    samples, summary = evaluate_vas_rows(rows, judge)
+    assert samples[0].score == 8
+    assert summary["attention_to_video_score"] == 8.0
+    assert summary["score_distribution"]["8"] == 1
+
+    # retry then zero on garbage
+    judge_bad = StaticJudge("not json")
+    samples, _ = evaluate_vas_rows(rows, judge_bad)
+    assert samples[0].score == 0
+    assert len(judge_bad.calls) == 2  # one retry
+
+    sp = tmp_path / "s.jsonl"
+    sp.write_text(json.dumps(rows[0]) + "\n")
+    s = run_vas_on_file(sp, StaticJudge('{"score": 5, "rationale": "r"}'),
+                        tmp_path / "vas", bench="test")
+    assert s["attention_to_video_score"] == 5.0
+    # skip-if-done reads the per-sample file
+    s2 = run_vas_on_file(sp, StaticJudge("ignored"), tmp_path / "vas",
+                         bench="test")
+    assert s2["attention_to_video_score"] == 5.0

@@ -1,0 +1,118 @@
+"""Engine-backed eval generation (the qwen2_5_vl adapter equivalent).
+
+Batching strategy: sort instances by (video token count, prompt length) so
+padded shapes bucket tightly (the reference sorts by length —
+qwen2_5_vl.py:184-199), process in fixed-size batches, restore order.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.chat import expand_vision_placeholders, pack_prompts, render_messages
+from ..engine.generate import generate
+from ..engine.sampling import SamplingParams
+from ..models.mrope import get_rope_index
+from ..models.vision import plan_vision_layout, vit_forward
+from ..video import VideoPreprocessConfig, fetch_video
+from .api import Instance
+
+
+class EngineBackend:
+    def __init__(self, params, cfg, tokenizer, max_num_frames=128,
+                 max_pixels=151200, min_pixels=100352, fps=None, batch_size=8,
+                 system_prompt="You are a helpful assistant.",
+                 attn_impl="xla", seed=0):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.max_num_frames = max_num_frames
+        self.max_pixels = max_pixels
+        self.min_pixels = min_pixels
+        self.fps = fps
+        self.batch_size = batch_size
+        self.system_prompt = system_prompt
+        self.attn_impl = attn_impl
+        self.seed = seed
+        self.vcfg = VideoPreprocessConfig()
+
+    def _video_ele(self, visual) -> dict:
+        ele = {"min_pixels": self.min_pixels, "max_pixels": self.max_pixels}
+        if isinstance(visual, str):
+            ele["video"] = visual
+        else:
+            ele["video"] = np.asarray(visual)
+            ele["video_fps"] = 1.0
+        if self.fps is not None:
+            ele["fps"] = self.fps
+        ele["max_frames"] = self.max_num_frames
+        return ele
+
+    def _prepare(self, inst: Instance):
+        feats = []
+        for visual in inst.visuals:
+            ele = self._video_ele(visual)
+            f = fetch_video(ele, self.vcfg)
+            feats.append(f)
+        messages = [{"role": "system", "content": self.system_prompt},
+                    {"role": "user", "content": (
+                        [{"type": "video", "video": "_"}] * len(feats)
+                        + [{"type": "text", "text": inst.text}])}]
+        text = render_messages(messages, default_system=None)
+        text = expand_vision_placeholders(text, [f.num_tokens for f in feats], [])
+        ids = self.tok.encode(text)
+        return ids, feats
+
+    def generate_until(self, instances: list[Instance]) -> list[str]:
+        prepared = [self._prepare(i) for i in instances]
+        order = sorted(range(len(prepared)),
+                       key=lambda i: (sum(f.num_tokens for f in prepared[i][1]),
+                                      len(prepared[i][0])))
+        results: dict[int, str] = {}
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start: start + self.batch_size]
+            results.update(self._run_batch(
+                [prepared[i] for i in chunk], chunk,
+                instances[chunk[0]].gen_kwargs))
+        return [results[i] for i in range(len(instances))]
+
+    def _run_batch(self, prepared, indices, gen_kwargs):
+        packed = pack_prompts([ids for ids, _ in prepared],
+                              pad_id=self.cfg.pad_token_id)
+        grids = [f.grid_thw for _, feats in prepared for f in feats]
+        spg = [f.second_per_grid_t for _, feats in prepared for f in feats]
+        mask = (np.arange(packed.input_ids.shape[1])[None, :]
+                < packed.lengths[:, None]).astype(np.int64)
+        pos, deltas = get_rope_index(
+            packed.input_ids, self.cfg,
+            video_grid_thw=np.asarray(grids) if grids else None,
+            second_per_grid_ts=np.asarray(spg) if spg else None,
+            attention_mask=mask)
+        embeds = None
+        if grids:
+            patches = np.concatenate(
+                [f.patches for _, feats in prepared for f in feats])
+            layout = plan_vision_layout(grids, self.cfg.vision)
+            embeds = vit_forward(self.params["visual"], self.cfg.vision,
+                                 jnp.asarray(patches), layout)
+        temp = float(gen_kwargs.get("temperature", 0.0))
+        sp = SamplingParams(
+            do_sample=gen_kwargs.get("do_sample", temp > 0),
+            temperature=temp if temp > 0 else 1.0,
+            top_p=float(gen_kwargs.get("top_p", 1.0)),
+            top_k=int(gen_kwargs.get("top_k", 0)),
+            max_new_tokens=int(gen_kwargs.get("max_new_tokens", 1024)),
+            eos_token_ids=(self.cfg.eos_token_id,),
+            pad_token_id=self.cfg.pad_token_id)
+        self.seed += 1
+        res = generate(self.params, self.cfg, packed.input_ids, packed.lengths,
+                       sp, position_ids=pos, rope_deltas=deltas[:, 0],
+                       vision_embeds=embeds,
+                       vision_token_id=self.cfg.video_token_id,
+                       seed=self.seed, attn_impl=self.attn_impl)
+        out = {}
+        for row, idx in enumerate(indices):
+            ids = res.sequences[row][: res.lengths[row]]
+            out[idx] = self.tok.decode(ids, skip_special_tokens=True)
+        return out

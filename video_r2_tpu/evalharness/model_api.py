@@ -1,0 +1,102 @@
+"""Model adapters for the eval harness.
+
+- `LMM` ABC (parity: eval/lmms-eval/lmms_eval/api/model.py `lmms`).
+- `EngineModel`: our TPU generation engine as the eval backend (replaces
+  models/qwen2_5_vl.py) — incl. the eval-side uniform frame subsample with
+  forced last frame (qwen2_5_vl.py:286-293) and the system prompt injection.
+- `FromLogModel`: replays previously logged responses (models/from_log.py
+  parity) — the fake backend that lets task/metric/TAC/VAS code run with no
+  model or accelerator.
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .api import Instance, doc_hash
+
+
+class LMM(abc.ABC):
+    @abc.abstractmethod
+    def generate_until(self, instances: list[Instance]) -> list[str]:
+        ...
+
+
+def uniform_subsample_indices(n_frames: int, max_num_frames: int) -> list[int]:
+    """Uniform subsample forcing the last frame (qwen2_5_vl.py:286-293)."""
+    if n_frames <= max_num_frames:
+        return list(range(n_frames))
+    idx = np.linspace(0, n_frames - 1, max_num_frames).astype(int).tolist()
+    if idx[-1] != n_frames - 1:
+        idx[-1] = n_frames - 1
+    return idx
+
+
+class EngineModel(LMM):
+    """Eval backend on the in-repo engine (single controller, batched)."""
+
+    def __init__(self, params, cfg, tokenizer, max_num_frames: int = 128,
+                 max_pixels: int = 151200, min_pixels: int = 100352,
+                 fps: float | None = None, batch_size: int = 8,
+                 system_prompt: str = "You are a helpful assistant.",
+                 attn_impl: str = "xla", seed: int = 0):
+        from .engine_backend import EngineBackend
+
+        self.backend = EngineBackend(
+            params, cfg, tokenizer, max_num_frames=max_num_frames,
+            max_pixels=max_pixels, min_pixels=min_pixels, fps=fps,
+            batch_size=batch_size, system_prompt=system_prompt,
+            attn_impl=attn_impl, seed=seed)
+
+    def generate_until(self, instances: list[Instance]) -> list[str]:
+        return self.backend.generate_until(instances)
+
+
+class FromLogModel(LMM):
+    """Re-serves previously logged responses keyed by doc hash (falling back
+    to doc_id order)."""
+
+    def __init__(self, log_path: str | Path):
+        self.by_hash: dict[str, str] = {}
+        self.by_id: dict[int, str] = {}
+        for line in open(log_path):
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            resp = row.get("resps")
+            if isinstance(resp, list):
+                while isinstance(resp, list):
+                    resp = resp[0] if resp else ""
+            if "doc" in row:
+                self.by_hash[doc_hash(row["doc"])] = resp
+            if "doc_id" in row:
+                self.by_id[int(row["doc_id"])] = resp
+
+    def generate_until(self, instances: list[Instance]) -> list[str]:
+        out = []
+        for inst in instances:
+            h = doc_hash(inst.doc)
+            if h in self.by_hash:
+                out.append(self.by_hash[h])
+            elif inst.doc_id in self.by_id:
+                out.append(self.by_id[inst.doc_id])
+            else:
+                raise KeyError(f"no logged response for doc_id={inst.doc_id}")
+        return out
+
+
+class StaticModel(LMM):
+    """Fixed responses for tests."""
+
+    def __init__(self, responses: list[str] | str):
+        self.responses = responses
+
+    def generate_until(self, instances: list[Instance]) -> list[str]:
+        if isinstance(self.responses, str):
+            return [self.responses] * len(instances)
+        return [self.responses[i % len(self.responses)]
+                for i in range(len(instances))]

@@ -1,0 +1,102 @@
+"""Harness orchestrator: build instances -> generate -> filter ->
+process_results -> aggregate (+bootstrap stderr) -> persist.
+
+Parity surface: eval/lmms-eval/lmms_eval/evaluator.py:315-684 (single
+controller — rank sharding/padding/barriers are unnecessary on the JAX
+single-controller model) and loggers/evaluation_tracker.py (per-sample JSONL
+contract: doc_id, doc, input, resps, filtered_resps, target, metric fields,
+doc_hash — what TAC/VAS consume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any
+
+from .api import Instance, Task, bootstrap_stderr, doc_hash
+from .model_api import LMM
+
+
+def evaluate(
+    model: LMM,
+    tasks: list[Task],
+    limit: int | None = None,
+    output_dir: str | Path | None = None,
+    log_samples: bool = True,
+) -> dict[str, Any]:
+    """Returns {"results": {task: {metric: value, metric_stderr: ...}},
+    "samples": {task: [rows]}}."""
+    results: dict[str, Any] = {"results": {}, "samples": {}, "configs": {}}
+    for task in tasks:
+        cfg = task.config
+        instances = task.build_instances(limit=limit)
+        t0 = time.time()
+        resps = model.generate_until(instances)
+        elapsed = time.time() - t0
+
+        rows = []
+        metric_values: dict[str, list] = {m.name: [] for m in cfg.metrics}
+        for inst, resp in zip(instances, resps):
+            filtered = cfg.filter_fn(resp) if cfg.filter_fn else resp
+            scores = cfg.process_results(inst.doc, [filtered])
+            for name, val in scores.items():
+                if name in metric_values:
+                    metric_values[name].append(val)
+            rows.append({
+                "doc_id": inst.doc_id,
+                "doc": _jsonable(inst.doc),
+                "input": inst.text,
+                "resps": [[resp]],
+                "filtered_resps": [filtered],
+                "target": str(cfg.doc_to_target(inst.doc)),
+                "doc_hash": doc_hash(_jsonable(inst.doc)),
+                **{k: _jsonable(v) for k, v in scores.items()},
+            })
+
+        agg = {}
+        for m in cfg.metrics:
+            vals = metric_values[m.name]
+            numeric = [v for v in vals if isinstance(v, (int, float, bool))]
+            if numeric and len(numeric) == len(vals):
+                agg[m.name] = m.aggregation(vals)
+                agg[f"{m.name}_stderr"] = bootstrap_stderr(
+                    [float(v) for v in vals])
+            else:
+                agg[m.name] = m.aggregation(vals)
+        agg["samples"] = len(rows)
+        agg["time_s"] = round(elapsed, 2)
+        results["results"][cfg.task] = agg
+        results["samples"][cfg.task] = rows
+        results["configs"][cfg.task] = {
+            "task": cfg.task, "post_prompt": cfg.post_prompt,
+            "generation_kwargs": cfg.generation_kwargs,
+        }
+
+        if output_dir is not None and log_samples:
+            outdir = Path(output_dir)
+            outdir.mkdir(parents=True, exist_ok=True)
+            with open(outdir / f"samples_{cfg.task}.jsonl", "w") as f:
+                for row in rows:
+                    f.write(json.dumps(row, default=str) + "\n")
+
+    if output_dir is not None:
+        with open(Path(output_dir) / "results.json", "w") as f:
+            json.dump({"results": results["results"],
+                       "configs": results["configs"]}, f, indent=2,
+                      default=str)
+    return results
+
+
+def _jsonable(x):
+    try:
+        json.dumps(x)
+        return x
+    except (TypeError, ValueError):
+        if isinstance(x, dict):
+            return {k: _jsonable(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [_jsonable(v) for v in x]
+        return str(x)

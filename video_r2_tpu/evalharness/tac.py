@@ -1,0 +1,198 @@
+"""TAC (Think-Answer Consistency) evaluation.
+
+Parity: eval/scripts/tac/ — three lenses per sample (mvbench.py:1-28):
+  (1) harness accuracy replay (accuracy field in the samples JSONL),
+  (2) judge-parsed <answer> accuracy,
+  (3) judge-extracted <think>-conclusion accuracy ("LAST explicit conclusion
+      wins"),
+plus the answer<->thinking correlation/confusion summary (mvbench.py:339-362)
+and the consistency metric mixer (post_processing/summarize_tac.py:22-46).
+Judge is injected (deterministic decoding is the caller's judge config).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+from ..rewards.judge import JudgeClient
+from ..rewards.parsing import extract_answer, extract_reasoning
+
+ANSWER_PARSE_SYSTEM = (
+    "You are a deterministic parsing agen.\n"
+    "Task: Read ONLY the provided text and emit a SINGLE-LINE answer in the "
+    "exact format requested.\n"
+    "Hard rules (apply all):\n"
+    "1) Do not infer or reason beyond the text. If the text lacks a valid "
+    "answer, output exactly: UNKNOWN\n"
+    "2) Output must contain no explanations, no extra words, no labels, no "
+    "code fences, no quotes, no brackets.\n"
+    "3) Strip leading/trailing whitespace. No trailing punctuation unless "
+    "required by the format.\n"
+    "4) Normalize internal whitespace to single spaces.\n"
+    "5) Treat case-insensitive tokens like 'option c', '(c)', '[c]', 'C)' as "
+    "the letter C when MCQ is requested.\n"
+)
+
+THINK_EXTRACT_SYSTEM = (
+    "You are a strict extractor.\n"
+    "Your ONLY job is to read the Reasoning text appended at the end of the "
+    "user message and output a SINGLE LETTER corresponding to the option that "
+    "the Reasoning explicitly concludes as the final answer.\n"
+    "Rules: look ONLY at the Reasoning; if multiple explicit finals appear, "
+    "output the LAST one; match option text EXACTLY to the provided options "
+    "when the conclusion is textual; do NOT judge correctness yourself; if "
+    "the Reasoning contradicts itself, prefer the LAST explicit conclusion; "
+    "if no conclusion exists, output exactly: UNKNOWN."
+)
+
+
+def answer_parse_user(options: Optional[list[str]], content: str,
+                      is_mcq: bool = True) -> str:
+    if is_mcq:
+        opts = ""
+        if options:
+            opts = ("Options:\n" + "\n".join(
+                f"{chr(ord('A') + i)}. {o}" for i, o in enumerate(options))
+                + "\n\n")
+        return (opts + "Text to parse (final answer snippet):\n"
+                + (content.strip() if content else "") + "\n\n"
+                + "MCQ output format:\n"
+                + "- Return ONLY one capital letter A-Z on a single line.\n"
+                + "- Do NOT include any other characters or spaces.\n")
+    return ("Text to parse (final answer snippet):\n"
+            + (content.strip() if content else "") + "\n\n"
+            + "Open-form output format:\n"
+            + "- If the correct answer is numeric, return ONLY the number. "
+            + "- If it's text, return ONLY the minimal text answer."
+            + "- Output must be a single line with no extra characters.\n")
+
+
+def think_extract_user(options: Optional[list[str]], thinking: str) -> str:
+    opts = ""
+    if options:
+        opts = ("Options:\n" + "\n".join(
+            f"{chr(ord('A') + i)}. {o}" for i, o in enumerate(options)) + "\n\n")
+    return (opts + "Reasoning:\n" + (thinking.strip() if thinking else "")
+            + "\n\nOutput ONLY the single concluding letter (or UNKNOWN).")
+
+
+def extract_letter(text: str) -> str:
+    """First standalone A-Z letter in the judge's one-line output."""
+    if not text:
+        return ""
+    t = text.strip().splitlines()[0].strip()
+    if t.upper() == "UNKNOWN":
+        return ""
+    m = re.search(r"\b([A-Z])\b", t.upper())
+    return m.group(1) if m else ""
+
+
+@dataclass
+class TACSampleResult:
+    doc_id: int
+    lmms_correct: bool
+    answer_correct: bool
+    thinking_correct: bool
+    answer_letter: str
+    thinking_letter: str
+    gt_letter: str
+
+
+def evaluate_tac_samples(
+    rows: list[dict],
+    judge: JudgeClient,
+    get_options,          # row -> list[str] | None
+    get_gt_letter,        # row -> str
+    is_mcq: bool = True,
+) -> tuple[list[TACSampleResult], dict]:
+    """rows: harness per-sample JSONL dicts (resps/filtered_resps contract)."""
+    results = []
+    for row in rows:
+        resp = row.get("filtered_resps", [""])
+        while isinstance(resp, list):
+            resp = resp[0] if resp else ""
+        answer_txt = extract_answer(resp)
+        think_txt = extract_reasoning(resp)
+        a_out = judge.chat(ANSWER_PARSE_SYSTEM,
+                           answer_parse_user(get_options(row), answer_txt, is_mcq))
+        t_out = judge.chat(THINK_EXTRACT_SYSTEM,
+                           think_extract_user(get_options(row), think_txt))
+        a_letter, t_letter = extract_letter(a_out), extract_letter(t_out)
+        gt = get_gt_letter(row)
+        results.append(TACSampleResult(
+            doc_id=row.get("doc_id", -1),
+            lmms_correct=bool(row.get("accuracy", 0)),
+            answer_correct=a_letter == gt,
+            thinking_correct=t_letter == gt,
+            answer_letter=a_letter, thinking_letter=t_letter, gt_letter=gt))
+    return results, summarize_tac(results)
+
+
+def summarize_tac(results: list[TACSampleResult]) -> dict:
+    n = max(len(results), 1)
+    acc_l = sum(r.lmms_correct for r in results) / n
+    acc_a = sum(r.answer_correct for r in results) / n
+    acc_t = sum(r.thinking_correct for r in results) / n
+    both = sum(r.answer_correct and r.thinking_correct for r in results) / n
+    neither = sum((not r.answer_correct) and (not r.thinking_correct)
+                  for r in results) / n
+    a_only = sum(r.answer_correct and not r.thinking_correct for r in results) / n
+    t_only = sum(r.thinking_correct and not r.answer_correct for r in results) / n
+    corr = sum(r.answer_correct == r.thinking_correct for r in results) / n
+    return {
+        "num_samples": len(results),
+        "lmms_accuracy": acc_l,
+        "answer_accuracy": acc_a,
+        "thinking_accuracy": acc_t,
+        "both_correct": both,
+        "neither_correct": neither,
+        "answer_only_correct": a_only,
+        "thinking_only_correct": t_only,
+        "answer_to_thinking_correlation": corr,
+    }
+
+
+def consistency_metrics(summary: dict, alpha: float = 0.7,
+                        gamma: float = 2.0) -> dict:
+    """post_processing/summarize_tac.py:22-46 parity: consistency score,
+    signed disagreement, nonlinear mixer, consistency accuracy."""
+    A = summary["answer_accuracy"]
+    T = summary["thinking_accuracy"]
+    corr = summary["answer_to_thinking_correlation"]
+    both = summary["both_correct"]
+    t_only = summary["thinking_only_correct"]
+    sign = 1.0 if T >= A else -1.0
+    denom = min(A, T) if min(A, T) > 0 else 1.0
+    mixer = sign * (alpha * (1 - corr ** gamma) + (1 - alpha) * (1 - corr))
+    tp, fn = both, t_only
+    return {
+        "consistency_score": (T - A) / denom,
+        "signed_disagreement": sign * (1 - corr),
+        "nonlinear_consistency": mixer,
+        "consistency_accuracy": tp / (tp + fn) if (tp + fn) > 0 else 0.0,
+    }
+
+
+def run_tac_on_file(samples_path: str | Path, judge: JudgeClient,
+                    get_options, get_gt_letter, out_dir: str | Path,
+                    is_mcq: bool = True) -> dict:
+    """Skip-if-done file-level entry (tac/_run_all_benchmarks.py parity)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    summary_path = out_dir / "summary.json"
+    if summary_path.exists():
+        return json.load(open(summary_path))
+    rows = [json.loads(l) for l in open(samples_path) if l.strip()]
+    results, summary = evaluate_tac_samples(rows, judge, get_options,
+                                            get_gt_letter, is_mcq)
+    summary.update(consistency_metrics(summary))
+    with open(out_dir / "per_sample.jsonl", "w") as f:
+        for r in results:
+            f.write(json.dumps(r.__dict__) + "\n")
+    with open(summary_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

@@ -1,0 +1,156 @@
+"""VAS (Video Attention Score): LLM-judged 0-10 scoring of *claimed* visual
+grounding inside <think>.
+
+Parity: eval/scripts/vas/evaluate_vas.py — rubric system prompt + user
+template, unified row parsing (filtered_resps/resps drill-down :85-114), JSON
+parse with one retry then score 0 (:314-326), per-benchmark + overall summary
+with score distribution (:349-376). Reference judge sampling: temp 0.7,
+top_p 0.8, top_k 20, max 256 — the injected judge carries its own config.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Optional
+
+from ..rewards.judge import JudgeClient
+
+SYSTEM_PROMPT = (
+    "You are an expert judge of **claimed visual grounding** in video QA "
+    "chain-of-thought. You will receive an Input (question/options/prompt) "
+    "and a model Response that includes <think>...</think> and "
+    "<answer>...</answer> tags.\n\n"
+    "Your task: Evaluate how much the reasoning inside <think> and </think> "
+    "only *claims* to rely on concrete visual evidence from the video versus "
+    "using text patterns, prior knowledge, or guessing. You do not have the "
+    "video; score what the reasoning asserts, not whether those assertions "
+    "are true or the final answer is correct.\n\n"
+    "Positive cues: concrete references to visible entities/attributes "
+    "(colors, positions, counts, on-screen text), spatio-temporal "
+    "descriptions tied to the video, actions clearly described as seen, "
+    "visual logic chained to the question. Negative cues: generic mentions "
+    "of 'the video' with no specific content, option pattern matching, "
+    "restating the question, timestamp name-dropping without content.\n\n"
+    "Edge cases: multiple <think> blocks -> judge the first; missing/empty "
+    "<think> -> score 0; ignore <answer>.\n\n"
+    "Scoring (0-10 integer): 10 dense specific step-by-step visual "
+    "reasoning; 7-9 clearly video-based with several specific claims; 4-6 "
+    "claims specific video facts but lacks spatial/temporal detail; 1-3 "
+    "minimal visual content; 0 none.\n\n"
+    'Output: Return JSON only with keys "score" (0-10 integer) and '
+    '"rationale" (2-3 concise sentences; do not mention lack of video).'
+)
+
+USER_TEMPLATE = (
+    "Evaluate ATTENTION-TO-VIDEO in the model's reasoning. Score only the "
+    "text inside <think>...</think>, not the final <answer> and not answer "
+    "correctness.\n\nYou do not have access to the video. Judge whether the "
+    "reasoning *claims* to use concrete visual evidence versus generic "
+    "patterns, options, or prior knowledge.\n\n"
+    "Use this rubric (0-10):\n"
+    "- 10: Dense, specific visual descriptions directly supporting the question.\n"
+    "- 7-9: Clearly video-based reasoning with multiple specific claims.\n"
+    "- 4-6: Claims to recall specific video facts but lacks visual detail.\n"
+    "- 1-3: Minimal visual content; generic or option-based logic.\n"
+    "- 0: No visual grounding; guessing or missing <think> block.\n\n"
+    "Edge handling: If <think> is missing/empty -> score 0.\n\n"
+    "Input:\n{input_text}\n\nResponse:\n{response_text}\n\n"
+    'Reply ONLY with JSON like: {{"score": <0-10 int>, "rationale": "..."}}'
+)
+
+
+def extract_response_text(row: dict) -> str:
+    """filtered_resps/resps drill-down (evaluate_vas.py:85-114 parity)."""
+    for key in ("filtered_resps", "resps"):
+        if key in row:
+            val = row[key]
+            if isinstance(val, str):
+                return val
+            while isinstance(val, list):
+                val = val[0] if val else ""
+            if isinstance(val, str) and val:
+                return val
+    for key in ("response", "prediction", "raw_output", "pred_answer"):
+        v = row.get(key)
+        if isinstance(v, str) and v.strip():
+            return v
+    return ""
+
+
+def parse_llm_json(text: str) -> tuple[Optional[int], str]:
+    if not isinstance(text, str):
+        return None, ""
+    try:
+        data = json.loads(text)
+    except Exception:
+        s, e = text.find("{"), text.rfind("}")
+        if s == -1 or e <= s:
+            return None, ""
+        try:
+            data = json.loads(text[s: e + 1])
+        except Exception:
+            return None, ""
+    score = data.get("score")
+    try:
+        score = int(score)
+    except Exception:
+        return None, str(data.get("rationale", ""))
+    return max(0, min(10, score)), str(data.get("rationale", ""))
+
+
+@dataclass
+class VASSample:
+    doc_id: Any
+    score: int
+    rationale: str
+
+
+def evaluate_vas_rows(rows: list[dict], judge: JudgeClient) -> tuple[list[VASSample], dict]:
+    samples = []
+    for row in rows:
+        input_text = row.get("input", "")
+        resp = extract_response_text(row)
+        user = USER_TEMPLATE.format(input_text=input_text or "",
+                                    response_text=resp or "")
+        score, rationale = parse_llm_json(judge.chat(SYSTEM_PROMPT, user))
+        if score is None:  # one retry then 0 (reference parity)
+            score, rationale = parse_llm_json(judge.chat(SYSTEM_PROMPT, user))
+        if score is None:
+            score, rationale = 0, "unparseable judge output"
+        samples.append(VASSample(row.get("doc_id"), score, rationale))
+    return samples, summarize_vas(samples)
+
+
+def summarize_vas(samples: list[VASSample]) -> dict:
+    n = max(len(samples), 1)
+    dist = {str(i): 0 for i in range(11)}
+    for s in samples:
+        dist[str(s.score)] += 1
+    return {
+        "num_samples": len(samples),
+        "attention_to_video_score": sum(s.score for s in samples) / n,
+        "score_distribution": dist,
+    }
+
+
+def run_vas_on_file(samples_path: str | Path, judge: JudgeClient,
+                    out_dir: str | Path, bench: str = "bench") -> dict:
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    per_sample = out_dir / f"per_sample_{bench}.jsonl"
+    if per_sample.exists():  # skip-if-done (evaluate_vas.py:268-273)
+        rows = [json.loads(l) for l in open(per_sample)]
+        return summarize_vas([VASSample(r["doc_id"], r["score"],
+                                        r.get("rationale", "")) for r in rows])
+    rows = [json.loads(l) for l in open(samples_path) if l.strip()]
+    samples, summary = evaluate_vas_rows(rows, judge)
+    with open(per_sample, "w") as f:
+        for s in samples:
+            f.write(json.dumps({"doc_id": s.doc_id, "score": s.score,
+                                "rationale": s.rationale,
+                                "__attention_to_video_score": s.score}) + "\n")
+    with open(out_dir / f"summary_{bench}.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

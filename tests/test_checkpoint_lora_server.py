@@ -1,0 +1,191 @@
+"""Checkpoint round-trip + rotation + resume; HF export/import round-trip;
+LoRA init/apply/merge/train; OpenAI server end-to-end over real HTTP."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_r2_tpu.models import (
+    convert_hf_state_dict,
+    init_params,
+    tiny_test_config,
+)
+from video_r2_tpu.train import (
+    OptimConfig,
+    SFTConfig,
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_sft_step,
+)
+from video_r2_tpu.train.checkpoint import (
+    export_hf_checkpoint,
+    latest_checkpoint,
+    load_checkpoint,
+    params_to_hf_state_dict,
+    resume_or_none,
+    save_checkpoint,
+)
+from video_r2_tpu.train.lora import (
+    LoRAConfig,
+    LoRATrainState,
+    apply_lora,
+    init_lora,
+    lora_param_count,
+    make_lora_sft_step,
+    merge_lora,
+)
+from video_r2_tpu.ops.fused_ce import IGNORE_INDEX
+
+
+@pytest.fixture(scope="module")
+def cfg_params():
+    cfg = tiny_test_config()
+    return cfg, init_params(cfg, dtype="float32")
+
+
+def _batch(rng, B=2, S=12):
+    ids = rng.integers(2, 400, size=(B, S))
+    labels = ids.copy()
+    labels[:, :4] = IGNORE_INDEX
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(S)[None, None], (3, B, S)).copy()),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+    }
+
+
+def test_checkpoint_roundtrip_and_rotation(cfg_params, tmp_path, rng):
+    cfg, params = cfg_params
+    opt = make_optimizer(OptimConfig(total_steps=10), params)
+    state = init_train_state(params, opt)
+    step = make_sft_step(cfg, SFTConfig(ce_chunk_size=32), opt, donate=False)
+    state, _ = step(state, _batch(rng))
+
+    for s in (1, 2, 3):
+        save_checkpoint(tmp_path, state, s, keep=2)
+    assert latest_checkpoint(tmp_path).name == "checkpoint-3"
+    assert not (tmp_path / "checkpoint-1").exists()  # rotated away
+
+    restored, step_no = resume_or_none(tmp_path, jax.tree.map(np.zeros_like, state))
+    assert step_no == 3
+    np.testing.assert_allclose(
+        np.asarray(restored.params["model"]["norm"]["scale"]),
+        np.asarray(state.params["model"]["norm"]["scale"]))
+    assert resume_or_none(tmp_path / "empty", state) is None
+
+
+def test_hf_export_roundtrip(cfg_params, tmp_path):
+    cfg, params = cfg_params
+    sd = params_to_hf_state_dict(params, cfg)
+    back = convert_hf_state_dict(sd, cfg, dtype="float32")
+    for path in [("model", "layers", "attn", "q", "kernel"),
+                 ("visual", "patch_embed", "kernel"),
+                 ("visual", "merger", "fc1", "kernel"),
+                 ("lm_head", "kernel")]:
+        a, b = params, back
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    out = export_hf_checkpoint(params, cfg, tmp_path / "hf")
+    assert (out / "model.safetensors").exists()
+    # loadable into an HF model
+    import torch
+    from safetensors.torch import load_file
+    from tests.hf_ref import build_hf_tiny
+
+    hf_model, _ = build_hf_tiny()
+    sd_t = load_file(str(out / "model.safetensors"))
+    # we export the standard on-disk checkpoint naming (visual.*, model.*);
+    # transformers>=4.52 renames to model.visual/model.language_model in-memory
+    remapped = {}
+    for k, v in sd_t.items():
+        if k.startswith("visual."):
+            remapped["model." + k] = v
+        elif k.startswith("model."):
+            remapped["model.language_model." + k[len("model."):]] = v
+        else:
+            remapped[k] = v
+    missing, unexpected = hf_model.load_state_dict(remapped, strict=False)
+    assert not unexpected, unexpected
+    # only rotary inv_freq style buffers may be missing
+    assert all("inv_freq" in m or "rope" in m for m in missing), missing
+
+
+def test_lora_init_apply_train(cfg_params, rng):
+    cfg, params = cfg_params
+    lcfg = LoRAConfig(r=4, alpha=8)
+    lora = init_lora(params, lcfg)
+    assert lora_param_count(lora) > 0
+    # B zeros -> apply is identity initially
+    eff = merge_lora(params, lora, lcfg)
+    np.testing.assert_allclose(
+        np.asarray(eff["model"]["layers"]["attn"]["q"]["kernel"]),
+        np.asarray(params["model"]["layers"]["attn"]["q"]["kernel"]))
+    # vision excluded by default; norms never adapted
+    assert "visual" not in lora or not lora["visual"]
+    assert "input_layernorm" not in lora["model"]["layers"]
+
+    opt = make_optimizer(OptimConfig(learning_rate=5e-3, total_steps=10), lora)
+    step = make_lora_sft_step(params, cfg, SFTConfig(ce_chunk_size=32),
+                              lcfg, opt, donate=False)
+    state = LoRATrainState(lora, opt.init(lora), jnp.zeros((), jnp.int32))
+    batch = _batch(rng)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # after training, adapters change the effective weights
+    eff2 = merge_lora(params, state.lora, lcfg)
+    assert not np.allclose(
+        np.asarray(eff2["model"]["layers"]["attn"]["q"]["kernel"]),
+        np.asarray(params["model"]["layers"]["attn"]["q"]["kernel"]))
+
+
+def test_openai_server_end_to_end(cfg_params):
+    import urllib.request
+
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine, serve
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    engine = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=4)
+    server = serve(engine, host="127.0.0.1", port=0, background=True)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/models") as r:
+            models = json.loads(r.read())
+        assert models["data"][0]["id"] == "video-r2-tpu"
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({
+                "model": "video-r2-tpu",
+                "messages": [{"role": "system", "content": "s"},
+                             {"role": "user", "content": "hello"}],
+                "temperature": 0.0, "max_tokens": 4,
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["object"] == "chat.completion"
+        assert out["choices"][0]["finish_reason"] == "stop"
+        assert isinstance(out["choices"][0]["message"]["content"], str)
+
+        # judge client interop
+        from video_r2_tpu.rewards.judge import OpenAICompatClient
+
+        client = OpenAICompatClient(base_url=f"http://127.0.0.1:{port}/v1",
+                                    model="video-r2-tpu")
+        resp = client.chat("sys", "user msg")
+        assert isinstance(resp, str)
+    finally:
+        server.shutdown()

@@ -1,0 +1,122 @@
+"""OpenAI-compatible chat server on the TPU engine.
+
+TPU-native replacement for the vLLM judge deployment
+(train/serve_llm/serve_qwen3.sh: `vllm serve ... --tensor-parallel-size 4`):
+the same engine that trains/evals serves /v1/chat/completions and /v1/models,
+so TAR/TAC/VAS judge traffic can stay on-cluster. Stdlib HTTP with a worker
+lock around the engine (requests within one batch window are batched).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..models.mrope import get_rope_index
+from .chat import pack_prompts, render_messages
+from .generate import generate
+from .sampling import SamplingParams
+
+
+class ChatEngine:
+    """Thread-safe text-only chat generation on the engine (judge role)."""
+
+    def __init__(self, params, cfg, tokenizer, model_name: str = "video-r2-tpu",
+                 max_new_tokens: int = 1024, attn_impl: str = "xla"):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.model_name = model_name
+        self.max_new_tokens = max_new_tokens
+        self.attn_impl = attn_impl
+        self._lock = threading.Lock()
+        self._seed = 0
+
+    def chat(self, messages: list[dict], temperature: float = 0.0,
+             top_p: float = 1.0, top_k: int = 0,
+             max_tokens: int | None = None) -> str:
+        text = render_messages(messages, add_generation_prompt=True,
+                               default_system=None)
+        ids = self.tok.encode(text)
+        packed = pack_prompts([ids], pad_id=self.cfg.pad_token_id)
+        sp = SamplingParams(
+            do_sample=temperature > 0, temperature=max(temperature, 1e-6),
+            top_p=top_p, top_k=top_k,
+            max_new_tokens=max_tokens or self.max_new_tokens,
+            eos_token_ids=(self.cfg.eos_token_id,),
+            pad_token_id=self.cfg.pad_token_id)
+        with self._lock:
+            self._seed += 1
+            res = generate(self.params, self.cfg, packed.input_ids,
+                           packed.lengths, sp, seed=self._seed,
+                           attn_impl=self.attn_impl)
+        out_ids = res.sequences[0][: res.lengths[0]]
+        return self.tok.decode(out_ids, skip_special_tokens=True)
+
+
+def make_handler(engine: ChatEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/models":
+                self._send(200, {"object": "list", "data": [
+                    {"id": engine.model_name, "object": "model"}]})
+            elif self.path in ("/health", "/"):
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/chat/completions":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                content = engine.chat(
+                    req["messages"],
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    top_k=int(req.get("top_k", 0)),
+                    max_tokens=req.get("max_tokens"))
+                self._send(200, {
+                    "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
+                    "object": "chat.completion",
+                    "created": int(time.time()),
+                    "model": req.get("model", engine.model_name),
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant", "content": content},
+                        "finish_reason": "stop",
+                    }],
+                })
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+def serve(engine: ChatEngine, host: str = "0.0.0.0", port: int = 8000,
+          background: bool = False) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    if background:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server
+    server.serve_forever()
+    return server

@@ -1,0 +1,133 @@
+"""LoRA adapters on the stacked param tree.
+
+Parity surface: the reference trains LoRA r=64 alpha=64 on all linear modules
+except lm_head/embeddings (train_sft.sh:30-36, train_sft.py:145-175 via peft),
+with the adapter-disable trick providing the GRPO reference policy
+(grpo_trainer.py:340-343). Here adapters are a separate pytree; the effective
+weight W + (alpha/r) * A @ B is formed inside jit (XLA fuses it into the
+consumer matmul), gradients flow only to adapter leaves, and `merge_lora`
+produces plain params for export/serving (merge_lora_weights.py equivalent).
+Disabling the adapter == using the base params — the ref-policy trick for
+free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+# kernels eligible for adaptation: path suffixes (stacked or not)
+DEFAULT_TARGETS = (
+    ("attn", "q", "kernel"), ("attn", "k", "kernel"), ("attn", "v", "kernel"),
+    ("attn", "o", "kernel"),
+    ("mlp", "gate", "kernel"), ("mlp", "up", "kernel"), ("mlp", "down", "kernel"),
+    ("attn", "qkv", "kernel"), ("attn", "proj", "kernel"),
+)
+
+
+@dataclass(frozen=True)
+class LoRAConfig:
+    r: int = 64
+    alpha: int = 64
+    targets: tuple = DEFAULT_TARGETS
+    include_vision: bool = False   # freeze_vision default in train_sft.sh
+    include_merger: bool = False
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.r
+
+
+def _path_tuple(keypath):
+    return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+
+
+def _is_target(path: tuple[str, ...], cfg: LoRAConfig) -> bool:
+    if path[0] == "visual":
+        if "merger" in path and not cfg.include_merger:
+            return False
+        if "merger" not in path and not cfg.include_vision:
+            return False
+    return any(path[-len(t):] == t for t in cfg.targets)
+
+
+def init_lora(params: dict, cfg: LoRAConfig, seed: int = 0,
+              dtype=jnp.float32) -> dict:
+    """A ~ kaiming-ish normal, B = 0 (peft default) for each targeted kernel.
+    Stacked kernels [L, in, out] get stacked adapters [L, in, r] / [L, r, out]."""
+    rng = np.random.default_rng(seed)
+
+    def f(keypath, leaf):
+        path = _path_tuple(keypath)
+        if not _is_target(path, cfg):
+            return None
+        *lead, d_in, d_out = leaf.shape
+        a = rng.normal(0, 1.0 / cfg.r, (*lead, d_in, cfg.r)).astype(np.float32)
+        b = np.zeros((*lead, cfg.r, d_out), np.float32)
+        return {"a": jnp.asarray(a, dtype), "b": jnp.asarray(b, dtype)}
+
+    tree = jax.tree_util.tree_map_with_path(f, params)
+    return _prune_none(tree)
+
+
+def _prune_none(tree):
+    if isinstance(tree, dict):
+        out = {k: _prune_none(v) for k, v in tree.items()}
+        return {k: v for k, v in out.items() if v is not None} or None
+    return tree
+
+
+def apply_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
+    """Effective params: W + scaling * A @ B for adapted leaves (inside jit;
+    the lora tree mirrors params with {a, b} dicts at the module level)."""
+
+    def walk(p, l):
+        if l is None:
+            return p
+        if isinstance(l, dict) and "a" in l and not isinstance(l["a"], dict):
+            # p is the kernel array itself (lora mirrors down to the leaf)
+            delta = jnp.einsum("...ir,...ro->...io", l["a"], l["b"]) * cfg.scaling
+            return p + delta.astype(p.dtype)
+        return {k: walk(v, l.get(k) if isinstance(l, dict) else None)
+                for k, v in p.items()} if isinstance(p, dict) else p
+
+    return walk(params, lora)
+
+
+def merge_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
+    """Concrete merged params for export/serving."""
+    return jax.tree_util.tree_map(lambda x: x, apply_lora(params, lora, cfg))
+
+
+class LoRATrainState(NamedTuple):
+    lora: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_lora_sft_step(base_params, model_cfg, sft_cfg, lora_cfg: LoRAConfig,
+                       optimizer, video_layout=None, donate: bool = True):
+    """SFT step where ONLY adapter weights train (base params closed over)."""
+    from .sft import sft_loss
+
+    def loss_fn(lora, batch):
+        eff = apply_lora(base_params, lora, lora_cfg)
+        return sft_loss(eff, model_cfg, batch, sft_cfg, video_layout)
+
+    def step_fn(state: LoRATrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.lora, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        return LoRATrainState(lora, opt_state, state.step + 1), {
+            "loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def lora_param_count(lora: dict) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(lora))

@@ -1,0 +1,103 @@
+"""Config system + app entry smoke tests (tiny model, frames-backed data)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from video_r2_tpu.config import AppConfig, parse_config
+
+
+def test_parse_overrides():
+    app = parse_config([
+        "--run.model_preset", "tiny-test",
+        "--optim.learning_rate=3e-4",
+        "--grpo.num_generations", "4",
+        "--grpo.reward_weights", "1,0.5,2",
+        "--data.write_timestamps", "true",
+        "--run.fsdp", "4",
+    ])
+    assert app.run.model_preset == "tiny-test"
+    assert app.optim.learning_rate == 3e-4
+    assert app.grpo.num_generations == 4
+    assert app.grpo.reward_weights == (1.0, 0.5, 2.0)
+    assert app.data.write_timestamps is True
+    assert app.run.fsdp == 4
+    # defaults preserved
+    assert app.grpo.beta == 0.04
+
+
+def test_parse_config_file(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"run": {"max_steps": 7},
+                             "optim": {"vision_lr": 5e-6}}))
+    app = parse_config(["--config", str(p), "--run.seed", "3"])
+    assert app.run.max_steps == 7
+    assert app.optim.vision_lr == 5e-6
+    assert app.run.seed == 3
+
+
+def test_unknown_field_raises():
+    with pytest.raises(ValueError, match="unknown field"):
+        parse_config(["--run.bogus", "1"])
+    with pytest.raises(ValueError, match="section.field"):
+        parse_config(["--bogus", "1"])
+
+
+def test_train_sft_app_smoke(tmp_path, rng):
+    from video_r2_tpu.apps.train_sft import main
+
+    frames = rng.integers(0, 256, size=(6, 56, 56, 3), dtype=np.uint8)
+    records = [{
+        "video": [frames], "video_fps": 2.0,
+        "conversations": [
+            {"from": "human", "value": "<video>what?"},
+            {"from": "gpt", "value": "<answer>A</answer>"}],
+    }] * 2
+
+    app = parse_config([
+        "--run.model_preset", "tiny-test",
+        "--run.output_dir", str(tmp_path),
+        "--run.max_steps", "2", "--run.save_steps", "2",
+        "--run.log_steps", "1",
+        "--data.fps_max_frames", "4",
+    ])
+    # byte tokenizer requires qwen special ids; swap config accordingly
+    import dataclasses
+
+    from video_r2_tpu.config import MODEL_PRESETS
+    from video_r2_tpu.models import tiny_test_config
+
+    MODEL_PRESETS["tiny-test-qwen"] = lambda: tiny_test_config(
+        vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    app = dataclasses.replace(app, run=dataclasses.replace(
+        app.run, model_preset="tiny-test-qwen", dtype="float32"))
+
+    # monkeypatch the dataset to in-memory records
+    import video_r2_tpu.apps.train_sft as mod
+
+    orig = mod.SFTDataset
+    mod.SFTDataset = lambda path, tok, cfg, dcfg: orig(records, tok, cfg, dcfg)
+    try:
+        state = main(app=app, batch_size=2)
+    finally:
+        mod.SFTDataset = orig
+    assert int(state.step) == 2
+    assert (tmp_path / "checkpoint-2").exists()
+
+
+def test_run_eval_app_smoke(tmp_path, rng):
+    # via harness directly with engine model covered elsewhere; here we check
+    # the CLI arg split path builds tasks correctly with a docs file
+    docs = [{"video": "x.mp4", "question": "q?",
+             "candidates": ["a", "b"], "answer": "a"}]
+    docs_path = tmp_path / "docs.json"
+    docs_path.write_text(json.dumps(docs))
+    from video_r2_tpu.evalharness import get_task
+
+    task = get_task("mvbench_think", dataset_path=str(docs_path))
+    assert len(task.docs) == 1
+    assert task.config.post_prompt  # think variant

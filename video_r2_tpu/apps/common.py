@@ -1,0 +1,44 @@
+"""Shared app bootstrap: model/tokenizer/mesh construction from AppConfig."""
+
+from __future__ import annotations
+
+import logging
+
+from ..config import AppConfig, resolve_attn_impl
+from ..engine.chat import load_tokenizer
+from ..models.loader import init_params, load_hf_checkpoint
+from ..parallel.mesh import MeshConfig, make_mesh
+
+logger = logging.getLogger("video_r2_tpu")
+
+
+def setup_logging():
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+
+def build_model(app: AppConfig):
+    cfg = app.model_config()
+    if app.run.checkpoint:
+        params = load_hf_checkpoint(app.run.checkpoint, cfg)
+        logger.info("loaded weights from %s", app.run.checkpoint)
+    else:
+        params = init_params(cfg, seed=app.run.seed, method="zeros")
+        logger.warning("no checkpoint given — zero-initialized params")
+    return cfg, params
+
+
+def build_tokenizer(app: AppConfig):
+    return load_tokenizer(app.run.tokenizer or None)
+
+
+def build_mesh(app: AppConfig):
+    r = app.run
+    if r.dp * r.fsdp * r.tp <= 1:
+        return None
+    return make_mesh(MeshConfig(dp=r.dp, fsdp=r.fsdp, tp=r.tp))
+
+
+def attn_impl(app: AppConfig) -> str:
+    return resolve_attn_impl(app.run)

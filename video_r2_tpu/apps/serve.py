@@ -1,0 +1,38 @@
+"""Serving entry point (train/serve_llm/serve_qwen3.sh parity on our engine).
+
+Usage:
+  python -m video_r2_tpu.apps.serve --run.checkpoint <hf_dir> --port 8000
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..config import parse_config
+from ..engine.server import ChatEngine, serve
+from .common import attn_impl, build_model, build_tokenizer, logger, setup_logging
+
+
+def main(argv=None):
+    setup_logging()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    port = 8000
+    rest = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--port":
+            port = int(argv[i + 1])
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    app = parse_config(rest)
+    cfg, params = build_model(app)
+    tok = build_tokenizer(app)
+    engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app))
+    logger.info("serving OpenAI-compatible API on :%d", port)
+    serve(engine, port=port)
+
+
+if __name__ == "__main__":
+    main()

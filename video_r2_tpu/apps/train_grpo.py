@@ -1,0 +1,81 @@
+"""GRPO training entry point (train/src/train/train_grpo.py + train_grpo.sh parity).
+
+Usage:
+  python -m video_r2_tpu.apps.train_grpo --run.checkpoint <hf_dir> \\
+      --data.data_path grpo.json --grpo.num_generations 8 --grpo.beta 0.04 \\
+      --grpo.reward_weights 1,1,1 --run.max_steps 500
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AppConfig, parse_config
+from ..data.grpo import GRPODataset
+from ..rewards.embedding import load_embedder
+from ..rewards.judge import OpenAICompatClient
+from ..rewards.registry import load_reward_funcs
+from ..train.checkpoint import resume_or_none, save_checkpoint
+from ..train.grpo import GRPOTrainState, make_grpo_step
+from ..train.grpo_runner import GRPORunner
+from ..train.optim import make_optimizer
+from .common import attn_impl, build_mesh, build_model, build_tokenizer, logger, setup_logging
+
+DEFAULT_REWARDS = ("accuracy_reward", "format_reward",
+                   "temporal_grounding_sentence_embedding_consistency_reward")
+
+
+def main(argv=None, app: AppConfig | None = None, batch_size: int = 1,
+         reward_names=DEFAULT_REWARDS, judge=None, embedder=None):
+    setup_logging()
+    app = app or parse_config(argv)
+    cfg, params = build_model(app)
+    tok = build_tokenizer(app)
+    impl = attn_impl(app)
+
+    dataset = GRPODataset(app.data.data_path, app.data)
+    reward_names = list(reward_names)
+    reward_funcs = load_reward_funcs(reward_names)
+    judge = judge or OpenAICompatClient()
+    embedder = embedder or load_embedder()
+
+    optimizer = make_optimizer(app.optim, params)
+    step = make_grpo_step(cfg, app.grpo, optimizer, attn_impl="xla")
+    ref_params = params if app.grpo.beta != 0 else None
+    runner = GRPORunner(params, cfg, app.grpo, tok, reward_funcs,
+                        reward_names, step, ref_params=ref_params,
+                        judge=judge, embedder=embedder, attn_impl=impl,
+                        seed=app.run.seed)
+
+    state = GRPOTrainState(params, optimizer.init(params),
+                           jnp.zeros((), jnp.int32))
+    start = 0
+    if app.run.resume:
+        resumed = resume_or_none(app.run.output_dir, state)
+        if resumed is not None:
+            state, start = resumed
+            runner.params = state.params
+
+    rng = np.random.default_rng(app.run.seed)
+    for cycle in range(start, app.run.max_steps):
+        idx = rng.choice(len(dataset), size=batch_size, replace=False)
+        samples = [dataset[int(i)] for i in idx]
+        t0 = time.time()
+        state, metrics = runner.train_cycle(state, samples)
+        logger.info("cycle %d loss %.4f reward %.3f kl %.5f len %.1f (%.1fs)",
+                    cycle + 1, metrics.get("loss", float("nan")),
+                    metrics["reward_mean"], metrics.get("kl", 0.0),
+                    metrics["completion_len_mean"], time.time() - t0)
+        if (cycle + 1) % app.run.save_steps == 0:
+            save_checkpoint(app.run.output_dir, state, cycle + 1,
+                            keep=app.run.save_total_limit)
+    save_checkpoint(app.run.output_dir, state, app.run.max_steps,
+                    keep=app.run.save_total_limit)
+    return state
+
+
+if __name__ == "__main__":
+    main()

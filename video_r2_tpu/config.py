@@ -1,0 +1,151 @@
+"""Unified typed configuration tree + CLI binding.
+
+The reference splits configuration across HF dataclasses, env vars, and YAML
+tasks (SURVEY §5). Here one dataclass tree covers model/data/optim/train/
+rollout/eval/serve, every field is addressable from the CLI as
+--section.field=value, and a JSON file can seed the tree (--config path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, get_args, get_origin
+
+from .data.config import DataConfig
+from .models.config import ModelConfig, qwen25vl_3b, qwen25vl_7b, tiny_test_config
+from .train.grpo import GRPOConfig
+from .train.lora import LoRAConfig
+from .train.optim import OptimConfig
+from .train.sft import SFTConfig
+
+MODEL_PRESETS = {
+    "qwen25vl-7b": qwen25vl_7b,
+    "qwen25vl-3b": qwen25vl_3b,
+    "tiny-test": tiny_test_config,
+}
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level run options shared by all entry points."""
+
+    model_preset: str = "qwen25vl-7b"
+    checkpoint: str = ""              # HF checkpoint dir to load weights from
+    tokenizer: str = ""               # tokenizer path/name ('' = byte fallback)
+    output_dir: str = "output"
+    seed: int = 0
+    dtype: str = "bfloat16"
+    # mesh
+    dp: int = 1
+    fsdp: int = 1
+    tp: int = 1
+    # training loop
+    max_steps: int = 1000
+    save_steps: int = 500
+    save_total_limit: int = 2
+    log_steps: int = 10
+    resume: bool = True
+    use_lora: bool = False
+    attn_impl: str = "auto"           # auto -> flash on tpu, xla elsewhere
+
+
+@dataclass(frozen=True)
+class AppConfig:
+    run: RunConfig = field(default_factory=RunConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    sft: SFTConfig = field(default_factory=SFTConfig)
+    grpo: GRPOConfig = field(default_factory=GRPOConfig)
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
+
+    def model_config(self) -> ModelConfig:
+        return MODEL_PRESETS[self.run.model_preset]().replace(
+            dtype=self.run.dtype)
+
+
+def _coerce(value: str, typ) -> Any:
+    if get_origin(typ) is not None:
+        args = [a for a in get_args(typ) if a is not type(None)]
+        if args:
+            typ = args[0]
+    if typ is bool:
+        return value.lower() in ("1", "true", "yes", "on")
+    if typ in (int, float, str):
+        return typ(value)
+    if get_origin(typ) in (tuple, list) or typ in (tuple, list):
+        items = [v for v in value.split(",") if v != ""]
+        inner = get_args(typ)[0] if get_args(typ) else str
+        if inner is Ellipsis:
+            inner = str
+        return tuple(_coerce(i, inner) for i in items)
+    return value
+
+
+def _apply_overrides(cfg, overrides: dict[str, str]):
+    """{'section.field': 'value'} applied over the frozen dataclass tree."""
+    by_section: dict[str, dict[str, Any]] = {}
+    for key, val in overrides.items():
+        if "." not in key:
+            raise ValueError(f"override {key!r} must be section.field")
+        section, fname = key.split(".", 1)
+        by_section.setdefault(section, {})[fname] = val
+
+    updates = {}
+    for section, kv in by_section.items():
+        sub = getattr(cfg, section)
+        ftypes = {f.name: f.type for f in dataclasses.fields(sub)}
+        coerced = {}
+        for fname, val in kv.items():
+            if fname not in ftypes:
+                raise ValueError(f"unknown field {section}.{fname}")
+            typ = ftypes[fname]
+            if isinstance(typ, str):
+                import typing
+
+                typ = eval(typ, {**vars(typing), "int": int, "float": float,
+                                 "str": str, "bool": bool, "tuple": tuple})
+            coerced[fname] = _coerce(val, typ) if isinstance(val, str) else val
+        updates[section] = dataclasses.replace(sub, **coerced)
+    return dataclasses.replace(cfg, **updates)
+
+
+def parse_config(argv: list[str] | None = None) -> AppConfig:
+    """--config file.json plus --section.field value / --section.field=value."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = AppConfig()
+    overrides: dict[str, str] = {}
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "--config":
+            data = json.load(open(argv[i + 1]))
+            flat = {}
+            for section, kv in data.items():
+                for k, v in kv.items():
+                    flat[f"{section}.{k}"] = v
+            overrides.update(flat)
+            i += 2
+        elif arg.startswith("--"):
+            key = arg[2:]
+            if "=" in key:
+                key, val = key.split("=", 1)
+                i += 1
+            else:
+                val = argv[i + 1]
+                i += 2
+            overrides[key] = val
+        else:
+            raise ValueError(f"unexpected argument {arg!r}")
+    return _apply_overrides(cfg, overrides)
+
+
+def resolve_attn_impl(run: RunConfig) -> str:
+    if run.attn_impl != "auto":
+        return run.attn_impl
+    import jax
+
+    return "flash" if jax.default_backend() == "tpu" else "xla"

@@ -59,16 +59,20 @@ def prefill(
                                     cfg.video_token_id if vision_token_id is None
                                     else vision_token_id)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
-    # bias spans the whole cache width: causal over the prompt, -inf beyond
-    i = jnp.arange(S)[:, None]
-    j = jnp.arange(max_cache_len)[None, :]
-    allowed = (j <= i) & (j[None] < lengths[:, None, None])
-    bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
+    if attn_impl == "flash":
+        bias = None
+    else:
+        # bias spans the whole cache width: causal over the prompt, -inf beyond
+        i = jnp.arange(S)[:, None]
+        j = jnp.arange(max_cache_len)[None, :]
+        allowed = (j <= i) & (j[None] < lengths[:, None, None])
+        bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
     cache = KVCache.init(cfg.text, B, max_cache_len, h.dtype)
     # prefill cache: write rows [0, S)
     hidden, cache = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                     cache=cache, cache_position=0,
-                                    attn_impl=attn_impl)
+                                    attn_impl=attn_impl,
+                                    kv_lengths=lengths, causal=True)
     last = hidden[jnp.arange(B), lengths - 1]
     logits = lm_head(params, cfg, last)
     return logits.astype(jnp.float32), cache
@@ -110,11 +114,16 @@ def decode(
         pos_scalar = cur_len + rope_deltas            # [B]
         pos3 = jnp.broadcast_to(pos_scalar[None, :, None], (3, B, 1))
         cos, sin = mrope_cos_sin(pos3, cfg, dtype=emb.dtype)
-        key_valid = jnp.arange(max_len)[None, :] <= cur_len[:, None]
-        bias = jnp.where(key_valid[:, None, None], 0.0, -1e30).astype(jnp.float32)
+        if attn_impl == "flash":
+            bias = None
+        else:
+            key_valid = jnp.arange(max_len)[None, :] <= cur_len[:, None]
+            bias = jnp.where(key_valid[:, None, None], 0.0,
+                             -1e30).astype(jnp.float32)
         hidden, cache = decoder_forward(
             params["model"], cfg.text, emb, cos, sin, bias,
-            cache=cache, cache_position=cur_len, attn_impl=attn_impl)
+            cache=cache, cache_position=cur_len, attn_impl=attn_impl,
+            kv_lengths=cur_len + 1, causal=False)
         next_logits = lm_head(params, cfg, hidden[:, 0]).astype(jnp.float32)
         cur_len = jnp.where(done, cur_len, cur_len + 1)
         return (next_logits, cache, cur_len, new_done), (tok, logp)

@@ -38,7 +38,8 @@ class KVCache(NamedTuple):
 
 
 def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
-           cache_position=None, attn_impl: str = "xla"):
+           cache_position=None, attn_impl: str = "xla",
+           kv_lengths=None, causal: bool = False):
     """One decoder layer. Returns (x, (new_k_slice, new_v_slice))."""
     B, S, _ = x.shape
     nh, kh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -63,7 +64,9 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
     else:
         k_all, v_all, new_kv = k, v, (k, v)
 
-    attn = dot_product_attention(q, k_all, v_all, bias=mask_bias, impl=attn_impl)
+    attn = dot_product_attention(q, k_all, v_all, bias=mask_bias,
+                                 kv_lengths=kv_lengths, causal=causal,
+                                 impl=attn_impl)
     x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd))
     h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
     return x + swiglu_mlp(p["mlp"], h), new_kv
@@ -79,13 +82,16 @@ def decoder_forward(
     cache: KVCache | None = None,
     cache_position: jax.Array | int = 0,
     attn_impl: str = "xla",
+    kv_lengths: jax.Array | None = None,  # [B], enables the flash path
+    causal: bool = False,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the stacked decoder. Returns (final hidden [B,S,H], updated cache)."""
     layers = params["layers"]
 
     if cache is None:
         def body(x, p):
-            x, _ = _layer(p, x, cos, sin, mask_bias, cfg, attn_impl=attn_impl)
+            x, _ = _layer(p, x, cos, sin, mask_bias, cfg, attn_impl=attn_impl,
+                          kv_lengths=kv_lengths, causal=causal)
             return x, None
 
         hidden, _ = jax.lax.scan(body, hidden, layers)
@@ -95,7 +101,8 @@ def decoder_forward(
             p, ck, cv = inp
             x, (nk, nv) = _layer(p, x, cos, sin, mask_bias, cfg,
                                  cache_kv=(ck, cv), cache_position=cache_position,
-                                 attn_impl=attn_impl)
+                                 attn_impl=attn_impl,
+                                 kv_lengths=kv_lengths, causal=causal)
             return x, (nk, nv)
 
         hidden, (ks, vs) = jax.lax.scan(body, hidden, (layers, cache.k, cache.v))

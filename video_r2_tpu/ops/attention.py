@@ -18,14 +18,22 @@ def dot_product_attention(
     q: jax.Array,            # [B, Sq, num_heads, head_dim]
     k: jax.Array,            # [B, Skv, kv_heads, head_dim]
     v: jax.Array,            # [B, Skv, kv_heads, head_dim]
-    bias: jax.Array | None,  # [B, 1, Sq, Skv] additive (broadcast over heads)
+    bias: jax.Array | None = None,   # [B, 1, Sq, Skv] additive (xla path)
+    kv_lengths: jax.Array | None = None,  # [B] prefix-valid keys (flash path)
+    causal: bool = False,
     impl: str = "xla",
 ) -> jax.Array:
-    """GQA attention, fp32 accumulation. Returns [B, Sq, num_heads, head_dim]."""
-    if impl == "flash":
+    """GQA attention, fp32 accumulation. Returns [B, Sq, num_heads, head_dim].
+
+    The xla path consumes an arbitrary additive bias; the flash path consumes
+    (kv_lengths, causal) — prefix-valid masking only. Callers with
+    non-prefix masks (e.g. GRPO's padded prompt+completion layout) must use
+    the xla path.
+    """
+    if impl == "flash" and kv_lengths is not None:
         from .flash import flash_attention
 
-        return flash_attention(q, k, v, bias=bias)
+        return flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal)
     return _xla_attention(q, k, v, bias)
 
 

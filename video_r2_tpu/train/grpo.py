@@ -154,8 +154,10 @@ def per_token_logps(
         h = embed_inputs(params, cfg, input_ids, video_patches, video_layout)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
     bias = causal_mask_bias(input_ids.shape[1], attention_mask)
+    # The [prompt_pad | completion] layout has a mid-sequence mask gap, which
+    # the flash kernel's prefix-length masking can't express — force xla here.
     hidden, _ = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
-                                attn_impl=attn_impl)
+                                attn_impl="xla")
     B, S, H = hidden.shape
     # hidden[t] predicts token[t+1]; completion tokens are the last C of ids
     hs = hidden[:, S - completion_len - 1: S - 1].reshape(-1, H)

@@ -25,6 +25,7 @@ from ..engine.sampling import SamplingParams
 from ..models.config import ModelConfig
 from ..models.mrope import get_rope_index
 from ..models.vision import plan_vision_layout, vit_forward
+from ..utils.profiling import PhaseTimer, profiling_phase
 from ..video import VideoPreprocessConfig, fetch_video
 from .grpo import (
     GRPOConfig,
@@ -64,6 +65,7 @@ class GRPORunner:
         self.video_cfg = video_cfg or VideoPreprocessConfig()
         self.attn_impl = attn_impl
         self._seed = seed
+        self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------
     def prepare_prompt(self, sample: dict, params) -> PreparedPrompt:
@@ -127,11 +129,12 @@ class GRPORunner:
             eos_token_ids=(self.cfg.eos_token_id,),
             pad_token_id=self.cfg.pad_token_id)
         self._seed += 1
-        res = generate(self.params, self.cfg, packed.input_ids, packed.lengths,
-                       sp, position_ids=pos, rope_deltas=deltas[:, 0],
-                       vision_embeds=embeds,
-                       vision_token_id=self.cfg.video_token_id,
-                       seed=self._seed, attn_impl=self.attn_impl)
+        with profiling_phase(self.timer, "rollout_generate"):
+            res = generate(self.params, self.cfg, packed.input_ids,
+                           packed.lengths, sp, position_ids=pos,
+                           rope_deltas=deltas[:, 0], vision_embeds=embeds,
+                           vision_token_id=self.cfg.video_token_id,
+                           seed=self._seed, attn_impl=self.attn_impl)
 
         completion_ids = res.sequences
         cmask = completion_mask_from_ids(
@@ -161,8 +164,10 @@ class GRPORunner:
         }
         F = len(self.reward_funcs)
         rewards_per_func = np.full((B, F), np.nan)
-        for i, fn in enumerate(self.reward_funcs):
-            out = fn(completions=completions, **reward_kwargs)
+        for i, (fn, name) in enumerate(zip(self.reward_funcs,
+                                           self.reward_func_names)):
+            with profiling_phase(self.timer, f"reward/{name}"):
+                out = fn(completions=completions, **reward_kwargs)
             rewards_per_func[:, i] = [np.nan if r is None else r for r in out]
 
         rewards = combine_rewards(rewards_per_func, self.reward_func_names,
@@ -223,10 +228,13 @@ class GRPORunner:
     # ------------------------------------------------------------------
     def train_cycle(self, state, samples: list[dict]):
         """One full GRPO cycle: rollout once, mu optimizer steps."""
-        batch, gen_metrics = self.rollout_and_score(samples)
+        with profiling_phase(self.timer, "generate_and_score"):
+            batch, gen_metrics = self.rollout_and_score(samples)
         metrics = dict(gen_metrics)
-        for _ in range(self.gcfg.num_iterations):
-            state, step_metrics = self.step_fn(state, batch)
-            self.params = state.params
+        with profiling_phase(self.timer, "optimize"):
+            for _ in range(self.gcfg.num_iterations):
+                state, step_metrics = self.step_fn(state, batch)
+                self.params = state.params
         metrics.update({k: float(v) for k, v in step_metrics.items()})
+        metrics.update(self.timer.metrics())
         return state, metrics

@@ -46,10 +46,17 @@ def sft_loss(params, cfg: ModelConfig, batch: dict, scfg: SFTConfig,
                      batch.get("video_patches"), video_layout,
                      batch.get("image_patches"), image_layout)
     cos, sin = mrope_cos_sin(batch["position_ids"], cfg, dtype=h.dtype)
-    bias = causal_mask_bias(batch["input_ids"].shape[1],
-                            batch.get("attention_mask"))
+    mask = batch.get("attention_mask")
+    if scfg.attn_impl == "flash":
+        bias = None
+        kv_lengths = (mask.sum(-1).astype(jnp.int32) if mask is not None
+                      else jnp.full((h.shape[0],), h.shape[1], jnp.int32))
+    else:
+        bias = causal_mask_bias(batch["input_ids"].shape[1], mask)
+        kv_lengths = None
     hidden, _ = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
-                                attn_impl=scfg.attn_impl)
+                                attn_impl=scfg.attn_impl,
+                                kv_lengths=kv_lengths, causal=True)
     # predict token t+1 from hidden t
     hs = hidden[:, :-1].reshape(-1, hidden.shape[-1])
     labels = batch["labels"][:, 1:].reshape(-1)

@@ -144,12 +144,19 @@ class ByteTokenizer:
 
 
 def load_tokenizer(path_or_name: str | None):
-    """HF tokenizer when files are reachable, byte fallback otherwise."""
+    """Resolution order: HF fast tokenizer -> our native BPE (vocab.json +
+    merges.txt with the C++ merge engine) -> offline byte fallback."""
     if path_or_name:
         try:
             from transformers import AutoTokenizer
 
             return AutoTokenizer.from_pretrained(path_or_name, local_files_only=True)
+        except Exception:
+            pass
+        try:
+            from .bpe import BPETokenizer
+
+            return BPETokenizer.from_pretrained(path_or_name)
         except Exception:
             pass
     return ByteTokenizer()

@@ -26,7 +26,7 @@ def main():
     cfg = qwen25vl_3b()
     params = init_params(cfg, dtype="bfloat16", method="zeros")
 
-    B, prompt_len, new_tokens = 64, 512, 128
+    B, prompt_len, new_tokens = 128, 512, 128
     rng = np.random.default_rng(0)
     ids = rng.integers(2, 150000, size=(B, prompt_len)).astype(np.int32)
     lengths = np.full((B,), prompt_len, np.int32)
@@ -34,7 +34,7 @@ def main():
                         pad_token_id=cfg.pad_token_id)
 
     def run(seed):
-        return generate(params, cfg, ids, lengths, sp, seed=seed)
+        return generate(params, cfg, ids, lengths, sp, seed=seed, attn_impl="flash")
 
     run(0)  # compile
     t0 = time.perf_counter()

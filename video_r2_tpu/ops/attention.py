@@ -30,10 +30,22 @@ def dot_product_attention(
     non-prefix masks (e.g. GRPO's padded prompt+completion layout) must use
     the xla path.
     """
-    if impl == "flash" and kv_lengths is not None:
+    if impl == "flash" and kv_lengths is not None and q.shape[1] > 8:
+        # single-token decode (Sq==1) degenerates to 1-row kernel blocks —
+        # the XLA batched matmul path is faster there
         from .flash import flash_attention
 
         return flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal)
+    if bias is None and kv_lengths is not None:
+        # build the bias the xla path needs from prefix lengths
+        B, Sq, _, _ = q.shape
+        Sk = k.shape[1]
+        j = jnp.arange(Sk)[None, :]
+        allowed = j[None] < kv_lengths[:, None, None]
+        if causal:
+            i = jnp.arange(Sq)[:, None]
+            allowed = allowed & (j <= i)[None]
+        bias = jnp.where(allowed[:, None], 0.0, NEG_INF).astype(jnp.float32)
     return _xla_attention(q, k, v, bias)
 
 

@@ -26,15 +26,45 @@ def evaluate(
     limit: int | None = None,
     output_dir: str | Path | None = None,
     log_samples: bool = True,
+    cache_dir: str | Path | None = None,
 ) -> dict[str, Any]:
     """Returns {"results": {task: {metric: value, metric_stderr: ...}},
-    "samples": {task: [rows]}}."""
+    "samples": {task: [rows]}}.
+
+    `cache_dir` makes eval resumable: responses are persisted per doc hash and
+    reused on re-runs (the reference's LM_HARNESS_CACHE_PATH request cache +
+    sqlitedict CacheHook, SURVEY §4)."""
     results: dict[str, Any] = {"results": {}, "samples": {}, "configs": {}}
     for task in tasks:
         cfg = task.config
         instances = task.build_instances(limit=limit)
+
+        cache: dict[str, str] = {}
+        cache_path = None
+        if cache_dir is not None:
+            cache_path = Path(cache_dir) / f"cache_{cfg.task}.jsonl"
+            if cache_path.exists():
+                for line in open(cache_path):
+                    if line.strip():
+                        row = json.loads(line)
+                        cache[row["doc_hash"]] = row["resp"]
+
+        hashes = [doc_hash(_jsonable(i.doc)) for i in instances]
+        missing = [i for i, h in zip(instances, hashes) if h not in cache]
         t0 = time.time()
-        resps = model.generate_until(instances)
+        if missing:
+            new_resps = model.generate_until(missing)
+            for inst, resp in zip(missing, new_resps):
+                h = doc_hash(_jsonable(inst.doc))
+                cache[h] = resp
+            if cache_path is not None:
+                cache_path.parent.mkdir(parents=True, exist_ok=True)
+                with open(cache_path, "a") as f:
+                    for inst, resp in zip(missing, new_resps):
+                        f.write(json.dumps(
+                            {"doc_hash": doc_hash(_jsonable(inst.doc)),
+                             "resp": resp}) + "\n")
+        resps = [cache[h] for h in hashes]
         elapsed = time.time() - t0
 
         rows = []

@@ -152,17 +152,27 @@ def _window_attention(q, k, v, valid, wp: int, scale: float):
 
 
 def _full_attention(q, k, v, valid, full_gather, scale: float):
-    """Gather contiguous frame-group runs into [G, Lmax] and attend densely."""
+    """Gather contiguous frame-group runs into [G, Lmax] and attend densely.
+
+    Groups run sequentially (lax.map) so peak memory is one group's
+    [nh, Lmax, Lmax] score block, not G of them — at the 128-frame eval
+    config that is ~75 MB instead of ~5 GB. Each group is still a full-width
+    MXU matmul, so throughput is unaffected."""
     s, nh, hd = q.shape
     g_idx = jnp.asarray(full_gather)
     safe = jnp.maximum(g_idx, 0)
     gmask = (g_idx >= 0) & valid[safe]
     qg, kg, vg = (x[safe] for x in (q, k, v))       # [G, Lmax, nh, hd]
-    scores = jnp.einsum("gqnd,gknd->gnqk", qg, kg,
-                        preferred_element_type=jnp.float32) * scale
-    scores = jnp.where(gmask[:, None, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(vg.dtype)
-    out = jnp.einsum("gnqk,gknd->gqnd", probs, vg)  # [G, Lmax, nh, hd]
+
+    def per_group(args):
+        qq, kk, vv, mm = args
+        scores = jnp.einsum("qnd,knd->nqk", qq, kk,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mm[None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vv.dtype)
+        return jnp.einsum("nqk,knd->qnd", probs, vv)
+
+    out = jax.lax.map(per_group, (qg, kg, vg, gmask))  # [G, Lmax, nh, hd]
     # scatter back to [S_pad] (pad rows -> trash slot s)
     flat_idx = jnp.where(g_idx >= 0, g_idx, s).reshape(-1)
     buf = jnp.zeros((s + 1, nh, hd), dtype=out.dtype)
@@ -170,8 +180,10 @@ def _full_attention(q, k, v, valid, full_gather, scale: float):
     return buf[:s]
 
 
-def _vision_block(p, x, cos, sin, valid, full_gather, use_full: bool,
-                  cfg: VisionConfig, wp: int):
+def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfig,
+                  wp: int):
+    """use_full: traced bool scalar — lax.cond selects the attention type so
+    the layer body compiles ONCE for a scan over all depth layers."""
     nh, hd = cfg.num_heads, cfg.head_dim
     s = x.shape[0]
     h = rms_norm(p["norm1"]["scale"], x, cfg.rms_norm_eps)
@@ -179,10 +191,11 @@ def _vision_block(p, x, cos, sin, valid, full_gather, use_full: bool,
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
     q, k = apply_rotary(q, k, cos[:, None, :], sin[:, None, :])
     scale = hd ** -0.5
-    if use_full:
-        attn = _full_attention(q, k, v, valid, full_gather, scale)
-    else:
-        attn = _window_attention(q, k, v, valid, wp, scale)
+    attn = jax.lax.cond(
+        use_full,
+        lambda a: _full_attention(*a, full_gather, scale),
+        lambda a: _window_attention(*a, wp, scale),
+        (q, k, v, valid))
     x = x + linear(p["attn"]["proj"], attn.reshape(s, nh * hd))
     h = rms_norm(p["norm2"]["scale"], x, cfg.rms_norm_eps)
     return x + swiglu_mlp(p["mlp"], h)
@@ -197,11 +210,15 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
     x = jnp.where(valid[:, None], emb[safe], 0).astype(patches.dtype)
 
     cos, sin = _vision_rotary(pos_hw, cfg.head_dim, cfg.rope_theta)
-    fullset = set(cfg.fullatt_block_indexes)
-    for i in range(cfg.depth):
-        p_i = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
-        x = _vision_block(p_i, x, cos, sin, valid, full_gather,
-                          i in fullset, cfg, wp)
+    is_full = jnp.asarray([i in set(cfg.fullatt_block_indexes)
+                           for i in range(cfg.depth)])
+
+    def body(carry, inp):
+        p_i, full_flag = inp
+        return _vision_block(p_i, carry, cos, sin, valid, full_gather,
+                             full_flag, cfg, wp), None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
 
     # merger: RMSNorm per patch, merge 2x2 units, 2-layer MLP with exact GELU
     mcfg = params["merger"]

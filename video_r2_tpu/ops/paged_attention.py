@@ -1,0 +1,200 @@
+"""Paged-attention decode kernel (Pallas TPU) + paged KV cache manager.
+
+TPU-native equivalent of vLLM's paged attention (reference N5, SURVEY §2.4):
+the KV cache lives in HBM as fixed-size pages; each sequence owns a page
+table, so batches of ragged, continuously-batched sequences share one pool
+with no per-sequence max-length reservation.
+
+Kernel: one grid program per (sequence, kv-head). Pages are DMA'd
+HBM -> VMEM double-buffered and reduced with an online softmax over the
+grouped query heads — identical math to the flash kernel but gathering
+through the page table (scalar-prefetched so indexing happens before the
+body runs).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_PAGE_SIZE = 128
+
+
+def _paged_decode_kernel(lengths_ref, tables_ref, q_ref, kp_ref, vp_ref,
+                         o_ref, k_scratch, v_scratch, sem,
+                         *, page_size: int, scale: float, max_pages: int):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    L = lengths_ref[b]
+    n_pages = pl.cdiv(L, page_size)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # [g, hd]
+    g, hd = q.shape
+
+    def dma(slot, p_idx):
+        page_id = tables_ref[b, p_idx]
+        return (
+            pltpu.make_async_copy(kp_ref.at[h, page_id],
+                                  k_scratch.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(vp_ref.at[h, page_id],
+                                  v_scratch.at[slot], sem.at[slot, 1]),
+        )
+
+    # warm-up: start page 0
+    for c in dma(0, 0):
+        c.start()
+
+    def body(p, carry):
+        acc, m_i, l_i = carry
+        slot = p % 2
+        nxt = (p + 1) % 2
+
+        @pl.when(p + 1 < n_pages)
+        def _():
+            for c in dma(nxt, p + 1):
+                c.start()
+
+        for c in dma(slot, p):
+            c.wait()
+
+        k = k_scratch[slot].astype(jnp.float32)          # [P, hd]
+        v = v_scratch[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [g, P]
+        kpos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (g, page_size), 1)
+        s = jnp.where(kpos < L, s, NEG_INF)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        pexp = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = alpha * l_i + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            pexp, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((g, hd), jnp.float32)
+    m_i = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((g, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, n_pages, body, (acc, m_i, l_i))
+    o_ref[0, 0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
+def paged_decode_attention(
+    q: jax.Array,            # [B, nh, hd] single decode step
+    k_pages: jax.Array,      # [kh, N_pages, page_size, hd]
+    v_pages: jax.Array,
+    page_tables: jax.Array,  # [B, max_pages] int32
+    lengths: jax.Array,      # [B] int32 tokens in cache per sequence
+    page_size: int = DEFAULT_PAGE_SIZE,
+    interpret: bool = False,
+) -> jax.Array:
+    B, nh, hd = q.shape
+    kh = k_pages.shape[0]
+    g = nh // kh
+    max_pages = page_tables.shape[1]
+    qg = q.reshape(B, kh, g, hd)
+
+    kernel = functools.partial(
+        _paged_decode_kernel, page_size=page_size, scale=hd ** -0.5,
+        max_pages=max_pages)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, kh),
+            in_specs=[
+                pl.BlockSpec((1, 1, g, hd), lambda b, h, L, T: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),      # k_pages stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g, hd), lambda b, h, L, T: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, page_size, hd), k_pages.dtype),
+                pltpu.VMEM((2, page_size, hd), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, kh, g, hd), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      qg, k_pages, v_pages)
+    return out.reshape(B, nh, hd)
+
+
+# ---------------------------------------------------------------------------
+# Host-side paged cache manager (the vLLM block allocator role)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PagedKVCache:
+    """Paged cache pool for one decoder layer stack.
+
+    k/v: [L, kh, N_pages, page_size, hd] (kv-head leading so the decode
+    kernel can DMA one head's page without breaking HBM tiling). Page tables
+    and the free list live on host (allocation is control flow); appends are
+    jitted scatter updates.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    page_size: int
+    page_tables: np.ndarray      # [B, max_pages] int32, -1 = unallocated
+    lengths: np.ndarray          # [B]
+    free_pages: list[int]
+
+    @classmethod
+    def create(cls, num_layers: int, num_pages: int, page_size: int,
+               kv_heads: int, head_dim: int, batch: int, max_pages: int,
+               dtype=jnp.bfloat16) -> "PagedKVCache":
+        shape = (num_layers, kv_heads, num_pages, page_size, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            page_size=page_size,
+            page_tables=np.full((batch, max_pages), -1, np.int32),
+            lengths=np.zeros((batch,), np.int32),
+            free_pages=list(range(num_pages - 1, -1, -1)),
+        )
+
+    def ensure_capacity(self, seq: int, new_tokens: int) -> None:
+        """Allocate pages so sequence `seq` can hold `lengths[seq]+new_tokens`."""
+        need = -(-(int(self.lengths[seq]) + new_tokens) // self.page_size)
+        have = int((self.page_tables[seq] >= 0).sum())
+        for slot in range(have, need):
+            if not self.free_pages:
+                raise RuntimeError("paged KV cache out of pages")
+            self.page_tables[seq, slot] = self.free_pages.pop()
+
+    def release(self, seq: int) -> None:
+        for p in self.page_tables[seq]:
+            if p >= 0:
+                self.free_pages.append(int(p))
+        self.page_tables[seq] = -1
+        self.lengths[seq] = 0
+
+    def append_token(self, seq_ids: np.ndarray, k_new: jax.Array,
+                     v_new: jax.Array) -> None:
+        """Append one token's KV for each listed sequence.
+        k_new/v_new: [L, len(seq_ids), kh, hd]."""
+        for s in seq_ids:
+            self.ensure_capacity(int(s), 1)
+        pos = self.lengths[seq_ids]
+        page_idx = self.page_tables[seq_ids, pos // self.page_size]
+        offset = pos % self.page_size
+        pid = jnp.asarray(page_idx)
+        off = jnp.asarray(offset)
+        # k_new: [L, B_sel, kh, hd] -> write at [:, kh, page, offset]
+        kn = jnp.swapaxes(k_new, 1, 2)
+        vn = jnp.swapaxes(v_new, 1, 2)
+        self.k = self.k.at[:, :, pid, off].set(kn)
+        self.v = self.v.at[:, :, pid, off].set(vn)
+        self.lengths[seq_ids] += 1

@@ -187,3 +187,55 @@ def test_vas_scoring(tmp_path):
     s2 = run_vas_on_file(sp, StaticJudge("ignored"), tmp_path / "vas",
                          bench="test")
     assert s2["attention_to_video_score"] == 5.0
+
+
+def test_tempcompass_variants():
+    from video_r2_tpu.evalharness.tasks.tempcompass import (
+        caption_matching_rating,
+        mc_rating,
+        yes_no_pred,
+    )
+
+    assert mc_rating("B", "B. the cat") == 1
+    assert mc_rating("B. the cat", "B. the cat") == 1
+    assert mc_rating("A)", "B. the cat") == 0
+    assert mc_rating("the cat maybe", "B. the cat") is None  # rules fail
+    assert yes_no_pred("Yes, because") == "yes"
+    assert yes_no_pred("Nope") == "no"
+    assert yes_no_pred("maybe") is None
+
+    q = ("Which caption matches?\nCaption A: a dog runs\nCaption B: a cat sits")
+    assert caption_matching_rating("Caption A", q, "Caption A: a dog runs") == 1
+    assert caption_matching_rating("a cat sits", q, "Caption A: a dog runs") == 0
+    assert caption_matching_rating("unrelated", q, "Caption A: a dog runs") is None
+
+    # end-to-end with judge fallback
+    from video_r2_tpu.evalharness.tasks.tempcompass import make_tempcompass_task
+    from video_r2_tpu.evalharness.model_api import StaticModel
+    from video_r2_tpu.rewards.judge import StaticJudge
+
+    docs = [{"video": "v.mp4", "question": "Is the sky blue?", "answer": "yes"}]
+    task = make_tempcompass_task("yes_no", True, docs=docs,
+                                 judge=StaticJudge("Correct"))
+    out = evaluate(StaticModel("<answer>definitely it is</answer>"), [task])
+    assert out["results"]["tempcompass_yes_no_think"]["accuracy"] == 1.0
+
+    names = list_tasks()
+    assert "tempcompass_caption_matching_think" in names
+
+
+def test_videomme_subtitle_mode(tmp_path, monkeypatch):
+    import os
+
+    doc = {"videoID": "vid1", "question": "Q?",
+           "options": ["A. x", "B. y"], "answer": "A"}
+    task = get_task("videomme", docs=[doc])
+    base_text = task.config.doc_to_text(doc)
+    assert "subtitles are listed below" not in base_text
+
+    (tmp_path / "vid1.srt").write_text(
+        "1\n00:00:01,000 --> 00:00:02,000\nhello subtitle\n")
+    monkeypatch.setenv("VIDEOMME_SUBTITLE_ROOT", str(tmp_path))
+    with_subs = task.config.doc_to_text(doc)
+    assert "hello subtitle" in with_subs
+    assert with_subs.index("hello subtitle") < with_subs.index("Q?")

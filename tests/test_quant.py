@@ -1,0 +1,68 @@
+"""Int8 weight-only quantization: round-trip error bounds, quantized forward
+closeness, and generation on the quantized model."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from video_r2_tpu.models import forward, get_rope_index, init_params, tiny_test_config
+from video_r2_tpu.models.quant import (
+    dequantize_kernel,
+    quantize_kernel,
+    quantize_params,
+    quantized_param_bytes,
+)
+
+
+def test_quantize_roundtrip(rng):
+    w = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+    q = quantize_kernel(w)
+    assert q["kernel_q"].dtype == jnp.int8
+    back = dequantize_kernel(q, dtype=jnp.float32)
+    err = np.abs(np.asarray(back - w))
+    # per-channel scale -> error bounded by scale/2 per channel
+    bound = np.asarray(q["scale"]) / 2 + 1e-6
+    assert (err <= bound[None, :] + 1e-5).all()
+
+
+def test_quantize_params_structure_and_size(rng):
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    qp = quantize_params(params)
+    lay = qp["model"]["layers"]["attn"]["q"]
+    assert "kernel_q" in lay and "bias" in lay and "kernel" not in lay
+    assert lay["kernel_q"].dtype == jnp.int8
+    # norms untouched
+    assert "scale" in qp["model"]["norm"]
+    orig = quantized_param_bytes(params)
+    quant = quantized_param_bytes(qp)
+    assert quant < orig * 0.45  # fp32 -> mostly int8
+
+
+def test_quantized_forward_close(rng):
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    qp = quantize_params(params)
+    ids = rng.integers(2, 400, size=(1, 12))
+    pos, _ = get_rope_index(ids, cfg)
+    ref, _ = forward(params, cfg, ids, pos)
+    out, _ = forward(qp, cfg, ids, pos)
+    ref, out = np.asarray(ref), np.asarray(out)
+    # logits track closely in relative terms
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 0.05
+    # top-1 agreement on most positions
+    agree = (ref.argmax(-1) == out.argmax(-1)).mean()
+    assert agree >= 0.9
+
+
+def test_quantized_generation_runs(rng):
+    from video_r2_tpu.engine import SamplingParams, generate
+
+    cfg = tiny_test_config()
+    qp = quantize_params(init_params(cfg, dtype="float32"))
+    ids = rng.integers(2, 400, size=(2, 6))
+    res = generate(qp, cfg, ids, np.array([6, 6]),
+                   SamplingParams(max_new_tokens=4, pad_token_id=cfg.pad_token_id))
+    assert res.sequences.shape == (2, 4)

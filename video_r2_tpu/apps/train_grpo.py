@@ -59,6 +59,9 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 1,
             state, start = resumed
             runner.params = state.params
 
+    from ..utils.metrics_log import MetricsLogger
+
+    mlog = MetricsLogger(app.run.output_dir)
     rng = np.random.default_rng(app.run.seed)
     for cycle in range(start, app.run.max_steps):
         idx = rng.choice(len(dataset), size=batch_size, replace=False)
@@ -69,6 +72,7 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 1,
                     cycle + 1, metrics.get("loss", float("nan")),
                     metrics["reward_mean"], metrics.get("kl", 0.0),
                     metrics["completion_len_mean"], time.time() - t0)
+        mlog.log(cycle + 1, metrics)
         if (cycle + 1) % app.run.save_steps == 0:
             save_checkpoint(app.run.output_dir, state, cycle + 1,
                             keep=app.run.save_total_limit)

@@ -67,6 +67,9 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 4):
 
         sft_cfg = dataclasses.replace(sft_cfg, attn_impl=impl)
 
+    from ..utils.metrics_log import MetricsLogger
+
+    mlog = MetricsLogger(app.run.output_dir)
     step_cache = {}
     t0 = time.time()
     for step_no in range(start_step, app.run.max_steps):
@@ -91,6 +94,7 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 4):
             logger.info("step %d loss %.4f grad_norm %.3f (%.2f s/step)",
                         step_no + 1, float(metrics["loss"]),
                         float(metrics["grad_norm"]), dt)
+            mlog.log(step_no + 1, {**metrics, "s_per_step": dt})
         if (step_no + 1) % app.run.save_steps == 0:
             save_checkpoint(app.run.output_dir, state, step_no + 1,
                             keep=app.run.save_total_limit)

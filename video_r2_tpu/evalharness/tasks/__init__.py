@@ -22,3 +22,4 @@ def list_tasks() -> list[str]:
 
 
 from . import benchmarks  # noqa: E402,F401  (registers the 11 benchmarks)
+from . import tempcompass  # noqa: E402,F401  (task-type variants)

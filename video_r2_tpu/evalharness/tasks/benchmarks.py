@@ -73,7 +73,29 @@ def videomme_doc_to_text(doc):
     head = ("Select the best answer to the following multiple-choice question "
             "based on the video and the subtitles. Respond with only the "
             "letter (A, B, C, or D) of the correct option.")
-    return head + "\n" + doc["question"] + "\n" + "\n".join(doc["options"]) + "\n"
+    prefix = ""
+    # subtitle mode (videomme_think/utils.py doc_to_text_subtitle): a
+    # 'subtitle_path' field or a sibling .srt supplies burned-in-text context
+    sub_path = doc.get("subtitle_path")
+    if sub_path is None and isinstance(doc.get("videoID"), str):
+        import os
+
+        root = os.environ.get("VIDEOMME_SUBTITLE_ROOT")
+        if root:
+            cand = os.path.join(root, doc["videoID"] + ".srt")
+            sub_path = cand if os.path.exists(cand) else None
+    if sub_path:
+        from ...video.srt import parse_srt_file
+
+        try:
+            cues = parse_srt_file(sub_path)
+            text = " ".join(line for _, _, lines in cues for line in lines)
+            prefix = ("This video's subtitles are listed below:\n"
+                      + text + "\n")
+        except Exception:
+            prefix = ""
+    return (prefix + head + "\n" + doc["question"] + "\n"
+            + "\n".join(doc["options"]) + "\n")
 
 
 def _abcde_head(options):

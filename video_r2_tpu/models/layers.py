@@ -11,8 +11,13 @@ import jax.numpy as jnp
 
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
-    """x @ kernel (+ bias). kernel is [in, out]."""
-    y = jnp.einsum("...i,io->...o", x, params["kernel"])
+    """x @ kernel (+ bias). kernel is [in, out]; int8 weight-only quantized
+    leaves ({kernel_q, scale}) dequantize into the matmul."""
+    if "kernel_q" in params:
+        w = params["kernel_q"].astype(x.dtype)
+        y = jnp.einsum("...i,io->...o", x, w) * params["scale"].astype(x.dtype)
+    else:
+        y = jnp.einsum("...i,io->...o", x, params["kernel"])
     if "bias" in params:
         y = y + params["bias"]
     return y

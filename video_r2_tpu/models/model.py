@@ -88,9 +88,10 @@ def embed_inputs(
 def lm_head(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     if cfg.text.tie_word_embeddings:
         w = params["model"]["embed_tokens"]["embedding"].T
-    else:
-        w = params["lm_head"]["kernel"]
-    return jnp.einsum("...h,hv->...v", hidden, w)
+        return jnp.einsum("...h,hv->...v", hidden, w)
+    from .layers import linear
+
+    return linear(params["lm_head"], hidden)
 
 
 def forward(

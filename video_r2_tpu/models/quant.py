@@ -1,0 +1,84 @@
+"""Weight-only int8 quantization (per-output-channel scales).
+
+Purpose: capacity, not (yet) bandwidth — int8 params put the 7B flagship on a
+single 16 GB v5e chip (bf16 needs 15.2 GB for weights alone). The matmul path
+dequantizes per-tile inside XLA; a Pallas dequant-fused matmul is the round-2
+bandwidth lever. The reference's analogue is bitsandbytes 4/8-bit (N10,
+optional there too).
+
+A quantized linear leaf looks like {"kernel_q": int8 [.., in, out],
+"scale": f32 [.., out]} (+ optional "bias"); layers.linear dispatches on it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+QUANT_SUFFIXES = (
+    ("attn", "q", "kernel"), ("attn", "k", "kernel"), ("attn", "v", "kernel"),
+    ("attn", "o", "kernel"), ("mlp", "gate", "kernel"), ("mlp", "up", "kernel"),
+    ("mlp", "down", "kernel"), ("attn", "qkv", "kernel"),
+    ("attn", "proj", "kernel"), ("fc1", "kernel"), ("fc2", "kernel"),
+    ("lm_head", "kernel"),
+)
+
+
+def quantize_kernel(w: jax.Array) -> dict:
+    """[.., in, out] -> int8 + per-out-channel scale."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # [.., 1, out]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"kernel_q": q, "scale": scale[..., 0, :].astype(jnp.float32)}
+
+
+def dequantize_kernel(leaf: dict, dtype=jnp.bfloat16) -> jax.Array:
+    return (leaf["kernel_q"].astype(jnp.float32)
+            * leaf["scale"][..., None, :]).astype(dtype)
+
+
+def _path_tuple(keypath):
+    return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+
+
+def quantize_params(params: dict, include_embedding: bool = False) -> dict:
+    """Replace targeted kernel leaves with quantized dicts (pytree-level
+    rewrite; module dicts keep their biases)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and not isinstance(node["kernel"], dict) and (
+                    any((path + ("kernel",))[-len(s):] == s
+                        for s in QUANT_SUFFIXES)):
+                out = {k: v for k, v in node.items() if k != "kernel"}
+                out.update(quantize_kernel(node["kernel"]))
+                return out
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    out = walk(params, ())
+    if include_embedding and "embed_tokens" in out.get("model", {}):
+        emb = out["model"]["embed_tokens"]["embedding"]
+        out["model"]["embed_tokens"] = {"embedding": emb.astype(jnp.bfloat16)}
+    return out
+
+
+def quantized_param_bytes(params: dict) -> int:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(params))
+
+
+def init_params_quantized_zeros(cfg) -> dict:
+    """Zero-valued int8 params built directly (no bf16 intermediate on
+    device) — benchmark-only: peak HBM never exceeds the final footprint."""
+    from .loader import init_params
+
+    import numpy as np
+
+    # build shapes host-side with numpy zeros, then rewrite + transfer
+    with jax.default_device(jax.devices("cpu")[0]):
+        host = init_params(cfg, dtype="bfloat16", method="zeros")
+        qhost = quantize_params(host, include_embedding=True)
+    dev = jax.devices()[0]
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, dev), qhost)

@@ -70,15 +70,27 @@ def quantized_param_bytes(params: dict) -> int:
 
 
 def init_params_quantized_zeros(cfg) -> dict:
-    """Zero-valued int8 params built directly (no bf16 intermediate on
-    device) — benchmark-only: peak HBM never exceeds the final footprint."""
+    """Zero-valued int8 params built directly from shapes (no bf16
+    intermediate anywhere) — benchmark-only: instant setup, peak HBM equals
+    the final footprint."""
     from .loader import init_params
 
-    import numpy as np
+    shapes = jax.eval_shape(
+        lambda: init_params(cfg, dtype="bfloat16", method="zeros"))
 
-    # build shapes host-side with numpy zeros, then rewrite + transfer
-    with jax.default_device(jax.devices("cpu")[0]):
-        host = init_params(cfg, dtype="bfloat16", method="zeros")
-        qhost = quantize_params(host, include_embedding=True)
-    dev = jax.devices()[0]
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, dev), qhost)
+    def build(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and not isinstance(node["kernel"], dict) and (
+                    any((path + ("kernel",))[-len(s):] == s
+                        for s in QUANT_SUFFIXES)):
+                k = node["kernel"]
+                out = {kk: jnp.zeros(vv.shape, vv.dtype)
+                       for kk, vv in node.items() if kk != "kernel"}
+                out["kernel_q"] = jnp.zeros(k.shape, jnp.int8)
+                out["scale"] = jnp.full(k.shape[:-2] + k.shape[-1:], 1e-8,
+                                        jnp.float32)
+                return out
+            return {k: build(v, path + (k,)) for k, v in node.items()}
+        return jnp.zeros(node.shape, node.dtype)
+
+    return build(shapes, ())

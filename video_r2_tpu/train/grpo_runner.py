@@ -51,7 +51,8 @@ class GRPORunner:
                  reward_funcs: list[Callable], reward_func_names: list[str],
                  step_fn, ref_params=None, judge=None, embedder=None,
                  video_cfg: VideoPreprocessConfig | None = None,
-                 attn_impl: str = "xla", seed: int = 0):
+                 attn_impl: str = "xla", seed: int = 0,
+                 metrics_logger=None):
         self.params = params
         self.ref_params = ref_params
         self.cfg = cfg
@@ -66,6 +67,7 @@ class GRPORunner:
         self.attn_impl = attn_impl
         self._seed = seed
         self.timer = PhaseTimer()
+        self.metrics_logger = metrics_logger
 
     # ------------------------------------------------------------------
     def prepare_prompt(self, sample: dict, params) -> PreparedPrompt:
@@ -209,12 +211,24 @@ class GRPORunner:
             "reward_mean": float(np.mean(rewards)),
             "reward_std": float(np.std(rewards)),
             "completion_len_mean": float(cmask.sum(1).mean()),
+            "completion_len_min": float(cmask.sum(1).min()),
+            "completion_len_max": float(cmask.sum(1).max()),
             "clipped_ratio": float(
                 1 - (completion_ids == self.cfg.eos_token_id).any(1).mean()),
         }
         for i, name in enumerate(self.reward_func_names):
             metrics[f"rewards/{name}/mean"] = float(
                 np.nanmean(rewards_per_func[:, i]))
+            metrics[f"rewards/{name}/std"] = float(
+                np.nanstd(rewards_per_func[:, i]))
+        # completion-table logging (rich/wandb table parity)
+        if self.metrics_logger is not None:
+            self.metrics_logger.log_completions(
+                int(self._seed),
+                [str(p.messages) for p in prepared for _ in range(G)],
+                completions_text,
+                {name: list(rewards_per_func[:, i])
+                 for i, name in enumerate(self.reward_func_names)})
         return batch, metrics
 
     def _logps(self, params, batch, C):

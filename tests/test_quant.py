@@ -70,3 +70,18 @@ def test_quantized_generation_runs(rng):
     res = generate(qp, cfg, ids, np.array([6, 6]),
                    SamplingParams(max_new_tokens=4, pad_token_id=cfg.pad_token_id))
     assert res.sequences.shape == (2, 4)
+
+
+def test_int8_matmul_kernel_matches_xla(rng):
+    import jax.numpy as jnp
+
+    from video_r2_tpu.ops.int8_matmul import int8_matmul
+
+    M, K, N = 32, 300, 500  # ragged: exercises padding
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    wq = jnp.asarray(rng.integers(-127, 128, size=(K, N)), dtype=jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, size=N).astype(np.float32))
+    ref = (x @ wq.astype(jnp.float32)) * scale
+    out = int8_matmul(x, wq, scale, block_k=128, block_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)

@@ -12,10 +12,17 @@ import jax.numpy as jnp
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
     """x @ kernel (+ bias). kernel is [in, out]; int8 weight-only quantized
-    leaves ({kernel_q, scale}) dequantize into the matmul."""
+    leaves ({kernel_q, scale}) route through the dequant-fused Pallas matmul
+    for decode-sized activations."""
     if "kernel_q" in params:
-        w = params["kernel_q"].astype(x.dtype)
-        y = jnp.einsum("...i,io->...o", x, w) * params["scale"].astype(x.dtype)
+        if params["kernel_q"].ndim == 2:
+            from ..ops.int8_matmul import quantized_linear_auto
+
+            y = quantized_linear_auto(x, params["kernel_q"], params["scale"])
+        else:
+            w = params["kernel_q"].astype(x.dtype)
+            y = (jnp.einsum("...i,...io->...o", x, w)
+                 * params["scale"].astype(x.dtype))
     else:
         y = jnp.einsum("...i,io->...o", x, params["kernel"])
     if "bias" in params:

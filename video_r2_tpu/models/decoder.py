@@ -84,8 +84,13 @@ def decoder_forward(
     attn_impl: str = "xla",
     kv_lengths: jax.Array | None = None,  # [B], enables the flash path
     causal: bool = False,
+    remat: bool = False,                  # gradient checkpointing per layer
 ) -> tuple[jax.Array, KVCache | None]:
-    """Run the stacked decoder. Returns (final hidden [B,S,H], updated cache)."""
+    """Run the stacked decoder. Returns (final hidden [B,S,H], updated cache).
+
+    remat=True rematerializes each layer on the backward pass (the reference's
+    --gradient_checkpointing, train_sft.sh:62) — activation memory drops from
+    O(L x S x H) to O(S x H) at ~33% extra forward FLOPs."""
     layers = params["layers"]
 
     if cache is None:
@@ -94,6 +99,8 @@ def decoder_forward(
                           kv_lengths=kv_lengths, causal=causal)
             return x, None
 
+        if remat:
+            body = jax.checkpoint(body)
         hidden, _ = jax.lax.scan(body, hidden, layers)
         new_cache = None
     else:

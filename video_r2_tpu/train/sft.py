@@ -30,6 +30,7 @@ from ..parallel.sharding import batch_sharding, param_shardings, replicated
 class SFTConfig:
     ce_chunk_size: int = 1024
     attn_impl: str = "xla"
+    gradient_checkpointing: bool = True
 
 
 class TrainState(NamedTuple):
@@ -56,7 +57,8 @@ def sft_loss(params, cfg: ModelConfig, batch: dict, scfg: SFTConfig,
         kv_lengths = None
     hidden, _ = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                 attn_impl=scfg.attn_impl,
-                                kv_lengths=kv_lengths, causal=True)
+                                kv_lengths=kv_lengths, causal=True,
+                                remat=scfg.gradient_checkpointing)
     # predict token t+1 from hidden t
     hs = hidden[:, :-1].reshape(-1, hidden.shape[-1])
     labels = batch["labels"][:, 1:].reshape(-1)

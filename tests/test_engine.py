@@ -159,3 +159,41 @@ def test_chat_template_and_tokenizer():
     packed = pack_prompts([ids, ids[:5]], pad_id=151643, pad_to_multiple=16)
     assert packed.input_ids.shape[1] % 16 == 0
     assert packed.lengths.tolist() == [len(ids), 5]
+
+
+def test_decode_positions_match_full_forward(hf_and_params, rng):
+    """Position-exact check: cached decode must produce the same greedy tokens
+    as iterative full re-forwarding (no cache), for ragged short prompts.
+    This catches rope-delta offset bugs that tiny-model argmax can miss."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.models import forward, get_rope_index
+
+    _, cfg, params = hf_and_params
+    B, T = 2, 6
+    lens = [5, 8]
+    S = 8
+    ids = np.full((B, S), cfg.pad_token_id, dtype=np.int64)
+    for i, L in enumerate(lens):
+        ids[i, :L] = rng.integers(2, 400, size=L)
+
+    sp = SamplingParams(max_new_tokens=T, pad_token_id=cfg.pad_token_id)
+    res = generate(params, cfg, ids, np.asarray(lens), sp)
+
+    # iterative no-cache reference: re-forward the growing true sequence and
+    # compare chosen-token LOGPROBS numerically (argmax alone can't resolve
+    # the tiny model's weak position sensitivity)
+    for b in range(B):
+        seq = list(ids[b, :lens[b]])
+        for t in range(T):
+            cur = np.asarray([seq], dtype=np.int64)
+            pos, _ = get_rope_index(cur, cfg)
+            logits, _ = forward(params, cfg, cur, pos)
+            row = np.asarray(logits)[0, -1]
+            nxt = int(row.argmax())
+            assert nxt == res.sequences[b, t], (b, t, nxt, res.sequences[b])
+            ref_logp = float(row[nxt] - (np.log(np.exp(row - row.max()).sum())
+                                         + row.max()))
+            np.testing.assert_allclose(res.logprobs[b, t], ref_logp,
+                                       rtol=0, atol=5e-5)
+            seq.append(nxt)

@@ -111,3 +111,51 @@ def test_fused_ce_all_ignored():
     assert float(loss) == 0.0
     g = jax.grad(lambda h: fused_linear_cross_entropy(h, weight, labels, 8))(hidden)
     assert np.all(np.asarray(g) == 0.0)
+
+
+def test_flash_segment_ids_gap_mask(rng):
+    """Segment ids express the GRPO [prompt_pad | completion] gap layout."""
+    B, S, nh, kh, hd = 2, 256, 4, 2, 64
+    q, k, v = _rand_qkv(rng, B, S, S, nh, kh, hd)
+    # rows: prompt valid [0, 100), pad gap [100, 128) seg -1, completion [128, 200)
+    seg = np.full((B, S), -1, np.int32)
+    seg[:, :100] = 1
+    seg[:, 128:200] = 1
+    seg_j = jnp.asarray(seg)
+    lengths = jnp.asarray([S, S])
+
+    out = flash_attention(q, k, v, kv_lengths=lengths, causal=True,
+                          segment_ids=seg_j, block_q=128, block_k=128,
+                          interpret=True)
+    # reference with full bias
+    i = jnp.arange(S)[:, None]
+    j = jnp.arange(S)[None, :]
+    allowed = (j <= i)[None] & (seg_j[:, None, :] == seg_j[:, :, None]) \
+        & (seg_j[:, :, None] >= 0)
+    bias = jnp.where(allowed[:, None], 0.0, -1e30)
+    ref = _xla_attention(q, k, v, bias)
+    valid = seg[0] >= 0
+    np.testing.assert_allclose(np.asarray(out)[:, valid],
+                               np.asarray(ref)[:, valid], rtol=2e-5, atol=2e-5)
+
+
+def test_flash_segment_ids_packed_sequences(rng):
+    """Two prompts packed in one row attend only within themselves."""
+    B, S, nh, kh, hd = 1, 256, 4, 4, 64
+    q, k, v = _rand_qkv(rng, B, S, S, nh, kh, hd)
+    seg = np.zeros((B, S), np.int32)
+    seg[0, :120] = 1
+    seg[0, 120:] = 2
+    out = flash_attention(q, k, v, causal=True, segment_ids=jnp.asarray(seg),
+                          block_q=128, block_k=128, interpret=True)
+    # second segment's first token attends only itself -> equals its own value
+    np.testing.assert_allclose(np.asarray(out)[0, 120],
+                               np.asarray(v)[0, 120], rtol=1e-5, atol=1e-5)
+    # cross-check vs per-segment dense attention
+    for lo, hi in [(0, 120), (120, 256)]:
+        i = jnp.arange(hi - lo)[:, None]
+        j = jnp.arange(hi - lo)[None, :]
+        bias = jnp.where((j <= i)[None, None], 0.0, -1e30)
+        ref = _xla_attention(q[:, lo:hi], k[:, lo:hi], v[:, lo:hi], bias)
+        np.testing.assert_allclose(np.asarray(out)[:, lo:hi], np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -163,6 +163,11 @@ def generate(
         if rope_deltas is None:
             rope_deltas = deltas[:, 0]
     assert rope_deltas is not None
+    # get_rope_index deltas are relative to the FULL padded width S
+    # (delta = max_pos + 1 - S). The decode loop indexes by TRUE length
+    # (cur_len starts at lengths), so shift: continuation position for step i
+    # must be max_pos + 1 + i = cur_len + delta + (S - length).
+    rope_deltas = np.asarray(rope_deltas) + (S - np.asarray(lengths))
     max_cache = S + sp.max_new_tokens
     logits, cache = prefill(
         params, cfg, jnp.asarray(input_ids), jnp.asarray(position_ids),

@@ -39,7 +39,7 @@ class KVCache(NamedTuple):
 
 def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
            cache_position=None, attn_impl: str = "xla",
-           kv_lengths=None, causal: bool = False):
+           kv_lengths=None, causal: bool = False, segment_ids=None):
     """One decoder layer. Returns (x, (new_k_slice, new_v_slice))."""
     B, S, _ = x.shape
     nh, kh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -66,7 +66,7 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
 
     attn = dot_product_attention(q, k_all, v_all, bias=mask_bias,
                                  kv_lengths=kv_lengths, causal=causal,
-                                 impl=attn_impl)
+                                 segment_ids=segment_ids, impl=attn_impl)
     x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd))
     h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
     return x + swiglu_mlp(p["mlp"], h), new_kv
@@ -84,6 +84,7 @@ def decoder_forward(
     attn_impl: str = "xla",
     kv_lengths: jax.Array | None = None,  # [B], enables the flash path
     causal: bool = False,
+    segment_ids: jax.Array | None = None,  # [B, S] packed/gap masking (flash)
     remat: bool = False,                  # gradient checkpointing per layer
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the stacked decoder. Returns (final hidden [B,S,H], updated cache).
@@ -96,7 +97,8 @@ def decoder_forward(
     if cache is None:
         def body(x, p):
             x, _ = _layer(p, x, cos, sin, mask_bias, cfg, attn_impl=attn_impl,
-                          kv_lengths=kv_lengths, causal=causal)
+                          kv_lengths=kv_lengths, causal=causal,
+                          segment_ids=segment_ids)
             return x, None
 
         if remat:

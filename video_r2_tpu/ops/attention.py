@@ -21,6 +21,7 @@ def dot_product_attention(
     bias: jax.Array | None = None,   # [B, 1, Sq, Skv] additive (xla path)
     kv_lengths: jax.Array | None = None,  # [B] prefix-valid keys (flash path)
     causal: bool = False,
+    segment_ids: jax.Array | None = None,  # [B, S] (flash path, Sq==Sk)
     impl: str = "xla",
 ) -> jax.Array:
     """GQA attention, fp32 accumulation. Returns [B, Sq, num_heads, head_dim].
@@ -35,7 +36,8 @@ def dot_product_attention(
         # the XLA batched matmul path is faster there
         from .flash import flash_attention
 
-        return flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal)
+        return flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal,
+                               segment_ids=segment_ids)
     if bias is None and kv_lengths is not None:
         # build the bias the xla path needs from prefix lengths
         B, Sq, _, _ = q.shape

@@ -26,13 +26,15 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
-def _flash_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(lengths_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
                   *, block_q: int, block_k: int, causal: bool,
-                  q_offset: int, seq_k: int, scale: float):
+                  q_offset: int, seq_k: int, scale: float, has_segments: bool):
     """One (batch, head, q_block) program.
 
     q_ref: [block_q, hd]; k_ref/v_ref: [seq_k, hd] (full kv row in VMEM);
     o_ref: [block_q, hd]. lengths_ref: [1] SMEM (valid kv length for batch).
+    qseg/kseg: optional [block_q]/[seq_k] int32 segment ids — attention is
+    allowed only within equal segments (packed sequences, gap masks).
     """
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -51,13 +53,17 @@ def _flash_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref,
         v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        # mask: kv position validity + causality
+        # mask: kv position validity + causality + segment equality
         kpos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = kpos < kv_len
         if causal:
             qpos = (q_offset + qi * block_q
                     + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
             mask = mask & (kpos <= qpos)
+        if has_segments:
+            qs = qseg_ref[b, pl.ds(qi * block_q, block_q)]     # [block_q]
+            ks = kseg_ref[b, pl.ds(ki * block_k, block_k)]     # [block_k]
+            mask = mask & (qs[:, None] == ks[None, :])
         s = jnp.where(mask, s, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
@@ -88,6 +94,7 @@ def flash_attention(
     kv_lengths: jax.Array | None = None,  # [B] valid kv per batch
     causal: bool = True,
     q_offset: int = 0,             # global position of q row 0 (cache decode)
+    segment_ids: jax.Array | None = None,  # [B, S] int32; Sq==Sk required
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
@@ -99,6 +106,9 @@ def flash_attention(
     g = nh // kh
     if kv_lengths is None:
         kv_lengths = jnp.full((B,), Sk, jnp.int32)
+    has_segments = segment_ids is not None
+    if has_segments:
+        assert Sq == Sk, "segment_ids require self-attention shapes"
 
     block_q = min(block_q, Sq)
     block_k = min(block_k, Sk)
@@ -113,6 +123,15 @@ def flash_attention(
         v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
     Sq_p, Sk_p = Sq + pad_q, Sk + pad_k
 
+    if has_segments:
+        qseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pad_q)),
+                       constant_values=-1)
+        kseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pad_k)),
+                       constant_values=-2)
+    else:  # dummy 1-wide arrays keep the argument list static
+        qseg = jnp.zeros((B, Sq_p), jnp.int32)
+        kseg = jnp.zeros((B, Sk_p), jnp.int32)
+
     qt = q.transpose(0, 2, 1, 3)  # [B, nh, Sq, hd]
     kt = k.transpose(0, 2, 1, 3)  # [B, kh, Sk, hd]
     vt = v.transpose(0, 2, 1, 3)
@@ -120,7 +139,8 @@ def flash_attention(
     grid = (B, nh, Sq_p // block_q)
     kernel = functools.partial(
         _flash_kernel, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, seq_k=Sk_p, scale=hd ** -0.5)
+        q_offset=q_offset, seq_k=Sk_p, scale=hd ** -0.5,
+        has_segments=has_segments)
 
     out = pl.pallas_call(
         kernel,
@@ -134,13 +154,17 @@ def flash_attention(
                              lambda b, h, i, L: (b, h // g if g > 1 else h, 0, 0)),
                 pl.BlockSpec((1, 1, Sk_p, hd),
                              lambda b, h, i, L: (b, h // g if g > 1 else h, 0, 0)),
+                # full-array blocks: Mosaic requires the last two block dims
+                # to be (8-, 128-divisible) or equal to the array dims
+                pl.BlockSpec((B, Sq_p), lambda b, h, i, L: (0, 0)),
+                pl.BlockSpec((B, Sk_p), lambda b, h, i, L: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, hd),
                                    lambda b, h, i, L: (b, h, i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((B, nh, Sq_p, hd), q.dtype),
         interpret=interpret,
-    )(kv_lengths_per_program(kv_lengths), qt, kt, vt)
+    )(kv_lengths_per_program(kv_lengths), qt, kt, vt, qseg, kseg)
     out = out.transpose(0, 2, 1, 3)
     return out[:, :Sq]
 

@@ -153,11 +153,20 @@ def per_token_logps(
     else:
         h = embed_inputs(params, cfg, input_ids, video_patches, video_layout)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
-    bias = causal_mask_bias(input_ids.shape[1], attention_mask)
-    # The [prompt_pad | completion] layout has a mid-sequence mask gap, which
-    # the flash kernel's prefix-length masking can't express — force xla here.
-    hidden, _ = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
-                                attn_impl="xla")
+    if attn_impl == "flash":
+        # the [prompt_pad | completion] mid-sequence gap is expressed as
+        # segment ids: valid tokens segment 1, pads -1
+        bias = None
+        seg = jnp.where(attention_mask == 1, 1, -1).astype(jnp.int32)
+        hidden, _ = decoder_forward(
+            params["model"], cfg.text, h, cos, sin, None,
+            attn_impl="flash",
+            kv_lengths=jnp.full((h.shape[0],), h.shape[1], jnp.int32),
+            causal=True, segment_ids=seg)
+    else:
+        bias = causal_mask_bias(input_ids.shape[1], attention_mask)
+        hidden, _ = decoder_forward(params["model"], cfg.text, h, cos, sin,
+                                    bias, attn_impl="xla")
     B, S, H = hidden.shape
     # hidden[t] predicts token[t+1]; completion tokens are the last C of ids
     hs = hidden[:, S - completion_len - 1: S - 1].reshape(-1, H)

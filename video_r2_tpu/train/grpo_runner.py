@@ -177,18 +177,30 @@ class GRPORunner:
         advantages = compute_advantages(rewards, rewards_per_func,
                                         self.reward_func_names, self.gcfg)
 
-        # full sequence = prompt (right-padded region removed?) Keep layout:
-        # [prompt_padded | completion]; attention mask covers prompt valid +
-        # completion mask. Positions for completion tokens continue per-sample.
+        # Loss layout: LEFT-padded prompt + completion (TRL parity). The
+        # engine right-pads for generation, but the loss reads the hidden at
+        # column P-1 to predict the first completion token — with right
+        # padding that column is a pad slot for short prompts. Left padding
+        # makes [.. pad | prompt | completion] contiguous for every row.
         P = packed.input_ids.shape[1]
         C = completion_ids.shape[1]
-        full_ids = np.concatenate([packed.input_ids, completion_ids], axis=1)
-        full_mask = np.concatenate([mask.astype(np.int32), cmask], axis=1)
-        # completion positions: prompt_len + step + delta (text-only region)
-        comp_pos = (packed.lengths[:, None] + np.arange(C)[None, :]
-                    + deltas)  # [B, C]
+        left_ids = np.full_like(packed.input_ids, self.cfg.pad_token_id)
+        left_mask = np.zeros((B, P), np.int32)
+        for b in range(B):
+            L = int(packed.lengths[b])
+            left_ids[b, P - L:] = packed.input_ids[b, :L]
+            left_mask[b, P - L:] = 1
+        left_pos, left_deltas = get_rope_index(
+            left_ids, self.cfg,
+            video_grid_thw=np.asarray(vid_grids) if vid_grids else None,
+            second_per_grid_ts=np.asarray(spg) if spg else None,
+            attention_mask=left_mask)
+        full_ids = np.concatenate([left_ids, completion_ids], axis=1)
+        full_mask = np.concatenate([left_mask, cmask], axis=1)
+        # completion positions: P + step + delta (delta accounts for padding)
+        comp_pos = (P + np.arange(C)[None, :] + left_deltas)  # [B, C]
         full_pos = np.concatenate(
-            [pos, np.broadcast_to(comp_pos[None], (3, B, C))], axis=2)
+            [left_pos, np.broadcast_to(comp_pos[None], (3, B, C))], axis=2)
 
         batch = {
             "input_ids": jnp.asarray(full_ids),

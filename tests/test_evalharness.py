@@ -239,3 +239,52 @@ def test_videomme_subtitle_mode(tmp_path, monkeypatch):
     with_subs = task.config.doc_to_text(doc)
     assert "hello subtitle" in with_subs
     assert with_subs.index("hello subtitle") < with_subs.index("Q?")
+
+
+def test_extract_characters_regex():
+    from video_r2_tpu.evalharness.tasks.common import extract_characters_regex
+
+    assert extract_characters_regex("The best answer is (C).") == "C"
+    assert extract_characters_regex("B") == "B"
+    assert extract_characters_regex("(d):") == "D"
+    assert extract_characters_regex("I think B is right") == "B"
+    # reference quirk: ^([A-E]) matches the leading 'A' of 'Answer'
+    assert extract_characters_regex("Answer) nonsense") == "A"
+    assert extract_characters_regex("C) obviously") == "C"
+    assert extract_characters_regex("a long sentence without any option letters"
+                                    " that keeps going and going for a while"
+                                    ) == ("a long sentence without any option "
+                                          "letters that keeps going and going "
+                                          "for a while")
+
+
+def test_mlvu_per_type_aggregation():
+    docs = [
+        {"video": "a.mp4", "question": "q1", "answer": "A", "task_type": "count"},
+        {"video": "b.mp4", "question": "q2", "answer": "B", "task_type": "count"},
+        {"video": "c.mp4", "question": "q3", "answer": "C", "task_type": "order"},
+    ]
+    task = get_task("mlvu_think", docs=docs)
+    model = StaticModel(["<answer>A</answer>", "<answer>A</answer>",
+                         "<answer>C</answer>"])
+    out = evaluate(model, [task])
+    r = out["results"]["mlvu_think"]
+    # count: 1/2, order: 1/1 -> mean of types = 75.0
+    assert r["mlvu_score"] == pytest.approx(75.0)
+
+
+def test_videommmu_question_types():
+    docs = [
+        {"video": "a.mp4", "question": "pick", "question_type": "multiple-choice",
+         "options": ["first", "second"], "answer": "B", "id": "validation_x_1"},
+        {"video": "b.mp4", "question": "how many?", "question_type": "open",
+         "answer": "42", "id": "validation_x_2"},
+    ]
+    task = get_task("videommmu_think", docs=docs)
+    model = StaticModel(["<answer>The correct answer is B</answer>",
+                         "<answer>42.0</answer>"])
+    out = evaluate(model, [task])
+    assert out["results"]["videommmu_think"]["accuracy"] == 1.0
+    # options rendered into the prompt
+    text = task.config.doc_to_text(docs[0])
+    assert "A. first" in text and "B. second" in text

@@ -16,6 +16,7 @@ from ..api import MetricSpec, Task, TaskConfig, THINK_POST_PROMPT, mean
 from . import register_task
 from .common import (
     extract_answer,
+    extract_characters_regex,
     first_letter,
     fuzzy_first_word,
     letter_options_prompt,
@@ -209,6 +210,71 @@ def build_task(name: str, think: bool, docs=None, dataset_path=None) -> Task:
             process_results=vsibench_process_results,
             metrics=[MetricSpec("accuracy", mean),
                      MetricSpec("vsibench_score", vsibench_aggregate)],
+            generation_kwargs=dict(MCQ_GEN_KWARGS), post_prompt=post,
+            dataset_path=dataset_path)
+    elif name == "mlvu":
+        # per-task_type accuracy averaged across types (mlvu_think/utils.py:
+        # 132-160); letters via extract_characters_regex
+        def mlvu_process_results(doc, results):
+            pred = extract_characters_regex(extract_answer(results[0]))
+            correct = 1.0 if pred == extract_characters_regex(
+                str(doc["answer"])) else 0.0
+            return {"accuracy": correct,
+                    "mlvu_score": {"task_type": doc.get("task_type", "all"),
+                                   "correct": correct}}
+
+        def mlvu_aggregate(scores):
+            by_type: dict[str, list[float]] = {}
+            for s in scores:
+                by_type.setdefault(s["task_type"], []).append(s["correct"])
+            per = [sum(v) / len(v) for v in by_type.values()]
+            return 100.0 * sum(per) / max(len(per), 1)
+
+        cfg = TaskConfig(
+            task=task_name, doc_to_text=lambda d: d["question"],
+            doc_to_visual=_video_resolver("video", "MLVU_VIDEO_ROOT"),
+            doc_to_target=lambda d: str(d["answer"]),
+            process_results=mlvu_process_results,
+            metrics=[MetricSpec("accuracy", mean),
+                     MetricSpec("mlvu_score", mlvu_aggregate)],
+            generation_kwargs=dict(MCQ_GEN_KWARGS), post_prompt=post,
+            dataset_path=dataset_path)
+    elif name == "videommmu":
+        # MCQ letter parse against options; open-ended via normalized
+        # containment (videommmu_think/utils.py:154-165 surface)
+        def videommmu_doc_to_text(doc):
+            q = doc["question"]
+            if doc.get("question_type") == "multiple-choice" and doc.get("options"):
+                opts = doc["options"]
+                if isinstance(opts, dict):
+                    lines = "\n".join(f"{k}. {v}" for k, v in sorted(opts.items()))
+                else:
+                    lines = "\n".join(
+                        f"{chr(ord('A') + i)}. {o}" for i, o in enumerate(opts))
+                q += "\n" + lines
+            return q
+
+        def videommmu_process_results(doc, results):
+            pred = extract_answer(results[0])
+            gt = str(doc["answer"])
+            if doc.get("question_type") == "multiple-choice":
+                score = 1.0 if extract_characters_regex(pred) == \
+                    extract_characters_regex(gt) else 0.0
+            else:
+                p = pred.strip().lower().rstrip(".")
+                g = gt.strip().lower()
+                pf, gf = to_float(p), to_float(g)
+                if pf is not None and gf is not None:
+                    score = 1.0 if abs(pf - gf) < 1e-6 else 0.0
+                else:
+                    score = 1.0 if (g and g in p) else 0.0
+            return {"accuracy": score}
+
+        cfg = TaskConfig(
+            task=task_name, doc_to_text=videommmu_doc_to_text,
+            doc_to_visual=_video_resolver("video", "VIDEOMMMU_VIDEO_ROOT"),
+            doc_to_target=lambda d: str(d["answer"]),
+            process_results=videommmu_process_results, metrics=_acc_metric(),
             generation_kwargs=dict(MCQ_GEN_KWARGS), post_prompt=post,
             dataset_path=dataset_path)
     else:

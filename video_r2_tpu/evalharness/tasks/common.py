@@ -65,6 +65,34 @@ def first_letter(text: str, valid: str = "ABCDE") -> str:
     return m.group(1).upper() if m else ""
 
 
+_ANSWER_PREFIXES = [
+    "The best answer is", "The correct answer is", "The answer is",
+    "The answer", "The best option is", "The correct option is",
+    "Best answer:", "Best option:",
+]
+
+
+def extract_characters_regex(s: str) -> str:
+    """MLVU/VideoMME-style option-letter extraction
+    (mlvu_think/utils.py:75-112 parity)."""
+    s = s.strip()
+    for prefix in _ANSWER_PREFIXES:
+        if s.startswith(prefix):
+            s = s[len(prefix):].strip()
+    m = re.match(r"^\(?([A-E])\)?[:.]?", s)
+    if m:
+        return m.group(1)
+    if len(s.split()) <= 10:
+        m = re.search(r"\b([A-E])\b", s)
+        if m:
+            return m.group(1)
+    if ")" in s:
+        idx = s.index(")")
+        if idx > 0 and s[idx - 1].upper() in "ABCDE":
+            return s[idx - 1].upper()
+    return s
+
+
 def fuzzy_first_word(pred: str) -> str:
     """vsibench fuzzy_matching parity."""
     return pred.split(" ")[0].rstrip(".").strip()

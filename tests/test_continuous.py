@@ -1,0 +1,160 @@
+"""Continuous-batching engine: parity with batch generate, slot reuse,
+mid-stream admission, threaded loop."""
+
+import queue
+import threading
+
+import numpy as np
+import pytest
+
+from tests.hf_ref import build_hf_tiny
+from video_r2_tpu.engine import SamplingParams, generate
+from video_r2_tpu.engine.continuous import ContinuousEngine
+from video_r2_tpu.models import convert_hf_state_dict
+
+
+@pytest.fixture(scope="module")
+def cfg_params():
+    model, cfg = build_hf_tiny()
+    return cfg, convert_hf_state_dict(model.state_dict(), cfg, dtype="float32")
+
+
+def test_continuous_matches_batch_generate(cfg_params, rng):
+    cfg, params = cfg_params
+    prompts = [list(rng.integers(2, 400, size=L)) for L in (5, 9, 7)]
+    T = 8
+    sp = SamplingParams(max_new_tokens=T, pad_token_id=cfg.pad_token_id,
+                        eos_token_ids=())
+    # reference: batch generate (greedy)
+    S = max(len(p) for p in prompts)
+    ids = np.full((3, S), cfg.pad_token_id, np.int64)
+    for i, p in enumerate(prompts):
+        ids[i, :len(p)] = p
+    ref = generate(params, cfg, ids, np.asarray([len(p) for p in prompts]), sp)
+
+    eng = ContinuousEngine(params, cfg, num_slots=4, max_len=64,
+                           sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                             eos_token_ids=()),
+                           prompt_buckets=(16,))
+    rids = [eng.submit(p, max_new_tokens=T) for p in prompts]
+    results = {}
+    while eng.num_active:
+        for rid, toks in eng.step():
+            results[rid] = toks
+    for i, rid in enumerate(rids):
+        assert results[rid] == list(ref.sequences[i][:T]), i
+
+
+def test_slot_reuse_and_midstream_admission(cfg_params, rng):
+    cfg, params = cfg_params
+    eng = ContinuousEngine(params, cfg, num_slots=2, max_len=64,
+                           sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                             eos_token_ids=()),
+                           prompt_buckets=(16,))
+    p1 = list(rng.integers(2, 400, size=6))
+    p2 = list(rng.integers(2, 400, size=8))
+    p3 = list(rng.integers(2, 400, size=5))
+    r1 = eng.submit(p1, max_new_tokens=3)
+    r2 = eng.submit(p2, max_new_tokens=10)
+    assert eng.submit(p3, 2) is None  # pool full
+    done = {}
+    steps = 0
+    admitted_third = False
+    r3 = None
+    while eng.num_active or not admitted_third:
+        for rid, toks in eng.step():
+            done[rid] = toks
+        steps += 1
+        if r1 in done and not admitted_third:
+            r3 = eng.submit(p3, max_new_tokens=2)   # slot freed -> admit
+            assert r3 is not None
+            admitted_third = True
+    assert len(done[r1]) == 3
+    assert len(done[r2]) == 10
+    assert len(done[r3]) == 2
+    # parity for the mid-stream admitted request
+    sp = SamplingParams(max_new_tokens=2, pad_token_id=cfg.pad_token_id)
+    ref = generate(params, cfg, np.asarray([p3]), np.asarray([5]), sp)
+    assert done[r3] == list(ref.sequences[0][:2])
+
+
+def test_eos_frees_slot(cfg_params, rng):
+    cfg, params = cfg_params
+    eng = ContinuousEngine(params, cfg, num_slots=1, max_len=64,
+                           sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                             eos_token_ids=tuple(range(0, 512, 2))),
+                           prompt_buckets=(16,))
+    rid = eng.submit(list(rng.integers(2, 400, size=6)), max_new_tokens=20)
+    out = []
+    while eng.num_active:
+        out.extend(eng.step())
+    assert out and out[0][0] == rid
+    toks = out[0][1]
+    assert len(toks) <= 20
+    if len(toks) < 20:
+        assert toks[-1] % 2 == 0  # ended on "eos"
+    assert eng.num_active == 0
+
+
+def test_threaded_loop(cfg_params, rng):
+    cfg, params = cfg_params
+    eng = ContinuousEngine(params, cfg, num_slots=2, max_len=64,
+                           sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                             eos_token_ids=()),
+                           prompt_buckets=(16,))
+    q: queue.Queue = queue.Queue()
+    results = {}
+    lock = threading.Lock()
+
+    def cb(rid, toks):
+        with lock:
+            results[rid] = toks
+
+    stop = threading.Event()
+    t = threading.Thread(target=eng.run_loop, args=(q, stop), daemon=True)
+    t.start()
+    for i in range(5):
+        q.put((list(rng.integers(2, 400, size=4 + i)), 4, cb))
+    import time
+
+    deadline = time.time() + 60
+    while len(results) < 5 and time.time() < deadline:
+        time.sleep(0.05)
+    stop.set()
+    t.join(timeout=5)
+    assert len(results) == 5
+    assert all(len(v) == 4 for v in results.values())
+
+
+def test_server_continuous_mode(cfg_params):
+    """Concurrent HTTP requests share the continuous decode loop."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine, serve
+
+    cfg, params = cfg_params
+    engine = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=4,
+                        continuous=True, num_slots=4, max_len=64)
+    server = serve(engine, host="127.0.0.1", port=0, background=True)
+    port = server.server_address[1]
+    try:
+        def ask(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/chat/completions",
+                data=json.dumps({"messages": [
+                    {"role": "user", "content": f"hello {i}"}],
+                    "max_tokens": 4}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())["choices"][0]["message"]["content"]
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            outs = list(ex.map(ask, range(6)))
+        assert len(outs) == 6
+        assert all(isinstance(o, str) for o in outs)
+    finally:
+        server.shutdown()
+        engine.shutdown()

@@ -1,0 +1,209 @@
+"""Continuous-batching generation engine (slot-based).
+
+The vLLM-role serving core (N5): a fixed pool of decode slots shares one KV
+cache and ONE jitted decode step; requests are admitted into free slots via
+single-sequence prefill, decode advances every active slot each step, and
+finished slots are freed immediately — so short requests don't wait for long
+ones and the chip stays busy at the batch's aggregate decode throughput.
+
+Round-1 scope: contiguous per-slot KV (max_len reservation); the paged pool
+(ops/paged_attention.py) swaps in when ragged memory matters more than
+simplicity. Host-side scheduler is a plain loop/thread — admission and
+completion are control flow, the device only ever sees fixed shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import KVCache, decoder_forward
+from ..models.model import lm_head
+from ..models.mrope import get_rope_index, mrope_cos_sin
+from .sampling import SamplingParams, sample_token
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,))
+def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
+                       length, attn_impl: str = "xla"):
+    """Run one sequence's prompt ([1, S]) and write its KV into `slot`.
+    Returns (last_logits [V], cache)."""
+    h = params["model"]["embed_tokens"]["embedding"][ids]
+    cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
+    S = ids.shape[1]
+    # single-sequence prefill cache covering the prompt, then scatter to slot
+    tmp = KVCache.init(cfg.text, 1, S, h.dtype)
+    i = jnp.arange(S)[:, None]
+    j = jnp.arange(S)[None, :]
+    allowed = (j <= i) & (j[None] < length[:, None, None])
+    bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
+    hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
+                                  cache=tmp, cache_position=0,
+                                  attn_impl=attn_impl,
+                                  kv_lengths=length, causal=True)
+    max_len = cache.k.shape[2]
+    pad = max_len - S
+    k_slot = jnp.pad(tmp.k[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
+    v_slot = jnp.pad(tmp.v[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
+    cache = KVCache(cache.k.at[:, slot].set(k_slot),
+                    cache.v.at[:, slot].set(v_slot))
+    logits = lm_head(params, cfg, hidden[0, length[0] - 1])
+    return logits.astype(jnp.float32), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(1,))
+def _decode_step(params, cache: KVCache, cfg, sp: SamplingParams,
+                 last_logits, cur_len, pos_base, active, rng):
+    """One token for every slot. Inactive slots are masked no-ops.
+    Returns (tokens [N], next_logits, cache, new_cur_len)."""
+    N = last_logits.shape[0]
+    tok = sample_token(last_logits, rng, sp)
+    tok = jnp.where(active, tok, sp.pad_token_id)
+
+    emb = params["model"]["embed_tokens"]["embedding"][tok][:, None]
+    pos = pos_base + cur_len                       # [N] true positions
+    pos3 = jnp.broadcast_to(pos[None, :, None], (3, N, 1))
+    cos, sin = mrope_cos_sin(pos3, cfg, dtype=emb.dtype)
+    max_len = cache.k.shape[2]
+    key_valid = jnp.arange(max_len)[None, :] <= cur_len[:, None]
+    bias = jnp.where(key_valid[:, None, None], 0.0, -1e30).astype(jnp.float32)
+    hidden, cache = decoder_forward(
+        params["model"], cfg.text, emb, cos, sin, bias,
+        cache=cache, cache_position=cur_len)
+    next_logits = lm_head(params, cfg, hidden[:, 0]).astype(jnp.float32)
+    new_len = jnp.where(active, cur_len + 1, cur_len)
+    return tok, next_logits, cache, new_len
+
+
+@dataclass
+class _Request:
+    rid: int
+    prompt_ids: np.ndarray
+    position_ids: np.ndarray      # [3, 1, S]
+    rope_delta: int               # max_pos + 1 - true_len
+    max_new_tokens: int
+    done_cb: Optional[Callable] = None
+    tokens: list = field(default_factory=list)
+
+
+class ContinuousEngine:
+    """Slot-pool continuous batching over the shared params/caches."""
+
+    def __init__(self, params, cfg, num_slots: int = 8, max_len: int = 2048,
+                 sp: SamplingParams | None = None, attn_impl: str = "xla",
+                 prompt_buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048),
+                 seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.sp = sp or SamplingParams(
+            max_new_tokens=max_len, eos_token_ids=(cfg.eos_token_id,),
+            pad_token_id=cfg.pad_token_id)
+        self.attn_impl = attn_impl
+        self.prompt_buckets = tuple(sorted(b for b in prompt_buckets
+                                           if b <= max_len))
+        dtype = jnp.dtype(cfg.dtype) if isinstance(cfg.dtype, str) else cfg.dtype
+        self.cache = KVCache.init(cfg.text, num_slots, max_len, dtype)
+        self.last_logits = jnp.zeros((num_slots, cfg.text.vocab_size),
+                                     jnp.float32)
+        self.cur_len = np.zeros((num_slots,), np.int32)
+        self.pos_base = np.zeros((num_slots,), np.int32)
+        self.budget = np.zeros((num_slots,), np.int32)   # remaining new tokens
+        self.slot_req: list[Optional[_Request]] = [None] * num_slots
+        self._rng = jax.random.PRNGKey(seed)
+        self._next_rid = 0
+
+    # -- request lifecycle -------------------------------------------------
+    def submit(self, prompt_ids: list[int], max_new_tokens: int = 128,
+               done_cb: Callable | None = None) -> Optional[int]:
+        """Admit into a free slot; returns request id or None (pool full)."""
+        slot = next((i for i, r in enumerate(self.slot_req) if r is None), None)
+        if slot is None:
+            return None
+        ids = np.asarray(prompt_ids, np.int32)
+        true_len = ids.shape[0]
+        bucket = next((b for b in self.prompt_buckets if b >= true_len),
+                      self.max_len)
+        padded = np.full((1, bucket), self.cfg.pad_token_id, np.int32)
+        padded[0, :true_len] = ids
+        mask = (np.arange(bucket)[None, :] < true_len).astype(np.int64)
+        pos, deltas = get_rope_index(padded, self.cfg, attention_mask=mask)
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, padded, pos, int(deltas[0, 0]) + bucket - true_len,
+                       max_new_tokens, done_cb)
+        logits, self.cache = _prefill_into_slot(
+            self.params, self.cache, self.cfg, slot, jnp.asarray(padded),
+            jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
+            attn_impl=self.attn_impl)
+        self.last_logits = self.last_logits.at[slot].set(logits)
+        self.cur_len[slot] = true_len
+        # decode position = cur_len + pos_base = (true_len + step)
+        #                 + (max_pos + 1 - true_len) = max_pos + 1 + step
+        self.pos_base[slot] = req.rope_delta
+        self.budget[slot] = max_new_tokens
+        self.slot_req[slot] = req
+        return rid
+
+    @property
+    def num_active(self) -> int:
+        return sum(r is not None for r in self.slot_req)
+
+    def step(self) -> list[tuple[int, list[int]]]:
+        """One decode step for all active slots; returns finished
+        (rid, tokens) pairs."""
+        if self.num_active == 0:
+            return []
+        active = np.asarray([r is not None for r in self.slot_req])
+        self._rng, sub = jax.random.split(self._rng)
+        tok, self.last_logits, self.cache, new_len = _decode_step(
+            self.params, self.cache, self.cfg, self.sp, self.last_logits,
+            jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+            jnp.asarray(active), sub)
+        tok = np.asarray(tok)
+        self.cur_len = np.array(new_len)  # writable copy (jax views are RO)
+
+        finished = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            t = int(tok[slot])
+            req.tokens.append(t)
+            self.budget[slot] -= 1
+            hit_eos = t in self.sp.eos_token_ids
+            out_of_room = self.cur_len[slot] >= self.max_len - 1
+            if hit_eos or self.budget[slot] <= 0 or out_of_room:
+                finished.append((req.rid, list(req.tokens)))
+                if req.done_cb:
+                    req.done_cb(req.rid, list(req.tokens))
+                self.slot_req[slot] = None
+        return finished
+
+    # -- threaded server loop ---------------------------------------------
+    def run_loop(self, request_queue: "queue.Queue", stop: threading.Event,
+                 idle_sleep: float = 0.005):
+        """Pull (prompt_ids, max_new_tokens, callback) items; batch-admit and
+        decode until stopped."""
+        import time
+
+        while not stop.is_set():
+            admitted = False
+            while self.num_active < self.num_slots:
+                try:
+                    prompt_ids, mnt, cb = request_queue.get_nowait()
+                except queue.Empty:
+                    break
+                self.submit(prompt_ids, mnt, cb)
+                admitted = True
+            if self.num_active:
+                self.step()
+            elif not admitted:
+                time.sleep(idle_sleep)

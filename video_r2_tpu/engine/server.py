@@ -24,10 +24,16 @@ from .sampling import SamplingParams
 
 
 class ChatEngine:
-    """Thread-safe text-only chat generation on the engine (judge role)."""
+    """Thread-safe text-only chat generation (judge role).
+
+    continuous=True runs the slot-pool continuous-batching engine on a
+    background thread: concurrent HTTP requests share one decode loop instead
+    of serializing whole generate() calls behind a lock."""
 
     def __init__(self, params, cfg, tokenizer, model_name: str = "video-r2-tpu",
-                 max_new_tokens: int = 1024, attn_impl: str = "xla"):
+                 max_new_tokens: int = 1024, attn_impl: str = "xla",
+                 continuous: bool = False, num_slots: int = 8,
+                 max_len: int = 4096):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -36,6 +42,28 @@ class ChatEngine:
         self.attn_impl = attn_impl
         self._lock = threading.Lock()
         self._seed = 0
+        self._queue = None
+        if continuous:
+            import queue as queue_mod
+
+            from .continuous import ContinuousEngine
+
+            self._cont = ContinuousEngine(
+                params, cfg, num_slots=num_slots, max_len=max_len,
+                sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),
+                                  pad_token_id=cfg.pad_token_id),
+                attn_impl=attn_impl)
+            self._queue = queue_mod.Queue()
+            self._stop = threading.Event()
+            self._thread = threading.Thread(
+                target=self._cont.run_loop, args=(self._queue, self._stop),
+                daemon=True)
+            self._thread.start()
+
+    def shutdown(self):
+        if self._queue is not None:
+            self._stop.set()
+            self._thread.join(timeout=10)
 
     def chat(self, messages: list[dict], temperature: float = 0.0,
              top_p: float = 1.0, top_k: int = 0,
@@ -43,11 +71,24 @@ class ChatEngine:
         text = render_messages(messages, add_generation_prompt=True,
                                default_system=None)
         ids = self.tok.encode(text)
+        mnt = max_tokens or self.max_new_tokens
+
+        if self._queue is not None:
+            done = threading.Event()
+            box = {}
+
+            def cb(rid, toks):
+                box["tokens"] = toks
+                done.set()
+
+            self._queue.put((ids, mnt, cb))
+            done.wait()
+            return self.tok.decode(box["tokens"], skip_special_tokens=True)
+
         packed = pack_prompts([ids], pad_id=self.cfg.pad_token_id)
         sp = SamplingParams(
             do_sample=temperature > 0, temperature=max(temperature, 1e-6),
-            top_p=top_p, top_k=top_k,
-            max_new_tokens=max_tokens or self.max_new_tokens,
+            top_p=top_p, top_k=top_k, max_new_tokens=mnt,
             eos_token_ids=(self.cfg.eos_token_id,),
             pad_token_id=self.cfg.pad_token_id)
         with self._lock:

@@ -207,7 +207,10 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
     # patch embed: kernel==stride conv3d is a single matmul over flattened patches
     emb = jnp.einsum("si,io->so", patches, params["patch_embed"]["kernel"])
     safe = jnp.maximum(patch_gather, 0)
-    x = jnp.where(valid[:, None], emb[safe], 0).astype(patches.dtype)
+    # compute dtype follows the PARAMS (bf16 in production) — fp32 input
+    # patches must not upcast the whole tower
+    x = jnp.where(valid[:, None], emb[safe],
+                  0).astype(params["patch_embed"]["kernel"].dtype)
 
     cos, sin = _vision_rotary(pos_hw, cfg.head_dim, cfg.rope_theta)
     is_full = jnp.asarray([i in set(cfg.fullatt_block_indexes)

@@ -85,3 +85,81 @@ def test_int8_matmul_kernel_matches_xla(rng):
     out = int8_matmul(x, wq, scale, block_k=128, block_n=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_qlora_training_over_int8_base(rng):
+    """QLoRA: LoRA adapters train over a frozen int8 base, loss decreases."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.ops.fused_ce import IGNORE_INDEX
+    from video_r2_tpu.train import OptimConfig, SFTConfig, make_optimizer
+    from video_r2_tpu.train.lora import (
+        LoRAConfig,
+        LoRATrainState,
+        attach_lora,
+        init_lora,
+        init_lora_for_quantized,
+        make_lora_sft_step,
+    )
+
+    cfg = tiny_test_config()
+    base = quantize_params(init_params(cfg, dtype="float32"))
+    lcfg = LoRAConfig(r=4, alpha=8)
+    lora = init_lora_for_quantized(base, lcfg)
+    assert lora, "no adapters found over quantized base"
+
+    # attach is identity at init (B = 0)
+    from video_r2_tpu.models import forward, get_rope_index
+
+    ids = rng.integers(2, 400, size=(1, 10))
+    pos, _ = get_rope_index(ids, cfg)
+    ref, _ = forward(base, cfg, ids, pos)
+    att, _ = forward(attach_lora(base, lora, lcfg), cfg, ids, pos)
+    # adding the (x@A)@0 term changes XLA fusion boundaries -> tiny noise
+    np.testing.assert_allclose(np.asarray(att), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    opt = make_optimizer(OptimConfig(learning_rate=5e-3, total_steps=10), lora)
+    step = make_lora_sft_step(base, cfg, SFTConfig(ce_chunk_size=32), lcfg,
+                              opt, donate=False)
+    state = LoRATrainState(lora, opt.init(lora), jnp.zeros((), jnp.int32))
+    B, S = 2, 12
+    bids = rng.integers(2, 400, size=(B, S))
+    labels = bids.copy()
+    labels[:, :4] = IGNORE_INDEX
+    batch = {
+        "input_ids": jnp.asarray(bids),
+        "labels": jnp.asarray(labels),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(S)[None, None], (3, B, S)).copy()),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+    }
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_attach_matches_merge_for_dense(rng):
+    from video_r2_tpu.models import forward, get_rope_index
+    from video_r2_tpu.train.lora import (
+        LoRAConfig,
+        attach_lora,
+        init_lora,
+        merge_lora,
+    )
+    import jax
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    lcfg = LoRAConfig(r=4, alpha=8)
+    lora = init_lora(params, lcfg, seed=3)
+    # give B nonzero values so the delta is active
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    ids = rng.integers(2, 400, size=(1, 8))
+    pos, _ = get_rope_index(ids, cfg)
+    merged, _ = forward(merge_lora(params, lora, lcfg), cfg, ids, pos)
+    attached, _ = forward(attach_lora(params, lora, lcfg), cfg, ids, pos)
+    np.testing.assert_allclose(np.asarray(attached), np.asarray(merged),
+                               rtol=2e-5, atol=2e-6)

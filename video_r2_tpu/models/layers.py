@@ -13,7 +13,9 @@ import jax.numpy as jnp
 def linear(params: dict, x: jax.Array) -> jax.Array:
     """x @ kernel (+ bias). kernel is [in, out]; int8 weight-only quantized
     leaves ({kernel_q, scale}) route through the dequant-fused Pallas matmul
-    for decode-sized activations."""
+    for decode-sized activations. A {lora_a, lora_b, lora_scale} triple adds
+    a low-rank delta WITHOUT materializing W + AB (the QLoRA matmul
+    structure: y = quant_matmul(x) + (x @ A) @ B * s)."""
     if "kernel_q" in params:
         if params["kernel_q"].ndim == 2:
             from ..ops.int8_matmul import quantized_linear_auto
@@ -25,6 +27,11 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
                  * params["scale"].astype(x.dtype))
     else:
         y = jnp.einsum("...i,io->...o", x, params["kernel"])
+    if "lora_a" in params:
+        a = params["lora_a"].astype(x.dtype)
+        b = params["lora_b"].astype(x.dtype)
+        y = y + jnp.einsum("...r,ro->...o",
+                           jnp.einsum("...i,ir->...r", x, a), b)
     if "bias" in params:
         y = y + params["bias"]
     return y

@@ -85,6 +85,18 @@ def embed_inputs(
     return h
 
 
+def lm_head_weight(params: dict, cfg: ModelConfig) -> jax.Array:
+    """Dense [H, V] head weight (dequantized if the head is int8) for the
+    chunked CE/logprob ops."""
+    if cfg.text.tie_word_embeddings:
+        return params["model"]["embed_tokens"]["embedding"].T
+    head = params["lm_head"]
+    if "kernel" in head:
+        return head["kernel"]
+    return (head["kernel_q"].astype(jnp.float32)
+            * head["scale"][None, :]).astype(jnp.bfloat16)
+
+
 def lm_head(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     if cfg.text.tie_word_embeddings:
         w = params["model"]["embed_tokens"]["embedding"].T

@@ -171,8 +171,9 @@ def per_token_logps(
     # hidden[t] predicts token[t+1]; completion tokens are the last C of ids
     hs = hidden[:, S - completion_len - 1: S - 1].reshape(-1, H)
     toks = input_ids[:, S - completion_len:].reshape(-1)
-    w = (params["model"]["embed_tokens"]["embedding"].T
-         if cfg.text.tie_word_embeddings else params["lm_head"]["kernel"])
+    from ..models.model import lm_head_weight
+
+    w = lm_head_weight(params, cfg)
     lp = chunked_token_logprobs(hs, w, toks, temperature, chunk_size)
     return lp.reshape(B, completion_len)
 

@@ -104,6 +104,66 @@ def merge_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
     return jax.tree_util.tree_map(lambda x: x, apply_lora(params, lora, cfg))
 
 
+def attach_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
+    """Inject adapters as {lora_a, lora_b, lora_scale} next to the kernel so
+    layers.linear computes y = base_matmul(x) + (x@A)@B*s WITHOUT forming
+    W + AB. Works over dense AND int8-quantized bases (QLoRA)."""
+
+    def walk(p, l):
+        if l is None:
+            return p
+        if isinstance(l, dict) and "a" in l and not isinstance(l["a"], dict):
+            # p is the kernel leaf; the module dict gets the lora triple —
+            # handled one level up
+            return p
+        if isinstance(p, dict):
+            out = {}
+            for k, v in p.items():
+                sub_l = l.get(k) if isinstance(l, dict) else None
+                out[k] = walk(v, sub_l)
+            # adapter for this module's kernel (dense or quantized)?
+            kernel_lora = l.get("kernel") if isinstance(l, dict) else None
+            if (isinstance(kernel_lora, dict) and "a" in kernel_lora
+                    and not isinstance(kernel_lora["a"], dict)):
+                out["lora_a"] = kernel_lora["a"]
+                out["lora_b"] = kernel_lora["b"] * cfg.scaling
+            return out
+        return p
+
+    return walk(params, lora)
+
+
+def init_lora_for_quantized(params: dict, cfg: LoRAConfig, seed: int = 0,
+                            dtype=jnp.float32) -> dict:
+    """init_lora over a quantized base: targets kernel_q leaves with adapters
+    shaped from the int8 kernels."""
+    rng = np.random.default_rng(seed)
+
+    def f(keypath, leaf):
+        path = _path_tuple(keypath)
+        if path[-1] != "kernel_q":
+            return None
+        mod_path = path[:-1] + ("kernel",)
+        if not _is_target(mod_path, cfg):
+            return None
+        *lead, d_in, d_out = leaf.shape
+        a = rng.normal(0, 1.0 / cfg.r, (*lead, d_in, cfg.r)).astype(np.float32)
+        b = np.zeros((*lead, cfg.r, d_out), np.float32)
+        return {"a": jnp.asarray(a, dtype), "b": jnp.asarray(b, dtype)}
+
+    tree = jax.tree_util.tree_map_with_path(f, params)
+    # rename kernel_q keys back to kernel so attach_lora finds them
+    def rename(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                out["kernel" if k == "kernel_q" else k] = rename(v)
+            return out
+        return node
+
+    return _prune_none(rename(tree))
+
+
 class LoRATrainState(NamedTuple):
     lora: Any
     opt_state: Any
@@ -112,11 +172,13 @@ class LoRATrainState(NamedTuple):
 
 def make_lora_sft_step(base_params, model_cfg, sft_cfg, lora_cfg: LoRAConfig,
                        optimizer, video_layout=None, donate: bool = True):
-    """SFT step where ONLY adapter weights train (base params closed over)."""
+    """SFT step where ONLY adapter weights train (base params closed over).
+    Uses the attach form — y = base(x) + (x@A)@B — so the base can be int8
+    (QLoRA) and W + AB is never materialized."""
     from .sft import sft_loss
 
     def loss_fn(lora, batch):
-        eff = apply_lora(base_params, lora, lora_cfg)
+        eff = attach_lora(base_params, lora, lora_cfg)
         return sft_loss(eff, model_cfg, batch, sft_cfg, video_layout)
 
     def step_fn(state: LoRATrainState, batch):

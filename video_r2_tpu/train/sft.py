@@ -62,8 +62,9 @@ def sft_loss(params, cfg: ModelConfig, batch: dict, scfg: SFTConfig,
     # predict token t+1 from hidden t
     hs = hidden[:, :-1].reshape(-1, hidden.shape[-1])
     labels = batch["labels"][:, 1:].reshape(-1)
-    w = (params["model"]["embed_tokens"]["embedding"].T
-         if cfg.text.tie_word_embeddings else params["lm_head"]["kernel"])
+    from ..models.model import lm_head_weight
+
+    w = lm_head_weight(params, cfg)
     return fused_linear_cross_entropy(hs, w, labels, scfg.ce_chunk_size)
 
 

@@ -24,6 +24,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped and seeded from the test name (stable crc32 — str hash
+    # is salted per process): every test sees the same draws regardless of
+    # execution order (a session-scoped rng made several tolerance-based
+    # tests order-dependent).
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.name.encode()))

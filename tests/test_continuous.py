@@ -158,3 +158,24 @@ def test_server_continuous_mode(cfg_params):
     finally:
         server.shutdown()
         engine.shutdown()
+
+
+def test_overlong_prompt_truncates_not_crashes(cfg_params, rng):
+    cfg, params = cfg_params
+    eng = ContinuousEngine(params, cfg, num_slots=1, max_len=32,
+                           sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                             eos_token_ids=()),
+                           prompt_buckets=(16, 32))
+    long_prompt = list(rng.integers(2, 400, size=500))
+    rid = eng.submit(long_prompt, max_new_tokens=4)
+    assert rid is not None
+    done = []
+    while eng.num_active:
+        done.extend(eng.step())
+    assert len(done[0][1]) == 4
+    # parity with batch generate on the truncated tail
+    room = max(32 - 4 - 1, 8)
+    tail = np.asarray([long_prompt[-room:]])
+    sp = SamplingParams(max_new_tokens=4, pad_token_id=cfg.pad_token_id)
+    ref = generate(params, cfg, tail, np.asarray([room]), sp)
+    assert done[0][1] == list(ref.sequences[0][:4])

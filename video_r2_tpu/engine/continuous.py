@@ -129,6 +129,11 @@ class ContinuousEngine:
         if slot is None:
             return None
         ids = np.asarray(prompt_ids, np.int32)
+        # left-truncate over-long prompts so prompt + generation fits the slot
+        # (TRL-style max_prompt_length truncation keeps the recent context)
+        room = max(self.max_len - max_new_tokens - 1, 8)
+        if ids.shape[0] > room:
+            ids = ids[-room:]
         true_len = ids.shape[0]
         bucket = next((b for b in self.prompt_buckets if b >= true_len),
                       self.max_len)
@@ -201,7 +206,11 @@ class ContinuousEngine:
                     prompt_ids, mnt, cb = request_queue.get_nowait()
                 except queue.Empty:
                     break
-                self.submit(prompt_ids, mnt, cb)
+                try:
+                    self.submit(prompt_ids, mnt, cb)
+                except Exception:  # one bad request must not kill the loop
+                    if cb:
+                        cb(-1, [])
                 admitted = True
             if self.num_active:
                 self.step()

@@ -206,3 +206,55 @@ def test_grpo_end_to_end_cycle(rng):
     assert "reward_mean" in metrics and "rewards/fake_reward/mean" in metrics
     assert int(state.step) == 2  # num_iterations optimizer steps
     assert "kl" in metrics
+
+
+def test_lora_grpo_cycle(rng):
+    """LoRA-GRPO: adapters train; ref policy = adapter-disabled base (no
+    reference model copy). KL is exactly 0 at step 0 and grows after."""
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.train.lora import (
+        LoRAConfig,
+        LoRATrainState,
+        attach_lora,
+        init_lora,
+        make_lora_grpo_step,
+    )
+    from video_r2_tpu.train.optim import OptimConfig, make_optimizer
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    base = init_params(cfg, dtype="float32")
+    lcfg = LoRAConfig(r=4, alpha=8)
+    lora = init_lora(base, lcfg)
+    gcfg = GRPOConfig(num_generations=2, beta=0.04, max_completion_length=6,
+                      max_prompt_length=128, logp_chunk_size=64)
+    opt = make_optimizer(OptimConfig(learning_rate=3e-3, total_steps=10), lora)
+    step = make_lora_grpo_step(base, cfg, gcfg, lcfg, opt, donate=False)
+
+    def odd_len_reward(completions, **kw):
+        return [float(len(c[0]["content"]) % 2) for c in completions]
+
+    runner = GRPORunner(
+        attach_lora(base, lora, lcfg), cfg, gcfg, ByteTokenizer(),
+        reward_funcs=[odd_len_reward], reward_func_names=["odd_len_reward"],
+        step_fn=step, ref_params=base,
+        params_from_state=lambda s: attach_lora(base, s.lora, lcfg))
+
+    frames = rng.integers(0, 256, size=(4, 28, 28, 3), dtype=np.uint8)
+    sample = {"prompt": [{"role": "user", "content": [
+                  {"type": "video", "video": frames, "video_fps": 2.0,
+                   "nframes": 4},
+                  {"type": "text", "text": "What?"}]}],
+              "assistant": "<answer>A</answer>",
+              "temporal_grounding": {}, "temporal_captions": {}}
+    state = LoRATrainState(lora, opt.init(lora), jnp.zeros((), jnp.int32))
+    state, m1 = runner.train_cycle(state, [sample, sample])
+    assert abs(m1["kl"]) < 1e-6  # adapters at init == base -> KL exactly 0
+    state, m2 = runner.train_cycle(state, [sample, sample])
+    assert np.isfinite(m2["loss"])
+    assert m2["kl"] >= 0.0
+    # adapters actually moved
+    assert float(jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), state.lora, 0.0)) > 0.0

@@ -52,7 +52,7 @@ class GRPORunner:
                  step_fn, ref_params=None, judge=None, embedder=None,
                  video_cfg: VideoPreprocessConfig | None = None,
                  attn_impl: str = "xla", seed: int = 0,
-                 metrics_logger=None):
+                 metrics_logger=None, params_from_state=None):
         self.params = params
         self.ref_params = ref_params
         self.cfg = cfg
@@ -68,6 +68,10 @@ class GRPORunner:
         self._seed = seed
         self.timer = PhaseTimer()
         self.metrics_logger = metrics_logger
+        # maps a train state to rollout/policy params; LoRA-GRPO passes
+        # lambda s: attach_lora(base, s.lora, lcfg) so rollouts and the loss
+        # see base+adapters while ref_params stays the bare base
+        self.params_from_state = params_from_state or (lambda s: s.params)
 
     # ------------------------------------------------------------------
     def prepare_prompt(self, sample: dict, params) -> PreparedPrompt:
@@ -260,7 +264,7 @@ class GRPORunner:
         with profiling_phase(self.timer, "optimize"):
             for _ in range(self.gcfg.num_iterations):
                 state, step_metrics = self.step_fn(state, batch)
-                self.params = state.params
+                self.params = self.params_from_state(state)
         metrics.update({k: float(v) for k, v in step_metrics.items()})
         metrics.update(self.timer.metrics())
         return state, metrics

@@ -191,5 +191,29 @@ def make_lora_sft_step(base_params, model_cfg, sft_cfg, lora_cfg: LoRAConfig,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_lora_grpo_step(base_params, model_cfg, grpo_cfg, lora_cfg: LoRAConfig,
+                        optimizer, video_layout=None, donate: bool = True):
+    """GRPO step training ONLY adapters. The reference policy is the base
+    params with adapters disabled — exactly the reference's PEFT
+    disable_adapter trick (grpo_trainer.py:340-343), so no reference-model
+    copy exists at all. Works over dense or int8 (QLoRA) bases."""
+    from .grpo import grpo_loss
+
+    def loss_fn(lora, batch):
+        eff = attach_lora(base_params, lora, lora_cfg)
+        return grpo_loss(eff, model_cfg, grpo_cfg, batch, video_layout)
+
+    def step_fn(state: LoRATrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.lora, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return LoRATrainState(lora, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def lora_param_count(lora: dict) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(lora))

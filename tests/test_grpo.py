@@ -258,3 +258,37 @@ def test_lora_grpo_cycle(rng):
     # adapters actually moved
     assert float(jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), state.lora, 0.0)) > 0.0
+
+
+def test_grpo_image_prompt(rng, tmp_path):
+    """GRPO prompts with image content (reference grpo_dataset image branch)."""
+    from PIL import Image
+
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.train import make_grpo_step
+    from video_r2_tpu.train.optim import OptimConfig, make_optimizer
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    img_path = tmp_path / "i.png"
+    Image.fromarray(rng.integers(0, 256, (56, 56, 3), dtype=np.uint8)).save(img_path)
+    gcfg = GRPOConfig(num_generations=2, beta=0.0, max_completion_length=4,
+                      max_prompt_length=128, logp_chunk_size=64)
+    opt = make_optimizer(OptimConfig(learning_rate=1e-4, total_steps=5), params)
+    step = make_grpo_step(cfg, gcfg, opt, donate=False)
+    runner = GRPORunner(params, cfg, gcfg, ByteTokenizer(),
+                        reward_funcs=[lambda completions, **kw:
+                                      [float(len(c[0]["content"]) % 2)
+                                       for c in completions]],
+                        reward_func_names=["len_reward"], step_fn=step)
+    sample = {"prompt": [{"role": "user", "content": [
+                  {"type": "image", "image": str(img_path)},
+                  {"type": "text", "text": "What is this?"}]}],
+              "assistant": "<answer>A</answer>",
+              "temporal_grounding": {}, "temporal_captions": {}}
+    state = GRPOTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    state, m = runner.train_cycle(state, [sample])
+    assert np.isfinite(m["loss"])

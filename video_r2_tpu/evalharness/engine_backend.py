@@ -65,7 +65,12 @@ class EngineBackend:
         return ids, feats
 
     def generate_until(self, instances: list[Instance]) -> list[str]:
-        prepared = [self._prepare(i) for i in instances]
+        # host preprocessing (video decode / burn-in / tokenize) on threads —
+        # cv2 and PIL release the GIL, so decode overlaps across instances
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            prepared = list(ex.map(self._prepare, instances))
         order = sorted(range(len(prepared)),
                        key=lambda i: (sum(f.num_tokens for f in prepared[i][1]),
                                       len(prepared[i][0])))

@@ -26,7 +26,7 @@ from ..models.config import ModelConfig
 from ..models.mrope import get_rope_index
 from ..models.vision import plan_vision_layout, vit_forward
 from ..utils.profiling import PhaseTimer, profiling_phase
-from ..video import VideoPreprocessConfig, fetch_video
+from ..video import VideoPreprocessConfig, fetch_image, fetch_video
 from .grpo import (
     GRPOConfig,
     combine_rewards,
@@ -79,26 +79,39 @@ class GRPORunner:
         messages = sample["prompt"]
         text = render_messages(messages, add_generation_prompt=True,
                                default_system=None)
-        vid_feats = []
+        # Images ride the video path as 1-frame clips: get_rope_index's image
+        # branch (t=1, second_per_grid=0) is numerically identical to a video
+        # grid with t=1 and spg=0, and the rollout engine merges ONE vision
+        # token type — so every visual becomes a "video" feature here.
+        from ..engine.chat import IMAGE_PAD, VIDEO_PAD
+
+        feats = []
+        spgs = []
         for m in messages:
             if isinstance(m.get("content"), list):
                 for ele in m["content"]:
                     if ele.get("type") == "video" or "video" in ele:
-                        vid_feats.append(fetch_video(ele, self.video_cfg))
+                        f = fetch_video(ele, self.video_cfg)
+                        feats.append(f)
+                        spgs.append(f.second_per_grid_t)
+                    elif ele.get("type") == "image" or "image" in ele:
+                        im = fetch_image(ele)
+                        feats.append(im)
+                        spgs.append(0.0)
+        text = text.replace(IMAGE_PAD, VIDEO_PAD)
         embeds = None
-        grids = [f.grid_thw for f in vid_feats]
-        if vid_feats:
-            patches = np.concatenate([f.patches for f in vid_feats])
+        grids = [f.grid_thw for f in feats]
+        if feats:
+            patches = np.concatenate([f.patches for f in feats])
             layout = plan_vision_layout(grids, self.cfg.vision)
             embeds = vit_forward(params["visual"], self.cfg.vision,
                                  jnp.asarray(patches), layout)
             text = expand_vision_placeholders(
-                text, [f.num_tokens for f in vid_feats], [])
+                text, [f.patches.shape[0] // 4 for f in feats], [])
         ids = np.asarray(self.tok.encode(text), np.int32)
         if ids.shape[0] > self.gcfg.max_prompt_length:
             ids = ids[-self.gcfg.max_prompt_length:]  # left truncation (TRL parity)
-        return PreparedPrompt(messages, ids, embeds, grids,
-                              [f.second_per_grid_t for f in vid_feats], sample)
+        return PreparedPrompt(messages, ids, embeds, grids, spgs, sample)
 
 
     def rollout_and_score(self, samples: list[dict]):

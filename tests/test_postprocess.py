@@ -144,3 +144,28 @@ def test_ablations(rng):
     ele = out["prompt"][0]["content"][0]
     assert ele["type"] == "image"
     assert np.array_equal(ele["image"], frames[0])
+
+
+def test_default_tac_extractors():
+    from video_r2_tpu.evalharness.postprocess import (
+        default_get_gt_letter,
+        default_get_options,
+    )
+
+    # mvbench: candidates + answer text
+    row = {"doc": {"candidates": ["jump", "run", "sit"], "answer": "run"}}
+    assert default_get_options(row) == ["jump", "run", "sit"]
+    assert default_get_gt_letter(row) == "B"
+    # videomme: pre-lettered options + letter answer
+    row = {"doc": {"options": ["A. cat", "B. dog"], "answer": "B"}}
+    assert default_get_options(row) == ["cat", "dog"]
+    assert default_get_gt_letter(row) == "B"
+    # mmvu: choices dict
+    row = {"doc": {"choices": {"A": "x", "B": "y", "C": "z"}, "answer": "C"}}
+    assert default_get_options(row) == ["x", "y", "z"]
+    assert default_get_gt_letter(row) == "C"
+    # longvideobench option0..4 + index-less answer text
+    row = {"doc": {"option0": "red", "option1": "blue", "option2": "N/A",
+                   "answer": "blue"}}
+    assert default_get_options(row) == ["red", "blue"]
+    assert default_get_gt_letter(row) == "B"

@@ -57,10 +57,48 @@ def discover_sample_files(predictions_dir: str | Path) -> dict[str, list[Path]]:
     return out
 
 
+def default_get_options(row: dict):
+    """Options list from the sample's doc, per benchmark schema."""
+    doc = row.get("doc", {})
+    if "candidates" in doc:                        # mvbench
+        return list(doc["candidates"])
+    if isinstance(doc.get("options"), list):       # videomme/videomathqa/...
+        # strip any 'A. ' style prefixes so the judge prompt re-letters them
+        out = []
+        for o in doc["options"]:
+            m = re.match(r"^\s*[A-Ea-e][\.\):]\s*(.*)$", str(o))
+            out.append(m.group(1) if m else str(o))
+        return out
+    if isinstance(doc.get("choices"), dict):       # mmvu
+        return [doc["choices"][k] for k in sorted(doc["choices"])]
+    cands = [doc.get(f"option{i}") for i in range(5)]  # longvideobench
+    cands = [c for c in cands if c not in (None, "N/A")]
+    return cands or None
+
+
+def default_get_gt_letter(row: dict) -> str:
+    """GT option letter from the doc: letter answers pass through, option-text
+    answers resolve against the option list."""
+    doc = row.get("doc", {})
+    answer = str(doc.get("answer", doc.get("ground_truth",
+                                           row.get("target", ""))))
+    m = re.match(r"^\s*\(?([A-Ea-e])\)?[\.\):]?\s*$", answer)
+    if m:
+        return m.group(1).upper()
+    m = re.match(r"^\s*([A-Ea-e])[\.\):]\s+", answer)
+    if m:
+        return m.group(1).upper()
+    options = default_get_options(row) or []
+    for i, opt in enumerate(options):
+        if str(opt).strip().lower() == answer.strip().lower():
+            return chr(ord("A") + i)
+    return answer[:1].upper()
+
+
 def run_all_tac(predictions_dir: str | Path, judge: JudgeClient,
                 out_root: str | Path,
-                get_options=lambda row: None,
-                get_gt_letter=lambda row: str(row.get("target", ""))[:1].upper(),
+                get_options=default_get_options,
+                get_gt_letter=default_get_gt_letter,
                 ) -> dict:
     """TAC over every discovered benchmark file; skip-if-done per file;
     consolidated all_summaries.json."""

@@ -162,11 +162,11 @@ def per_token_logps(
             params["model"], cfg.text, h, cos, sin, None,
             attn_impl="flash",
             kv_lengths=jnp.full((h.shape[0],), h.shape[1], jnp.int32),
-            causal=True, segment_ids=seg)
+            causal=True, segment_ids=seg, remat=True)
     else:
         bias = causal_mask_bias(input_ids.shape[1], attention_mask)
         hidden, _ = decoder_forward(params["model"], cfg.text, h, cos, sin,
-                                    bias, attn_impl="xla")
+                                    bias, attn_impl="xla", remat=True)
     B, S, H = hidden.shape
     # hidden[t] predicts token[t+1]; completion tokens are the last C of ids
     hs = hidden[:, S - completion_len - 1: S - 1].reshape(-1, H)

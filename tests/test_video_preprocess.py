@@ -173,3 +173,20 @@ def test_burn_in_timestamps(rng):
     feats_ts = fetch_video({"video": frames, "video_fps": 2.0, "nframes": 4}, cfg)
     assert feats_plain.patches.shape == feats_ts.patches.shape
     assert not np.allclose(feats_plain.patches, feats_ts.patches)
+
+
+def test_host_backend_matches_device(rng):
+    """PIL+numpy preprocessing tracks the fused device graph closely."""
+    frames = rng.integers(0, 256, size=(4, 100, 150, 3), dtype=np.uint8)
+    host = dp.preprocess_frames_np(frames, 56, 84, backend="host")[0]
+    device = dp.preprocess_frames_np(frames, 56, 84, backend="device")[0]
+    assert host.shape == device.shape
+    # resize kernels differ at implementation level; normalized-space gap small
+    assert np.abs(host - device).mean() < 0.02
+    assert np.abs(host - device).max() < 0.35
+
+    # no-resize case must be exact (pure normalize+patchify)
+    frames2 = rng.integers(0, 256, size=(4, 56, 84, 3), dtype=np.uint8)
+    host2 = dp.preprocess_frames_np(frames2, 56, 84, backend="host")[0]
+    device2 = dp.preprocess_frames_np(frames2, 56, 84, backend="device")[0]
+    np.testing.assert_allclose(host2, device2, rtol=1e-5, atol=1e-5)

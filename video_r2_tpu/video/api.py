@@ -45,6 +45,8 @@ class VideoPreprocessConfig:
     write_subtitles: bool = False                         # WRITE_SUBTITLES_ON_FRAMES
     backend: str | None = None                            # decode backend override
     patch_dtype: str = "float32"
+    preprocess_backend: str = "host"  # "host" (PIL+numpy, no compiles) |
+                                      # "device" (fused jitted graph)
 
 
 @dataclass
@@ -107,8 +109,8 @@ def fetch_image(ele: dict, size_factor: int = IMAGE_FACTOR) -> ImageFeatures:
             max_pixels=ele.get("max_pixels", MAX_PIXELS),
         )
     frame = np.asarray(img, dtype=np.uint8)[None]  # (1, H, W, C)
-    patches, grid = preprocess_frames_np(frame, rh, rw)
-    return ImageFeatures(patches, grid)
+    patches, grid = preprocess_frames_np(frame, rh, rw)  # host: images are
+    return ImageFeatures(patches, grid)                  # always one-shot shapes
 
 
 def burn_in(decoded: DecodedVideo, ele: dict, cfg: VideoPreprocessConfig) -> np.ndarray:
@@ -159,7 +161,8 @@ def fetch_video(
     frames = burn_in(decoded, ele, cfg)
     g = decoded.geometry
     patches, grid = preprocess_frames_np(
-        frames, g.resized_height, g.resized_width, out_dtype=np.dtype(cfg.patch_dtype))
+        frames, g.resized_height, g.resized_width,
+        out_dtype=np.dtype(cfg.patch_dtype), backend=cfg.preprocess_backend)
     sample_fps = g.sample_fps
     return VideoFeatures(patches, grid, sample_fps, 2.0 / max(sample_fps, 1e-6))
 

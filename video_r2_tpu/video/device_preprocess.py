@@ -96,8 +96,49 @@ def grid_thw_for(t: int, target_h: int, target_w: int) -> tuple[int, int, int]:
 
 
 def preprocess_frames_np(frames_uint8: np.ndarray, target_h: int, target_w: int,
-                         out_dtype=np.float32) -> tuple[np.ndarray, tuple[int, int, int]]:
-    """Host wrapper returning (patches, grid_thw) as numpy."""
-    patches = preprocess_frames(jnp.asarray(frames_uint8), target_h, target_w,
-                                out_dtype=jnp.dtype(out_dtype))
-    return np.asarray(patches), grid_thw_for(frames_uint8.shape[0], target_h, target_w)
+                         out_dtype=np.float32, backend: str = "host",
+                         ) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """(patches, grid_thw) as numpy.
+
+    backend="host": PIL bicubic resize + numpy normalize/patchify — zero
+    compilation, right default when video shapes vary (every unique
+    (T,H,W)->target bucket costs a fresh XLA compile of the cubic resize,
+    ~minutes through a remote compiler).
+    backend="device": the fused jitted graph — wins once shapes repeat
+    (fixed eval buckets, training with bucketed resolutions)."""
+    if backend == "device":
+        patches = preprocess_frames(jnp.asarray(frames_uint8), target_h,
+                                    target_w, out_dtype=jnp.dtype(out_dtype))
+        return (np.asarray(patches),
+                grid_thw_for(frames_uint8.shape[0], target_h, target_w))
+    return (preprocess_frames_host(frames_uint8, target_h, target_w, out_dtype),
+            grid_thw_for(frames_uint8.shape[0], target_h, target_w))
+
+
+def preprocess_frames_host(frames_uint8: np.ndarray, target_h: int,
+                           target_w: int, out_dtype=np.float32) -> np.ndarray:
+    """Pure host implementation, numerics-matched to the device graph (PIL
+    bicubic is the same Keys a=-0.5 antialiased kernel)."""
+    from PIL import Image
+
+    t = frames_uint8.shape[0]
+    if frames_uint8.shape[1:3] != (target_h, target_w):
+        frames_uint8 = np.stack([
+            np.asarray(Image.fromarray(f).resize((target_w, target_h),
+                                                 Image.BICUBIC))
+            for f in frames_uint8])
+    x = frames_uint8.astype(np.float32) / 255.0
+    x = (x - np.asarray(IMAGE_MEAN, np.float32)) / np.asarray(IMAGE_STD, np.float32)
+    # patchify (numpy twin of `patchify`)
+    if t % TEMPORAL_PATCH_SIZE:
+        pad = TEMPORAL_PATCH_SIZE - t % TEMPORAL_PATCH_SIZE
+        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+        t += pad
+    gt = t // TEMPORAL_PATCH_SIZE
+    gh, gw = target_h // PATCH_SIZE, target_w // PATCH_SIZE
+    m, p, c = MERGE_SIZE, PATCH_SIZE, x.shape[-1]
+    x = np.transpose(x, (0, 3, 1, 2))
+    x = x.reshape(gt, TEMPORAL_PATCH_SIZE, c, gh // m, m, p, gw // m, m, p)
+    x = np.transpose(x, (0, 3, 6, 4, 7, 2, 1, 5, 8))
+    return np.ascontiguousarray(
+        x.reshape(gt * gh * gw, c * TEMPORAL_PATCH_SIZE * p * p)).astype(out_dtype)

@@ -172,7 +172,14 @@ def _full_attention(q, k, v, valid, full_gather, scale: float):
         probs = jax.nn.softmax(scores, axis=-1).astype(vv.dtype)
         return jnp.einsum("nqk,knd->qnd", probs, vv)
 
-    out = jax.lax.map(per_group, (qg, kg, vg, gmask))  # [G, Lmax, nh, hd]
+    # chunked map: fully sequential is latency-bound with many small groups
+    # (batched eval), fully batched blows memory at 128-frame shapes — chunk
+    # so one chunk's score block stays near ~512 MB fp32
+    g_count, lmax = g_idx.shape
+    score_bytes = nh * lmax * lmax * 4
+    chunk = max(1, min(g_count, (512 << 20) // max(score_bytes, 1)))
+    out = jax.lax.map(per_group, (qg, kg, vg, gmask),
+                      batch_size=chunk)  # [G, Lmax, nh, hd]
     # scatter back to [S_pad] (pad rows -> trash slot s)
     flat_idx = jnp.where(g_idx >= 0, g_idx, s).reshape(-1)
     buf = jnp.zeros((s + 1, nh, hd), dtype=out.dtype)

@@ -41,7 +41,8 @@ def main(argv=None):
     tasks = [get_task(name, dataset_path=docs_arg)
              for name in tasks_arg.split(",")]
     model = EngineModel(params, cfg, tok, attn_impl=attn_impl(app))
-    out = evaluate(model, tasks, limit=limit, output_dir=app.run.output_dir)
+    out = evaluate(model, tasks, limit=limit, output_dir=app.run.output_dir,
+                   cache_dir=f"{app.run.output_dir}/cache")  # resumable
     for name, res in out["results"].items():
         logger.info("%s: %s", name, res)
     return out

@@ -25,7 +25,7 @@ def main():
     cfg = qwen25vl_7b()
     params = init_params_quantized_zeros(cfg)
 
-    B, prompt_len, new_tokens = 64, 256, 128
+    B, prompt_len, new_tokens = 128, 256, 128
     rng = np.random.default_rng(0)
     ids = rng.integers(2, 150000, size=(B, prompt_len)).astype(np.int32)
     lengths = np.full((B,), prompt_len, np.int32)

@@ -87,6 +87,25 @@ def test_int8_matmul_kernel_matches_xla(rng):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_int8_matmul_stacked_matches_xla(rng):
+    """Scalar-prefetch stacked kernel: each layer index selects the right
+    weight slab out of the [L, K, N] buffer."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.ops.int8_matmul import int8_matmul_stacked
+
+    L, M, K, N = 3, 16, 256, 384
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    wq = jnp.asarray(rng.integers(-127, 128, size=(L, K, N)), dtype=jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, size=(L, N)).astype(np.float32))
+    for layer in range(L):
+        ref = (x @ wq[layer].astype(jnp.float32)) * scale[layer]
+        out = int8_matmul_stacked(x, wq, scale, layer, block_k=128,
+                                  block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_qlora_training_over_int8_base(rng):
     """QLoRA: LoRA adapters train over a frozen int8 base, loss decreases."""
     import jax.numpy as jnp

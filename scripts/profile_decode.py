@@ -27,9 +27,13 @@ def timed(fn, n=3):
 
 
 def main():
+    import sys
+    bits = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     cfg = qwen25vl_7b()
-    params = init_params_quantized_zeros(cfg)
-    B, S, T = 128, 256, 128
+    params = init_params_quantized_zeros(cfg, bits=bits)
+    S, T = 256, 128
+    print(f"bits={bits} B={B}")
     rng = np.random.default_rng(0)
     ids = rng.integers(2, 150000, size=(B, S)).astype(np.int32)
     lengths = np.full((B,), S, np.int32)
@@ -52,17 +56,21 @@ def main():
         float(logits.sum())
         return logits, cache
 
-    logits, cache = run_prefill()
+    run_prefill()
     t_prefill = timed(lambda: run_prefill())
     print(f"prefill({B}x{S}): {t_prefill*1e3:.1f} ms "
           f"({B*S/t_prefill:.0f} tok/s)")
 
     def run_decode():
-        toks, logps, gl = decode(params, cfg, sp, logits, cache, len_d, rd_d,
-                                 key, attn_impl="flash")
+        # decode donates its cache, so re-prefill each iteration and
+        # subtract the known prefill time
+        lg, ch = prefill(params, cfg, ids_d, pos_d, len_d, max_cache,
+                         attn_impl="flash")
+        toks, logps, gl, _ = decode(params, cfg, sp, lg, ch, len_d, rd_d,
+                                    key, attn_impl="flash")
         float(gl.sum())
 
-    t_decode = timed(run_decode)
+    t_decode = timed(run_decode) - t_prefill
     print(f"decode({T} steps): {t_decode*1e3:.1f} ms "
           f"({t_decode/T*1e3:.2f} ms/step, {B*T/t_decode:.0f} tok/s)")
     total = t_prefill + t_decode

@@ -106,6 +106,100 @@ def test_int8_matmul_stacked_matches_xla(rng):
                                    rtol=1e-5, atol=1e-4)
 
 
+def test_int4_pack_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from video_r2_tpu.ops.int4_matmul import (pack_int4_halves,
+                                              unpack_int4_halves)
+
+    q = rng.integers(-7, 8, size=(3, 256, 64)).astype(np.int8)
+    packed = pack_int4_halves(jnp.asarray(q))
+    assert packed.shape == (3, 128, 64) and packed.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(unpack_int4_halves(packed)), q)
+
+
+def test_int4_quantize_dequantize_error_bound(rng):
+    import jax.numpy as jnp
+
+    from video_r2_tpu.models.quant import (dequantize_kernel_int4,
+                                           quantize_kernel_int4)
+
+    w = rng.normal(size=(512, 96)).astype(np.float32)
+    leaf = quantize_kernel_int4(jnp.asarray(w), group_size=128)
+    deq = np.asarray(dequantize_kernel_int4(leaf, jnp.float32,
+                                            group_size=128))
+    # symmetric 4-bit with per-group amax scale: |err| <= scale/2 per weight
+    scales = np.abs(w.reshape(4, 128, 96)).max(axis=1, keepdims=True) / 7.0
+    bound = np.broadcast_to(scales / 2 + 1e-7, (4, 128, 96)).reshape(512, 96)
+    assert (np.abs(deq - w) <= bound).all()
+
+
+def test_int4_matmul_stacked_matches_dequant(rng):
+    import jax.numpy as jnp
+
+    from video_r2_tpu.models.quant import quantize_kernel_int4
+    from video_r2_tpu.ops.int4_matmul import dequant_int4, int4_matmul_stacked
+
+    L, M, K, N, g = 2, 16, 512, 384, 128
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(L, K, N)).astype(np.float32))
+    leaf = quantize_kernel_int4(w, group_size=g)
+    for layer in range(L):
+        ref = x @ dequant_int4(leaf["kernel_q4"][layer],
+                               leaf["scale4"][layer], g, jnp.float32)
+        out = int4_matmul_stacked(x, leaf["kernel_q4"], leaf["scale4"],
+                                  layer, group_size=g, block_kp=128,
+                                  block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_int4_forward_exact_vs_materialized_dequant(rng):
+    """The fused int4 path computes EXACTLY the dequantized-weights model
+    (no dispatch/packing drift); generation runs end to end.
+
+    (Token agreement with the fp model is not asserted: random tiny-model
+    logits are near-uniform, so inherent 4-bit noise flips argmax — with
+    trained weights group-128 int4 tracks fp closely, which the error-bound
+    test above pins down per weight.)"""
+    from video_r2_tpu.engine import SamplingParams, generate
+    from video_r2_tpu.models.quant import dequantize_kernel_int4
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    qp = quantize_params(params, bits=4, group_size=8)
+
+    def deq(node):
+        if isinstance(node, dict):
+            if "kernel_q4" in node:
+                out = {k: v for k, v in node.items()
+                       if k not in ("kernel_q4", "scale4")}
+                K = 2 * node["kernel_q4"].shape[-2]
+                g = K // node["scale4"].shape[-2]
+                out["kernel"] = dequantize_kernel_int4(node, jnp.float32,
+                                                       group_size=g)
+                return out
+            if "kernel_q" in node:
+                out = {k: v for k, v in node.items()
+                       if k not in ("kernel_q", "scale")}
+                out["kernel"] = (node["kernel_q"].astype(jnp.float32)
+                                 * node["scale"][..., None, :])
+                return out
+            return {k: deq(v) for k, v in node.items()}
+        return node
+
+    ids = rng.integers(2, 400, size=(2, 6))
+    pos, _ = get_rope_index(ids, cfg)
+    lq, _ = forward(qp, cfg, jnp.asarray(ids), jnp.asarray(pos))
+    ld, _ = forward(deq(qp), cfg, jnp.asarray(ids), jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(ld),
+                               rtol=1e-5, atol=1e-5)
+
+    sp = SamplingParams(max_new_tokens=6, pad_token_id=cfg.pad_token_id)
+    out = generate(qp, cfg, ids, np.array([6, 6]), sp)
+    assert out.sequences.shape == (2, 6)
+
+
 def test_qlora_training_over_int8_base(rng):
     """QLoRA: LoRA adapters train over a frozen int8 base, loss decreases."""
     import jax.numpy as jnp

@@ -47,7 +47,8 @@ def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
     hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                   cache=tmp, cache_position=0,
                                   attn_impl=attn_impl,
-                                  kv_lengths=length, causal=True)
+                                  kv_lengths=length, causal=True,
+                                  cache_fill=True)
     max_len = cache.k.shape[2]
     pad = max_len - S
     k_slot = jnp.pad(tmp.k[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))

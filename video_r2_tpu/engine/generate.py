@@ -72,13 +72,15 @@ def prefill(
     hidden, cache = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                     cache=cache, cache_position=0,
                                     attn_impl=attn_impl,
-                                    kv_lengths=lengths, causal=True)
+                                    kv_lengths=lengths, causal=True,
+                                    cache_fill=True)
     last = hidden[jnp.arange(B), lengths - 1]
     logits = lm_head(params, cfg, last)
     return logits.astype(jnp.float32), cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "sp", "attn_impl"))
+@partial(jax.jit, static_argnames=("cfg", "sp", "attn_impl"),
+         donate_argnums=(4,))
 def decode(
     params: dict,
     cfg: ModelConfig,
@@ -91,9 +93,21 @@ def decode(
     attn_impl: str = "xla",
 ):
     """Scan `max_new_tokens` decode steps. Returns (tokens [B,T], logprobs [B,T],
-    gen_lengths [B])."""
+    gen_lengths [B], cache).
+
+    The input cache is DONATED and returned (as the scan carry) so XLA
+    aliases the multi-GB buffer end to end — exactly one cache allocation
+    lives across prefill+decode. Callers must not reuse the passed-in cache
+    object afterwards."""
     B = first_logits.shape[0]
     max_len = cache.k.shape[2]
+    # Fixed-slot decode layout: step t's KV rows land at cache position
+    # S_pad + t for EVERY sample (the prompt's padded width, not the true
+    # length). A uniform scalar position makes the cache write a
+    # dynamic-update-slice (in-place on the scan carry) instead of a
+    # per-sample scatter; rope positions still use true lengths, and the
+    # attention mask admits prompt rows [0, len_b) plus slots [S_pad, S_pad+t].
+    s_pad = max_len - sp.max_new_tokens
     eos = jnp.asarray(sp.eos_token_ids, dtype=jnp.int32) if sp.eos_token_ids else None
 
     def is_eos(tok):
@@ -101,7 +115,8 @@ def decode(
             return jnp.zeros_like(tok, dtype=bool)
         return jnp.any(tok[:, None] == eos[None, :], axis=-1)
 
-    def step(carry, rng_step):
+    def step(carry, xs):
+        rng_step, t = xs
         logits, cache, cur_len, done = carry
         tok = sample_token(logits, rng_step, sp)
         tok = jnp.where(done, sp.pad_token_id, tok)
@@ -114,30 +129,28 @@ def decode(
         pos_scalar = cur_len + rope_deltas            # [B]
         pos3 = jnp.broadcast_to(pos_scalar[None, :, None], (3, B, 1))
         cos, sin = mrope_cos_sin(pos3, cfg, dtype=emb.dtype)
-        if attn_impl == "flash":
-            bias = None
-        else:
-            key_valid = jnp.arange(max_len)[None, :] <= cur_len[:, None]
-            bias = jnp.where(key_valid[:, None, None], 0.0,
-                             -1e30).astype(jnp.float32)
+        j = jnp.arange(max_len)[None, :]
+        allowed = (j < lengths[:, None]) | ((j >= s_pad) & (j <= s_pad + t))
+        bias = jnp.where(allowed[:, None, None], 0.0, -1e30).astype(jnp.float32)
         hidden, cache = decoder_forward(
             params["model"], cfg.text, emb, cos, sin, bias,
-            cache=cache, cache_position=cur_len, attn_impl=attn_impl,
-            kv_lengths=cur_len + 1, causal=False)
+            cache=cache, cache_position=s_pad + t, attn_impl=attn_impl,
+            causal=False)
         next_logits = lm_head(params, cfg, hidden[:, 0]).astype(jnp.float32)
         cur_len = jnp.where(done, cur_len, cur_len + 1)
         return (next_logits, cache, cur_len, new_done), (tok, logp)
 
     rngs = jax.random.split(rng, sp.max_new_tokens)
-    (_, _, cur_len, _), (toks, logps) = jax.lax.scan(
-        step, (first_logits, cache, lengths, jnp.zeros(B, bool)), rngs)
+    (_, cache, cur_len, _), (toks, logps) = jax.lax.scan(
+        step, (first_logits, cache, lengths, jnp.zeros(B, bool)),
+        (rngs, jnp.arange(sp.max_new_tokens)))
     toks = toks.T          # [B, T]
     logps = logps.T
     # generated length = tokens up to and including the first eos; finished
     # samples emit pad afterwards (assumes pad is not a legitimate sample,
     # matching HF generate's pad-after-eos contract)
     gen_len = jnp.sum(toks != sp.pad_token_id, axis=-1)
-    return toks, logps, gen_len
+    return toks, logps, gen_len, cache
 
 
 def generate(
@@ -174,7 +187,7 @@ def generate(
         jnp.asarray(lengths), max_cache,
         vision_embeds=vision_embeds, vision_token_id=vision_token_id,
         attn_impl=attn_impl)
-    toks, logps, gen_len = decode(
+    toks, logps, gen_len, _ = decode(
         params, cfg, sp, logits, cache, jnp.asarray(lengths),
         jnp.asarray(rope_deltas), jax.random.PRNGKey(seed), attn_impl=attn_impl)
     return GenerationResult(np.asarray(toks), np.asarray(gen_len),

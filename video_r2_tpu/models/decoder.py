@@ -38,9 +38,13 @@ class KVCache(NamedTuple):
 
 
 def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
-           cache_position=None, attn_impl: str = "xla",
+           cache_position=None, layer_idx=None, attn_impl: str = "xla",
            kv_lengths=None, causal: bool = False, segment_ids=None):
-    """One decoder layer. Returns (x, (new_k_slice, new_v_slice))."""
+    """One decoder layer. With a cache, cache_kv is the FULL stacked
+    (k, v) [L, B, Smax, kh, hd] pair carried through the layer scan; the new
+    token rows are written in place (dynamic-update-slice on the scan carry —
+    XLA aliases loop-state updates, so no per-step copy of the multi-GB cache,
+    which a per-layer xs/ys cache costs). Returns (x, (k_stack, v_stack))."""
     B, S, _ = x.shape
     nh, kh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -50,17 +54,36 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
     v = linear(p["attn"]["v"], h).reshape(B, S, kh, hd)
     q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
-    if cache_kv is not None:
+    if cache_kv is not None and layer_idx is None:
+        # fill mode (prefill): per-layer [B, Smax, kh, hd] cache rides the
+        # layer scan as xs/ys. The zeros-initialized input lets XLA fold
+        # DUS-into-zeros to a pad — no cache read traffic.
         ck, cv = cache_kv
         if isinstance(cache_position, jax.Array) and cache_position.ndim == 1:
-            # per-sample positions (decode step, S==1)
             b_idx = jnp.arange(B)
             ck = ck.at[b_idx, cache_position].set(k[:, 0])
             cv = cv.at[b_idx, cache_position].set(v[:, 0])
         else:
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_position, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_position, 0, 0))
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_position, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_position, 0, 0))
         k_all, v_all, new_kv = ck, cv, (ck, cv)
+    elif cache_kv is not None:
+        ck, cv = cache_kv
+        if isinstance(cache_position, jax.Array) and cache_position.ndim == 1:
+            # per-sample positions (continuous-batching decode, S==1)
+            b_idx = jnp.arange(B)
+            ck = ck.at[layer_idx, b_idx, cache_position].set(k[:, 0])
+            cv = cv.at[layer_idx, b_idx, cache_position].set(v[:, 0])
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (layer_idx, 0, cache_position, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (layer_idx, 0, cache_position, 0, 0))
+        k_all = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
+        v_all = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
+        new_kv = (ck, cv)
     else:
         k_all, v_all, new_kv = k, v, (k, v)
 
@@ -70,6 +93,38 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
     x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd))
     h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
     return x + swiglu_mlp(p["mlp"], h), new_kv
+
+
+def _has_stacked_q4(layers: dict) -> bool:
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel_q4" in node:
+                return True
+            return any(walk(v) for v in node.values())
+        return False
+    return walk(layers)
+
+
+def _stacked_quant_view(layers: dict, l: jax.Array) -> dict:
+    """Per-layer parameter view for the index-scan decode body: int4 weight
+    stacks stay whole (tagged with the traced layer index for the stacked
+    Pallas matmul); every other leaf is dynamically indexed at l (fuses into
+    its consumer — these are small: norms, biases, int8 stacks, LoRA)."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel_q4" in node:
+                out = {}
+                for k, v in node.items():
+                    if k in ("kernel_q4", "scale4"):
+                        out[k] = v
+                    else:
+                        out[k] = jax.lax.dynamic_index_in_dim(
+                            v, l, 0, keepdims=False)
+                out["_layer_idx"] = l
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return jax.lax.dynamic_index_in_dim(node, l, 0, keepdims=False)
+    return walk(layers)
 
 
 def decoder_forward(
@@ -86,6 +141,7 @@ def decoder_forward(
     causal: bool = False,
     segment_ids: jax.Array | None = None,  # [B, S] packed/gap masking (flash)
     remat: bool = False,                  # gradient checkpointing per layer
+    cache_fill: bool = False,             # prefill: build the cache via xs/ys
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the stacked decoder. Returns (final hidden [B,S,H], updated cache).
 
@@ -105,16 +161,52 @@ def decoder_forward(
             body = jax.checkpoint(body)
         hidden, _ = jax.lax.scan(body, hidden, layers)
         new_cache = None
-    else:
+    elif cache_fill:
         def body(x, inp):
             p, ck, cv = inp
             x, (nk, nv) = _layer(p, x, cos, sin, mask_bias, cfg,
-                                 cache_kv=(ck, cv), cache_position=cache_position,
+                                 cache_kv=(ck, cv),
+                                 cache_position=cache_position,
                                  attn_impl=attn_impl,
                                  kv_lengths=kv_lengths, causal=causal)
             return x, (nk, nv)
 
-        hidden, (ks, vs) = jax.lax.scan(body, hidden, (layers, cache.k, cache.v))
+        hidden, (ks, vs) = jax.lax.scan(body, hidden,
+                                        (layers, cache.k, cache.v))
+        new_cache = KVCache(ks, vs)
+    else:
+        n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+
+        if _has_stacked_q4(layers):
+            # int4 decode: keep the packed weight stacks WHOLE and scan over
+            # layer indices; linear() streams tiles of the [L, K/2, N]
+            # buffers via the scalar-prefetch Pallas kernel (no slice copy).
+            def body(carry, l):
+                x, ck, cv = carry
+                p = _stacked_quant_view(layers, l)
+                x, (ck, cv) = _layer(p, x, cos, sin, mask_bias, cfg,
+                                     cache_kv=(ck, cv),
+                                     cache_position=cache_position,
+                                     layer_idx=l, attn_impl=attn_impl,
+                                     kv_lengths=kv_lengths, causal=causal)
+                return (x, ck, cv), None
+
+            (hidden, ks, vs), _ = jax.lax.scan(
+                body, (hidden, cache.k, cache.v), jnp.arange(n_layers))
+        else:
+            def body(carry, inp):
+                x, ck, cv = carry
+                l, p = inp
+                x, (ck, cv) = _layer(p, x, cos, sin, mask_bias, cfg,
+                                     cache_kv=(ck, cv),
+                                     cache_position=cache_position,
+                                     layer_idx=l, attn_impl=attn_impl,
+                                     kv_lengths=kv_lengths, causal=causal)
+                return (x, ck, cv), None
+
+            (hidden, ks, vs), _ = jax.lax.scan(
+                body, (hidden, cache.k, cache.v),
+                (jnp.arange(n_layers), layers))
         new_cache = KVCache(ks, vs)
 
     hidden = rms_norm(params["norm"]["scale"], hidden, cfg.rms_norm_eps)

@@ -13,10 +13,16 @@ import jax.numpy as jnp
 def linear(params: dict, x: jax.Array) -> jax.Array:
     """x @ kernel (+ bias). kernel is [in, out]; int8 weight-only quantized
     leaves ({kernel_q, scale}) route through the dequant-fused Pallas matmul
-    for decode-sized activations. A {lora_a, lora_b, lora_scale} triple adds
-    a low-rank delta WITHOUT materializing W + AB (the QLoRA matmul
-    structure: y = quant_matmul(x) + (x @ A) @ B * s)."""
-    if "kernel_q" in params:
+    for decode-sized activations; int4 leaves ({kernel_q4, scale4}) through
+    the packed-nibble kernel. A leaf carrying "_layer_idx" is a STACKED view
+    (decoder decode scan): the full [L, ...] weight buffer plus a traced
+    layer index, letting the Pallas kernels stream tiles straight from the
+    stacked HBM buffer (no per-layer slice copy). A {lora_a, lora_b,
+    lora_scale} triple adds a low-rank delta WITHOUT materializing W + AB
+    (the QLoRA matmul structure: y = quant_matmul(x) + (x @ A) @ B * s)."""
+    if "kernel_q4" in params:
+        y = _int4_linear(params, x)
+    elif "kernel_q" in params:
         if params["kernel_q"].ndim == 2:
             from ..ops.int8_matmul import quantized_linear_auto
 
@@ -35,6 +41,38 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     if "bias" in params:
         y = y + params["bias"]
     return y
+
+
+def _int4_linear(params: dict, x: jax.Array) -> jax.Array:
+    from ..ops.int4_matmul import dequant_int4, int4_matmul_stacked
+
+    kq, s4 = params["kernel_q4"], params["scale4"]
+    K = 2 * kq.shape[-2]
+    g = K // s4.shape[-2]
+    if "_layer_idx" in params:
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, K)
+        if jax.default_backend() == "tpu" and x2.shape[0] <= 1024:
+            y = int4_matmul_stacked(x2, kq, s4, params["_layer_idx"],
+                                    group_size=g)
+        else:
+            layer = params["_layer_idx"]
+            w = dequant_int4(
+                jax.lax.dynamic_index_in_dim(kq, layer, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(s4, layer, 0, keepdims=False),
+                g, x.dtype)
+            y = x2 @ w
+        return y.reshape(*lead, kq.shape[-1])
+    if kq.ndim == 2 and jax.default_backend() == "tpu":
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, K)
+        if 0 < x2.shape[0] <= 1024:
+            # e.g. decode-step lm_head: one-layer stacked call — never
+            # materialize the dequantized [K, V] in HBM
+            y = int4_matmul_stacked(x2, kq[None], s4[None], 0, group_size=g)
+            return y.reshape(*lead, kq.shape[-1])
+    w = dequant_int4(kq, s4, g, x.dtype)
+    return jnp.einsum("...i,...io->...o", x, w)
 
 
 def rms_norm(scale: jax.Array, x: jax.Array, eps: float) -> jax.Array:

@@ -135,7 +135,7 @@ def forward(
     bias = causal_mask_bias(input_ids.shape[1], attention_mask)
     h, cache = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                cache=cache, cache_position=cache_position,
-                               attn_impl=attn_impl)
+                               attn_impl=attn_impl, cache_fill=True)
     if return_hidden:
         return h, cache
     return lm_head(params, cfg, h), cache

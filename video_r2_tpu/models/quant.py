@@ -38,13 +38,50 @@ def dequantize_kernel(leaf: dict, dtype=jnp.bfloat16) -> jax.Array:
             * leaf["scale"][..., None, :]).astype(dtype)
 
 
+INT4_GROUP_SIZE = 128
+
+
+def quantize_kernel_int4(w: jax.Array, group_size: int = INT4_GROUP_SIZE) -> dict:
+    """[.., K, N] -> half-split packed int4 ({kernel_q4 [.., K/2, N],
+    scale4 [.., K/g, N]}), symmetric per-group along K (q in [-7, 7])."""
+    from ..ops.int4_matmul import pack_int4_halves
+
+    *lead, K, N = w.shape
+    g = group_size
+    assert K % (2 * g) == 0, (K, g)
+    w32 = w.astype(jnp.float32).reshape(*lead, K // g, g, N)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)   # [.., K/g, 1, N]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w32 / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(*lead, K, N)
+    return {"kernel_q4": pack_int4_halves(q),
+            "scale4": scale[..., 0, :].astype(jnp.float32)}
+
+
+def dequantize_kernel_int4(leaf: dict, dtype=jnp.bfloat16,
+                           group_size: int = INT4_GROUP_SIZE) -> jax.Array:
+    from ..ops.int4_matmul import dequant_int4
+
+    return dequant_int4(leaf["kernel_q4"], leaf["scale4"], group_size, dtype)
+
+
 def _path_tuple(keypath):
     return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
 
 
-def quantize_params(params: dict, include_embedding: bool = False) -> dict:
+def quantize_params(params: dict, include_embedding: bool = False,
+                    bits: int = 8,
+                    group_size: int = INT4_GROUP_SIZE) -> dict:
     """Replace targeted kernel leaves with quantized dicts (pytree-level
-    rewrite; module dicts keep their biases)."""
+    rewrite; module dicts keep their biases). bits=4 uses group-wise int4
+    where the input dim permits (K % 2*group_size == 0 — the 7B decoder and
+    lm_head do; ViT fc dims don't and stay int8)."""
+    assert bits in (4, 8), bits
+
+    def quant_leaf(w):
+        if bits == 4 and w.shape[-2] % (2 * group_size) == 0:
+            return quantize_kernel_int4(w, group_size)
+        return quantize_kernel(w)
 
     def walk(node, path):
         if isinstance(node, dict):
@@ -52,7 +89,7 @@ def quantize_params(params: dict, include_embedding: bool = False) -> dict:
                     any((path + ("kernel",))[-len(s):] == s
                         for s in QUANT_SUFFIXES)):
                 out = {k: v for k, v in node.items() if k != "kernel"}
-                out.update(quantize_kernel(node["kernel"]))
+                out.update(quant_leaf(node["kernel"]))
                 return out
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         return node
@@ -69,8 +106,9 @@ def quantized_param_bytes(params: dict) -> int:
                for x in jax.tree_util.tree_leaves(params))
 
 
-def init_params_quantized_zeros(cfg) -> dict:
-    """Zero-valued int8 params built directly from shapes (no bf16
+def init_params_quantized_zeros(cfg, bits: int = 8,
+                                group_size: int = INT4_GROUP_SIZE) -> dict:
+    """Zero-valued int8/int4 params built directly from shapes (no bf16
     intermediate anywhere) — benchmark-only: instant setup, peak HBM equals
     the final footprint."""
     from .loader import init_params
@@ -86,9 +124,17 @@ def init_params_quantized_zeros(cfg) -> dict:
                 k = node["kernel"]
                 out = {kk: jnp.zeros(vv.shape, vv.dtype)
                        for kk, vv in node.items() if kk != "kernel"}
-                out["kernel_q"] = jnp.zeros(k.shape, jnp.int8)
-                out["scale"] = jnp.full(k.shape[:-2] + k.shape[-1:], 1e-8,
-                                        jnp.float32)
+                K, N = k.shape[-2], k.shape[-1]
+                lead = k.shape[:-2]
+                if bits == 4 and K % (2 * group_size) == 0:
+                    # packed zeros must decode to q=0, i.e. nibble value 8
+                    out["kernel_q4"] = jnp.full(lead + (K // 2, N),
+                                                (8 | (8 << 4)) - 256, jnp.int8)
+                    out["scale4"] = jnp.full(lead + (K // group_size, N),
+                                             1e-8, jnp.float32)
+                else:
+                    out["kernel_q"] = jnp.zeros(k.shape, jnp.int8)
+                    out["scale"] = jnp.full(lead + (N,), 1e-8, jnp.float32)
                 return out
             return {k: build(v, path + (k,)) for k, v in node.items()}
         return jnp.zeros(node.shape, node.dtype)

@@ -1,12 +1,15 @@
 """Benchmark of record: decode tokens/sec/chip for the 7B flagship on one TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs the generation engine (Pallas flash prefill + batched XLA decode) on
-Qwen2.5-VL-7B with weight-only int8 (8.85 GB — fits a single 16 GB v5e chip;
-bf16 weights alone would not). Baseline marker: ~800 tok/s aggregated for the
-reference stack's HF `generate` on one A100-80GB at 7B bf16, comparable batch
-(the reference's rollout/eval path; BASELINE.md "A100-class decode
-tokens/sec/chip").
+Runs the generation engine on Qwen2.5-VL-7B, weight-only int8 (8.85 GB —
+fits a single 16 GB v5e chip; bf16 weights alone would not):
+  prefill — Pallas flash attention + W8A8 linears on the integer MXU
+            (dynamic per-token activation int8, 2x bf16 MXU peak);
+  decode  — fully-jitted scan, in-place stacked KV cache, weight-only
+            dequant matmuls (bandwidth-bound; activation precision free).
+Baseline marker: ~800 tok/s aggregated for the reference stack's HF
+`generate` on one A100-80GB at 7B bf16, comparable batch (the reference's
+rollout/eval path; BASELINE.md "A100-class decode tokens/sec/chip").
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ def main():
 
     def run(seed):
         return generate(params, cfg, ids, lengths, sp, seed=seed,
-                        attn_impl="flash")
+                        attn_impl="flash", act_quant="int8")
 
     run(0)  # compile
     t0 = time.perf_counter()
@@ -46,7 +49,7 @@ def main():
 
     baseline = 800.0  # A100-class HF-generate aggregated decode tok/s (7B)
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_chip_qwen25vl7b_int8_b{B}",
+        "metric": f"decode_tokens_per_sec_chip_qwen25vl7b_int8_w8a8prefill_b{B}",
         "value": round(toks_per_sec, 1),
         "unit": "tokens/sec",
         "vs_baseline": round(toks_per_sec / baseline, 3),

@@ -50,9 +50,12 @@ def main():
     rd_d = jnp.asarray(rope_deltas)
     key = jax.random.PRNGKey(0)
 
+    import os
+    aq = os.environ.get("VR2_ACT_QUANT") or None
+
     def run_prefill():
         logits, cache = prefill(params, cfg, ids_d, pos_d, len_d, max_cache,
-                                attn_impl="flash")
+                                attn_impl="flash", act_quant=aq)
         float(logits.sum())
         return logits, cache
 
@@ -65,7 +68,7 @@ def main():
         # decode donates its cache, so re-prefill each iteration and
         # subtract the known prefill time
         lg, ch = prefill(params, cfg, ids_d, pos_d, len_d, max_cache,
-                         attn_impl="flash")
+                         attn_impl="flash", act_quant=aq)
         toks, logps, gl, _ = decode(params, cfg, sp, lg, ch, len_d, rd_d,
                                     key, attn_impl="flash")
         float(gl.sum())

@@ -154,6 +154,26 @@ def test_int4_matmul_stacked_matches_dequant(rng):
                                    rtol=1e-5, atol=1e-4)
 
 
+def test_w8a8_prefill_close_to_weight_only(rng):
+    """Dynamic per-token activation int8 (integer-MXU prefill path) tracks
+    the weight-only int8 forward closely."""
+    from video_r2_tpu.engine import SamplingParams
+    from video_r2_tpu.engine.generate import prefill
+
+    cfg = tiny_test_config()
+    qp = quantize_params(init_params(cfg, dtype="float32"))
+    ids = rng.integers(2, 400, size=(2, 8)).astype(np.int32)
+    lengths = jnp.asarray(np.array([8, 8], np.int32))
+    pos, _ = get_rope_index(ids, cfg)
+    ref, _ = prefill(qp, cfg, jnp.asarray(ids), jnp.asarray(pos), lengths, 12)
+    out, _ = prefill(qp, cfg, jnp.asarray(ids), jnp.asarray(pos), lengths, 12,
+                     act_quant="int8")
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert (ref.argmax(-1) == out.argmax(-1)).mean() >= 0.5
+    # logit drift bounded relative to the logit scale
+    assert np.abs(out - ref).max() <= 0.15 * np.abs(ref).max() + 0.05
+
+
 def test_int4_forward_exact_vs_materialized_dequant(rng):
     """The fused int4 path computes EXACTLY the dequantized-weights model
     (no dispatch/packing drift); generation runs end to end.

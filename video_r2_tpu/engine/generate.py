@@ -37,7 +37,8 @@ class GenerationResult:
     logprobs: np.ndarray | None = None  # [B, max_new_tokens] chosen-token logprobs
 
 
-@partial(jax.jit, static_argnames=("cfg", "attn_impl", "max_cache_len"))
+@partial(jax.jit, static_argnames=("cfg", "attn_impl", "max_cache_len",
+                                   "act_quant"))
 def prefill(
     params: dict,
     cfg: ModelConfig,
@@ -48,6 +49,7 @@ def prefill(
     vision_embeds: jax.Array | None = None,   # [N, H] precomputed (or None)
     vision_token_id: int | None = None,
     attn_impl: str = "xla",
+    act_quant: str | None = None,
 ):
     """Run the prompt, fill the KV cache. Returns (last_logits [B,V], cache)."""
     B, S = input_ids.shape
@@ -73,7 +75,7 @@ def prefill(
                                     cache=cache, cache_position=0,
                                     attn_impl=attn_impl,
                                     kv_lengths=lengths, causal=True,
-                                    cache_fill=True)
+                                    cache_fill=True, act_quant=act_quant)
     last = hidden[jnp.arange(B), lengths - 1]
     logits = lm_head(params, cfg, last)
     return logits.astype(jnp.float32), cache
@@ -165,6 +167,7 @@ def generate(
     vision_token_id: int | None = None,
     seed: int = 0,
     attn_impl: str = "xla",
+    act_quant: str | None = None,  # "int8": W8A8 prefill on the integer MXU
 ) -> GenerationResult:
     """Host-orchestrated batched generation."""
     B, S = input_ids.shape
@@ -186,7 +189,7 @@ def generate(
         params, cfg, jnp.asarray(input_ids), jnp.asarray(position_ids),
         jnp.asarray(lengths), max_cache,
         vision_embeds=vision_embeds, vision_token_id=vision_token_id,
-        attn_impl=attn_impl)
+        attn_impl=attn_impl, act_quant=act_quant)
     toks, logps, gen_len, _ = decode(
         params, cfg, sp, logits, cache, jnp.asarray(lengths),
         jnp.asarray(rope_deltas), jax.random.PRNGKey(seed), attn_impl=attn_impl)

@@ -39,7 +39,8 @@ class KVCache(NamedTuple):
 
 def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
            cache_position=None, layer_idx=None, attn_impl: str = "xla",
-           kv_lengths=None, causal: bool = False, segment_ids=None):
+           kv_lengths=None, causal: bool = False, segment_ids=None,
+           act_quant: str | None = None):
     """One decoder layer. With a cache, cache_kv is the FULL stacked
     (k, v) [L, B, Smax, kh, hd] pair carried through the layer scan; the new
     token rows are written in place (dynamic-update-slice on the scan carry —
@@ -49,9 +50,9 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
     nh, kh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     h = rms_norm(p["input_layernorm"]["scale"], x, cfg.rms_norm_eps)
-    q = linear(p["attn"]["q"], h).reshape(B, S, nh, hd)
-    k = linear(p["attn"]["k"], h).reshape(B, S, kh, hd)
-    v = linear(p["attn"]["v"], h).reshape(B, S, kh, hd)
+    q = linear(p["attn"]["q"], h, act_quant).reshape(B, S, nh, hd)
+    k = linear(p["attn"]["k"], h, act_quant).reshape(B, S, kh, hd)
+    v = linear(p["attn"]["v"], h, act_quant).reshape(B, S, kh, hd)
     q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
     if cache_kv is not None and layer_idx is None:
@@ -90,9 +91,9 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
     attn = dot_product_attention(q, k_all, v_all, bias=mask_bias,
                                  kv_lengths=kv_lengths, causal=causal,
                                  segment_ids=segment_ids, impl=attn_impl)
-    x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd))
+    x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd), act_quant)
     h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
-    return x + swiglu_mlp(p["mlp"], h), new_kv
+    return x + swiglu_mlp(p["mlp"], h, act_quant), new_kv
 
 
 def _has_stacked_q4(layers: dict) -> bool:
@@ -142,6 +143,7 @@ def decoder_forward(
     segment_ids: jax.Array | None = None,  # [B, S] packed/gap masking (flash)
     remat: bool = False,                  # gradient checkpointing per layer
     cache_fill: bool = False,             # prefill: build the cache via xs/ys
+    act_quant: str | None = None,         # "int8": W8A8 on the integer MXU
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the stacked decoder. Returns (final hidden [B,S,H], updated cache).
 
@@ -154,7 +156,7 @@ def decoder_forward(
         def body(x, p):
             x, _ = _layer(p, x, cos, sin, mask_bias, cfg, attn_impl=attn_impl,
                           kv_lengths=kv_lengths, causal=causal,
-                          segment_ids=segment_ids)
+                          segment_ids=segment_ids, act_quant=act_quant)
             return x, None
 
         if remat:
@@ -168,7 +170,8 @@ def decoder_forward(
                                  cache_kv=(ck, cv),
                                  cache_position=cache_position,
                                  attn_impl=attn_impl,
-                                 kv_lengths=kv_lengths, causal=causal)
+                                 kv_lengths=kv_lengths, causal=causal,
+                                 act_quant=act_quant)
             return x, (nk, nv)
 
         hidden, (ks, vs) = jax.lax.scan(body, hidden,

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 
-def linear(params: dict, x: jax.Array) -> jax.Array:
+def linear(params: dict, x: jax.Array, act_quant: str | None = None) -> jax.Array:
     """x @ kernel (+ bias). kernel is [in, out]; int8 weight-only quantized
     leaves ({kernel_q, scale}) route through the dequant-fused Pallas matmul
     for decode-sized activations; int4 leaves ({kernel_q4, scale4}) through
@@ -23,7 +23,9 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     if "kernel_q4" in params:
         y = _int4_linear(params, x)
     elif "kernel_q" in params:
-        if params["kernel_q"].ndim == 2:
+        if act_quant == "int8" and params["kernel_q"].ndim == 2:
+            y = _w8a8_linear(params, x)
+        elif params["kernel_q"].ndim == 2:
             from ..ops.int8_matmul import quantized_linear_auto
 
             y = quantized_linear_auto(x, params["kernel_q"], params["scale"])
@@ -41,6 +43,22 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     if "bias" in params:
         y = y + params["bias"]
     return y
+
+
+def _w8a8_linear(params: dict, x: jax.Array) -> jax.Array:
+    """Dynamic per-token activation int8 x weight int8 on the integer MXU
+    (2x bf16 peak). Opt-in via act_quant="int8" — used for PREFILL, where
+    the matmuls are compute-bound; decode stays weight-only (bandwidth-
+    bound, activation precision free)."""
+    wq, w_scale = params["kernel_q"], params["scale"]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1, keepdims=True), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x2 / a), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = (y.astype(jnp.float32) * a * w_scale[None, :]).astype(x.dtype)
+    return y.reshape(*lead, wq.shape[-1])
 
 
 def _int4_linear(params: dict, x: jax.Array) -> jax.Array:
@@ -84,9 +102,12 @@ def rms_norm(scale: jax.Array, x: jax.Array, eps: float) -> jax.Array:
     return scale * normed
 
 
-def swiglu_mlp(params: dict, x: jax.Array) -> jax.Array:
+def swiglu_mlp(params: dict, x: jax.Array,
+               act_quant: str | None = None) -> jax.Array:
     """down(silu(gate(x)) * up(x)) — Qwen2MLP / Qwen2_5_VLMLP."""
-    return linear(params["down"], jax.nn.silu(linear(params["gate"], x)) * linear(params["up"], x))
+    h = jax.nn.silu(linear(params["gate"], x, act_quant)) \
+        * linear(params["up"], x, act_quant)
+    return linear(params["down"], h, act_quant)
 
 
 def rotate_half(x: jax.Array) -> jax.Array:

@@ -78,6 +78,83 @@ def test_slot_reuse_and_midstream_admission(cfg_params, rng):
     assert done[r3] == list(ref.sequences[0][:2])
 
 
+def test_paged_engine_matches_batch_generate(cfg_params, rng):
+    """Paged KV pool (vLLM N5 parity): same greedy tokens as batch
+    generate, through the stacked paged-attention kernel path."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    prompts = [list(rng.integers(2, 400, size=L)) for L in (5, 9, 7)]
+    T = 8
+    sp = SamplingParams(max_new_tokens=T, pad_token_id=cfg.pad_token_id,
+                        eos_token_ids=())
+    S = max(len(p) for p in prompts)
+    ids = np.full((3, S), cfg.pad_token_id, np.int64)
+    for i, p in enumerate(prompts):
+        ids[i, :len(p)] = p
+    ref = generate(params, cfg, ids, np.asarray([len(p) for p in prompts]), sp)
+
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=4, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), page_size=16)
+    rids = [eng.submit(p, max_new_tokens=T) for p in prompts]
+    results = {}
+    while eng.num_active:
+        for rid, toks in eng.step():
+            results[rid] = toks
+    for i, rid in enumerate(rids):
+        assert results[rid] == list(ref.sequences[i][:T]), i
+
+
+def test_paged_engine_releases_pages(cfg_params, rng):
+    """Pages return to the free list when a request finishes; a later
+    request reuses them and still decodes correctly."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), page_size=16)
+    free0 = len(eng.pcache.free_pages)
+    p1 = list(rng.integers(2, 400, size=6))
+    r1 = eng.submit(p1, max_new_tokens=4)
+    assert len(eng.pcache.free_pages) < free0
+    done = {}
+    while eng.num_active:
+        for rid, toks in eng.step():
+            done[rid] = toks
+    assert len(done[r1]) == 4
+    assert len(eng.pcache.free_pages) == free0  # all pages back
+
+    # reuse: fresh request decodes the same as batch generate
+    p2 = list(rng.integers(2, 400, size=9))
+    r2 = eng.submit(p2, max_new_tokens=5)
+    while eng.num_active:
+        for rid, toks in eng.step():
+            done[rid] = toks
+    sp = SamplingParams(max_new_tokens=5, pad_token_id=cfg.pad_token_id)
+    ref = generate(params, cfg, np.asarray([p2]), np.asarray([9]), sp)
+    assert done[r2] == list(ref.sequences[0][:5])
+
+
+def test_paged_engine_pool_exhaustion(cfg_params, rng):
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    # 3 pages total (one is the trash sink) -> a 16-bucket prompt (1 page)
+    # fits, a second one exhausts the pool at prefill
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=32,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), page_size=16, num_pages=2)
+    assert eng.submit(list(rng.integers(2, 400, size=6)), 2) is not None
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        eng.submit(list(rng.integers(2, 400, size=6)), 2)
+
+
 def test_eos_frees_slot(cfg_params, rng):
     cfg, params = cfg_params
     eng = ContinuousEngine(params, cfg, num_slots=1, max_len=64,

@@ -6,10 +6,14 @@ single-sequence prefill, decode advances every active slot each step, and
 finished slots are freed immediately — so short requests don't wait for long
 ones and the chip stays busy at the batch's aggregate decode throughput.
 
-Round-1 scope: contiguous per-slot KV (max_len reservation); the paged pool
-(ops/paged_attention.py) swaps in when ragged memory matters more than
-simplicity. Host-side scheduler is a plain loop/thread — admission and
-completion are control flow, the device only ever sees fixed shapes.
+Two KV layouts:
+  ContinuousEngine      — contiguous per-slot KV (max_len reservation);
+  PagedContinuousEngine — paged pool (ops/paged_attention.py): fixed-size
+    pages + host page tables, vLLM-style; sequences share one pool with no
+    per-slot max-length reservation, and the decode step reads through the
+    stacked paged-attention Pallas kernel.
+Host-side scheduler is a plain loop/thread — admission and completion are
+control flow, the device only ever sees fixed shapes.
 """
 
 from __future__ import annotations
@@ -112,7 +116,7 @@ class ContinuousEngine:
         self.prompt_buckets = tuple(sorted(b for b in prompt_buckets
                                            if b <= max_len))
         dtype = jnp.dtype(cfg.dtype) if isinstance(cfg.dtype, str) else cfg.dtype
-        self.cache = KVCache.init(cfg.text, num_slots, max_len, dtype)
+        self._init_cache(dtype)
         self.last_logits = jnp.zeros((num_slots, cfg.text.vocab_size),
                                      jnp.float32)
         self.cur_len = np.zeros((num_slots,), np.int32)
@@ -146,10 +150,8 @@ class ContinuousEngine:
         self._next_rid += 1
         req = _Request(rid, padded, pos, int(deltas[0, 0]) + bucket - true_len,
                        max_new_tokens, done_cb)
-        logits, self.cache = _prefill_into_slot(
-            self.params, self.cache, self.cfg, slot, jnp.asarray(padded),
-            jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
-            attn_impl=self.attn_impl)
+        logits = self._prefill_slot(slot, padded, pos, true_len,
+                                    max_new_tokens)
         self.last_logits = self.last_logits.at[slot].set(logits)
         self.cur_len[slot] = true_len
         # decode position = cur_len + pos_base = (true_len + step)
@@ -170,10 +172,7 @@ class ContinuousEngine:
             return []
         active = np.asarray([r is not None for r in self.slot_req])
         self._rng, sub = jax.random.split(self._rng)
-        tok, self.last_logits, self.cache, new_len = _decode_step(
-            self.params, self.cache, self.cfg, self.sp, self.last_logits,
-            jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
-            jnp.asarray(active), sub)
+        tok, new_len = self._decode_all(active, sub)
         tok = np.asarray(tok)
         self.cur_len = np.array(new_len)  # writable copy (jax views are RO)
 
@@ -191,29 +190,219 @@ class ContinuousEngine:
                 if req.done_cb:
                     req.done_cb(req.rid, list(req.tokens))
                 self.slot_req[slot] = None
+                self._release_slot(slot)
         return finished
+
+    # -- KV-layout hooks (contiguous implementation) ------------------------
+    def _init_cache(self, dtype) -> None:
+        self.cache = KVCache.init(self.cfg.text, self.num_slots, self.max_len,
+                                  dtype)
+
+    def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens):
+        logits, self.cache = _prefill_into_slot(
+            self.params, self.cache, self.cfg, slot, jnp.asarray(padded),
+            jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
+            attn_impl=self.attn_impl)
+        return logits
+
+    def _decode_all(self, active, rng):
+        tok, self.last_logits, self.cache, new_len = _decode_step(
+            self.params, self.cache, self.cfg, self.sp, self.last_logits,
+            jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+            jnp.asarray(active), rng)
+        return tok, new_len
+
+    def _release_slot(self, slot: int) -> None:
+        pass
 
     # -- threaded server loop ---------------------------------------------
     def run_loop(self, request_queue: "queue.Queue", stop: threading.Event,
                  idle_sleep: float = 0.005):
-        """Pull (prompt_ids, max_new_tokens, callback) items; batch-admit and
-        decode until stopped."""
-        import time
+        return _run_loop_impl(self, request_queue, stop, idle_sleep)
 
-        while not stop.is_set():
-            admitted = False
-            while self.num_active < self.num_slots:
-                try:
-                    prompt_ids, mnt, cb = request_queue.get_nowait()
-                except queue.Empty:
-                    break
-                try:
-                    self.submit(prompt_ids, mnt, cb)
-                except Exception:  # one bad request must not kill the loop
-                    if cb:
-                        cb(-1, [])
-                admitted = True
-            if self.num_active:
-                self.step()
-            elif not admitted:
-                time.sleep(idle_sleep)
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "attn_impl", "page_size"),
+                   donate_argnums=(1, 2))
+def _prefill_into_pages(params, k_pages, v_pages, cfg, pids, ids,
+                        position_ids, length, attn_impl: str = "xla",
+                        page_size: int = 128):
+    """One sequence's prompt KV scattered into its allocated pages.
+    pids: [bucket // page_size] page ids covering the (padded) prompt."""
+    h = params["model"]["embed_tokens"]["embedding"][ids]
+    cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
+    S = ids.shape[1]
+    tmp = KVCache.init(cfg.text, 1, S, k_pages.dtype)
+    i = jnp.arange(S)[:, None]
+    j = jnp.arange(S)[None, :]
+    allowed = (j <= i) & (j[None] < length[:, None, None])
+    bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
+    hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
+                                  bias, cache=tmp, cache_position=0,
+                                  attn_impl=attn_impl, kv_lengths=length,
+                                  causal=True, cache_fill=True)
+    L, _, _, kh, hd = tmp.k.shape
+    npb = S // page_size
+    kk = tmp.k[:, 0].reshape(L, npb, page_size, kh, hd).transpose(0, 3, 1, 2, 4)
+    vv = tmp.v[:, 0].reshape(L, npb, page_size, kh, hd).transpose(0, 3, 1, 2, 4)
+    k_pages = k_pages.at[:, :, pids].set(kk)
+    v_pages = v_pages.at[:, :, pids].set(vv)
+    logits = lm_head(params, cfg, hidden[0, length[0] - 1])
+    return logits.astype(jnp.float32), k_pages, v_pages
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "sp", "page_size", "interpret"),
+                   donate_argnums=(1, 2))
+def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
+                       last_logits, cur_len, pos_base, active, page_tables,
+                       trash_page, rng, page_size: int = 128,
+                       interpret: bool = False):
+    """One token for every slot, KV appended into pages, attention through
+    the stacked paged kernel. page_tables must be sanitized (no -1 entries —
+    inactive/unallocated rows point at trash_page)."""
+    from ..ops.paged_attention import paged_decode_attention_stacked
+
+    N = last_logits.shape[0]
+    tok = sample_token(last_logits, rng, sp)
+    tok = jnp.where(active, tok, sp.pad_token_id)
+
+    emb = params["model"]["embed_tokens"]["embedding"][tok][:, None]
+    pos = pos_base + cur_len
+    pos3 = jnp.broadcast_to(pos[None, :, None], (3, N, 1))
+    cos, sin = mrope_cos_sin(pos3, cfg, dtype=emb.dtype)
+
+    layers = params["model"]["layers"]
+    n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    cfg_t = cfg.text
+    nh, kh, hd = (cfg_t.num_attention_heads, cfg_t.num_key_value_heads,
+                  cfg_t.head_dim)
+    b_idx = jnp.arange(N)
+    pid = page_tables[b_idx, cur_len // page_size]
+    pid = jnp.where(active, pid, trash_page)
+    off = cur_len % page_size
+
+    from ..models.layers import apply_rotary, linear, rms_norm, swiglu_mlp
+
+    def body(carry, inp):
+        x, kp, vp = carry
+        l, p = inp
+        h = rms_norm(p["input_layernorm"]["scale"], x, cfg_t.rms_norm_eps)
+        q = linear(p["attn"]["q"], h).reshape(N, 1, nh, hd)
+        k = linear(p["attn"]["k"], h).reshape(N, 1, kh, hd)
+        v = linear(p["attn"]["v"], h).reshape(N, 1, kh, hd)
+        q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
+        # mixed basic/advanced indexing puts the broadcast (slot) axis first:
+        # target shape is [N, kh, hd]
+        kp = kp.at[l, :, pid, off].set(k[:, 0].astype(kp.dtype))
+        vp = vp.at[l, :, pid, off].set(v[:, 0].astype(vp.dtype))
+        attn = paged_decode_attention_stacked(
+            q[:, 0], kp, vp, page_tables, cur_len + 1, l,
+            page_size=page_size, interpret=interpret)
+        x = x + linear(p["attn"]["o"], attn.reshape(N, 1, nh * hd))
+        h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
+                      cfg_t.rms_norm_eps)
+        return (x + swiglu_mlp(p["mlp"], h2), kp, vp), None
+
+    (x, k_pages, v_pages), _ = jax.lax.scan(
+        body, (emb, k_pages, v_pages), (jnp.arange(n_layers), layers))
+    x = rms_norm(params["model"]["norm"]["scale"], x, cfg_t.rms_norm_eps)
+    next_logits = lm_head(params, cfg, x[:, 0]).astype(jnp.float32)
+    new_len = jnp.where(active, cur_len + 1, cur_len)
+    return tok, next_logits, k_pages, v_pages, new_len
+
+
+class PagedContinuousEngine(ContinuousEngine):
+    """Continuous batching over the paged KV pool (full vLLM N5 parity:
+    paged attention kernel + block allocator + continuous batching). Pages
+    are allocated at admission (prompt) and on demand during decode;
+    finished slots return their pages to the free list immediately."""
+
+    def __init__(self, *args, page_size: int = 128,
+                 num_pages: int | None = None, **kwargs):
+        self._page_size = page_size
+        self._num_pages = num_pages
+        super().__init__(*args, **kwargs)
+        # buckets must be page-aligned for the prompt scatter
+        self.prompt_buckets = tuple(b for b in self.prompt_buckets
+                                    if b % page_size == 0) or (self.max_len,)
+
+    def _init_cache(self, dtype) -> None:
+        from ..ops.paged_attention import PagedKVCache
+
+        ps = self._page_size
+        max_pages = -(-self.max_len // ps)
+        num_pages = self._num_pages or self.num_slots * max_pages + 1
+        self.pcache = PagedKVCache.create(
+            self.cfg.text.num_hidden_layers, num_pages, ps,
+            self.cfg.text.num_key_value_heads, self.cfg.text.head_dim,
+            self.num_slots, max_pages, dtype=dtype)
+        # reserve one page as the write sink for inactive slots
+        self.trash_page = self.pcache.free_pages.pop()
+        self._interpret = jax.default_backend() != "tpu"
+
+    def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens):
+        pc = self.pcache
+        ps = self._page_size
+        bucket = padded.shape[1]
+        np_all = bucket // ps
+        np_used = -(-true_len // ps)
+        if len(pc.free_pages) < np_all:
+            raise RuntimeError("paged KV cache out of pages")
+        pids = [pc.free_pages.pop() for _ in range(np_all)]
+        logits, pc.k, pc.v = _prefill_into_pages(
+            self.params, pc.k, pc.v, self.cfg,
+            jnp.asarray(pids, jnp.int32), jnp.asarray(padded),
+            jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
+            attn_impl=self.attn_impl, page_size=ps)
+        # keep only the pages the true prompt occupies
+        pc.page_tables[slot] = -1
+        pc.page_tables[slot, :np_used] = pids[:np_used]
+        for p in pids[np_used:]:
+            pc.free_pages.append(p)
+        pc.lengths[slot] = true_len
+        return logits
+
+    def _decode_all(self, active, rng):
+        pc = self.pcache
+        pc.lengths[:] = self.cur_len
+        for slot, is_active in enumerate(active):
+            if is_active:
+                pc.ensure_capacity(slot, 1)
+        tables = np.where(pc.page_tables >= 0, pc.page_tables,
+                          self.trash_page).astype(np.int32)
+        tok, self.last_logits, pc.k, pc.v, new_len = _paged_decode_step(
+            self.params, pc.k, pc.v, self.cfg, self.sp, self.last_logits,
+            jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+            jnp.asarray(active), jnp.asarray(tables),
+            jnp.int32(self.trash_page), rng, page_size=self._page_size,
+            interpret=self._interpret)
+        return tok, new_len
+
+    def _release_slot(self, slot: int) -> None:
+        self.pcache.release(slot)
+
+
+def _run_loop_impl(engine, request_queue: "queue.Queue",
+                   stop: threading.Event, idle_sleep: float = 0.005):
+    """Pull (prompt_ids, max_new_tokens, callback) items; batch-admit and
+    decode until stopped."""
+    import time
+
+    while not stop.is_set():
+        admitted = False
+        while engine.num_active < engine.num_slots:
+            try:
+                prompt_ids, mnt, cb = request_queue.get_nowait()
+            except queue.Empty:
+                break
+            try:
+                engine.submit(prompt_ids, mnt, cb)
+            except Exception:  # one bad request must not kill the loop
+                if cb:
+                    cb(-1, [])
+            admitted = True
+        if engine.num_active:
+            engine.step()
+        elif not admitted:
+            time.sleep(idle_sleep)

@@ -88,6 +88,116 @@ def _paged_decode_kernel(lengths_ref, tables_ref, q_ref, kp_ref, vp_ref,
     o_ref[0, 0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
 
 
+def _paged_decode_kernel_stacked(lengths_ref, tables_ref, layer_ref, q_ref,
+                                 kp_ref, vp_ref, o_ref, k_scratch, v_scratch,
+                                 sem, *, page_size: int, scale: float,
+                                 max_pages: int):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    L = lengths_ref[b]
+    lyr = layer_ref[0]
+    n_pages = pl.cdiv(L, page_size)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # [g, hd]
+    g, hd = q.shape
+
+    def dma(slot, p_idx):
+        page_id = tables_ref[b, p_idx]
+        return (
+            pltpu.make_async_copy(kp_ref.at[lyr, h, page_id],
+                                  k_scratch.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(vp_ref.at[lyr, h, page_id],
+                                  v_scratch.at[slot], sem.at[slot, 1]),
+        )
+
+    for c in dma(0, 0):
+        c.start()
+
+    def body(p, carry):
+        acc, m_i, l_i = carry
+        slot = p % 2
+        nxt = (p + 1) % 2
+
+        @pl.when(p + 1 < n_pages)
+        def _():
+            for c in dma(nxt, p + 1):
+                c.start()
+
+        for c in dma(slot, p):
+            c.wait()
+
+        k = k_scratch[slot].astype(jnp.float32)          # [P, hd]
+        v = v_scratch[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        kpos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (g, page_size), 1)
+        s = jnp.where(kpos < L, s, NEG_INF)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        pexp = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = alpha * l_i + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            pexp, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((g, hd), jnp.float32)
+    m_i = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((g, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, n_pages, body, (acc, m_i, l_i))
+    o_ref[0, 0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
+def paged_decode_attention_stacked(
+    q: jax.Array,            # [B, nh, hd] single decode step
+    k_pages: jax.Array,      # [L, kh, N_pages, page_size, hd] full stack
+    v_pages: jax.Array,
+    page_tables: jax.Array,  # [B, max_pages] int32
+    lengths: jax.Array,      # [B]
+    layer: jax.Array,        # scalar int32 — layer to read
+    page_size: int = DEFAULT_PAGE_SIZE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Like paged_decode_attention but reads one layer out of the stacked
+    page pool (scalar-prefetched index) — the pool stays put in HBM inside
+    the decode layer scan, no per-layer slice materialization."""
+    B, nh, hd = q.shape
+    kh = k_pages.shape[1]
+    g = nh // kh
+    max_pages = page_tables.shape[1]
+    qg = q.reshape(B, kh, g, hd)
+
+    kernel = functools.partial(
+        _paged_decode_kernel_stacked, page_size=page_size, scale=hd ** -0.5,
+        max_pages=max_pages)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, kh),
+            in_specs=[
+                pl.BlockSpec((1, 1, g, hd), lambda b, h, L, T, lyr: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g, hd),
+                                   lambda b, h, L, T, lyr: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, page_size, hd), k_pages.dtype),
+                pltpu.VMEM((2, page_size, hd), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, kh, g, hd), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), qg, k_pages, v_pages)
+    return out.reshape(B, nh, hd)
+
+
 @functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
 def paged_decode_attention(
     q: jax.Array,            # [B, nh, hd] single decode step

@@ -32,6 +32,7 @@ class ChatEngine:
 
     def __init__(self, params, cfg, tokenizer, model_name: str = "video-r2-tpu",
                  max_new_tokens: int = 1024, attn_impl: str = "xla",
+                 act_quant: str | None = None,
                  continuous: bool = False, num_slots: int = 8,
                  max_len: int = 4096):
         self.params = params
@@ -40,6 +41,7 @@ class ChatEngine:
         self.model_name = model_name
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl
+        self.act_quant = act_quant  # "int8": W8A8 prefill (integer MXU)
         self._lock = threading.Lock()
         self._seed = 0
         self._queue = None
@@ -95,7 +97,8 @@ class ChatEngine:
             self._seed += 1
             res = generate(self.params, self.cfg, packed.input_ids,
                            packed.lengths, sp, seed=self._seed,
-                           attn_impl=self.attn_impl)
+                           attn_impl=self.attn_impl,
+                           act_quant=self.act_quant)
         out_ids = res.sequences[0][: res.lengths[0]]
         return self.tok.decode(out_ids, skip_special_tokens=True)
 

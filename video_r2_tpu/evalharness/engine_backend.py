@@ -23,7 +23,7 @@ class EngineBackend:
     def __init__(self, params, cfg, tokenizer, max_num_frames=128,
                  max_pixels=151200, min_pixels=100352, fps=None, batch_size=8,
                  system_prompt="You are a helpful assistant.",
-                 attn_impl="xla", seed=0):
+                 attn_impl="xla", act_quant=None, seed=0):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -34,6 +34,7 @@ class EngineBackend:
         self.batch_size = batch_size
         self.system_prompt = system_prompt
         self.attn_impl = attn_impl
+        self.act_quant = act_quant  # "int8": W8A8 prefill (integer MXU)
         self.seed = seed
         self.vcfg = VideoPreprocessConfig()
 
@@ -115,7 +116,8 @@ class EngineBackend:
                        sp, position_ids=pos, rope_deltas=deltas[:, 0],
                        vision_embeds=embeds,
                        vision_token_id=self.cfg.video_token_id,
-                       seed=self.seed, attn_impl=self.attn_impl)
+                       seed=self.seed, attn_impl=self.attn_impl,
+                       act_quant=self.act_quant)
         out = {}
         for row, idx in enumerate(indices):
             ids = res.sequences[row][: res.lengths[row]]

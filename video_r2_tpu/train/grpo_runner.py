@@ -51,7 +51,8 @@ class GRPORunner:
                  reward_funcs: list[Callable], reward_func_names: list[str],
                  step_fn, ref_params=None, judge=None, embedder=None,
                  video_cfg: VideoPreprocessConfig | None = None,
-                 attn_impl: str = "xla", seed: int = 0,
+                 attn_impl: str = "xla", act_quant: str | None = None,
+                 seed: int = 0,
                  metrics_logger=None, params_from_state=None):
         self.params = params
         self.ref_params = ref_params
@@ -65,6 +66,11 @@ class GRPORunner:
         self.embedder = embedder
         self.video_cfg = video_cfg or VideoPreprocessConfig()
         self.attn_impl = attn_impl
+        # "int8": W8A8 rollout prefill on the integer MXU (opt-in — rollout
+        # sampling then sees slightly different logits than the bf16 loss
+        # forward, the same class of policy mismatch as the reference's
+        # vLLM-rollout setups)
+        self.act_quant = act_quant
         self._seed = seed
         self.timer = PhaseTimer()
         self.metrics_logger = metrics_logger
@@ -153,7 +159,8 @@ class GRPORunner:
                            packed.lengths, sp, position_ids=pos,
                            rope_deltas=deltas[:, 0], vision_embeds=embeds,
                            vision_token_id=self.cfg.video_token_id,
-                           seed=self._seed, attn_impl=self.attn_impl)
+                           seed=self._seed, attn_impl=self.attn_impl,
+                           act_quant=self.act_quant)
 
         completion_ids = res.sequences
         cmask = completion_mask_from_ids(

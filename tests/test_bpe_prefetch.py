@@ -61,6 +61,17 @@ def test_roundtrip_decode():
     assert t.decode(ids, skip_special_tokens=False) == "hello<|im_end|>"
 
 
+def test_no_characters_lost():
+    # ADVICE r1: '_' was excluded from both the letter class and the
+    # punctuation class of the pretokenizer regex, so encode('a_b') silently
+    # dropped the underscore. Round-trip must preserve every character.
+    t = _toy_tokenizer(use_native=False)
+    for text in ["a_b", "__init__", "snake_case_name", "_", "a _ b",
+                 "mixed_1_and-2", "trailing_", "_leading",
+                 "punct!_?mix", "tabs\t_\tunders"]:
+        assert t.decode(t.encode(text)) == text, text
+
+
 def test_merge_order_is_rank_based():
     # "hell" requires he+ll before hell+o; a greedy-leftmost scheme would
     # differ if ranks were ignored

@@ -237,6 +237,58 @@ def test_server_continuous_mode(cfg_params):
         engine.shutdown()
 
 
+def test_per_request_sampling_params(cfg_params, rng):
+    """A greedy request inside an engine whose DEFAULT sampling is hot
+    temperature must still decode greedily (ADVICE r1: per-request
+    temperature/top_p/top_k were silently ignored in continuous mode)."""
+    cfg, params = cfg_params
+    prompt = list(rng.integers(2, 400, size=7))
+    T = 6
+    ref = generate(params, cfg, np.asarray([prompt]), np.asarray([7]),
+                   SamplingParams(max_new_tokens=T,
+                                  pad_token_id=cfg.pad_token_id))
+    eng = ContinuousEngine(
+        params, cfg, num_slots=2, max_len=64,
+        sp=SamplingParams(do_sample=True, temperature=5.0, top_p=0.9,
+                          pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,))
+    greedy_sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+    rid = eng.submit(prompt, max_new_tokens=T, sp=greedy_sp)
+    # a concurrently-running sampled request must not perturb the greedy slot
+    rid_hot = eng.submit(list(rng.integers(2, 400, size=5)), max_new_tokens=T)
+    results = {}
+    while eng.num_active:
+        for r, toks in eng.step():
+            results[r] = toks
+    assert results[rid] == list(ref.sequences[0][:T])
+    assert rid_hot in results
+
+
+def test_paged_bucket_fallback_page_aligned(cfg_params, rng):
+    """max_len not divisible by page_size must not crash the prompt scatter
+    (ADVICE r1): the engine page-aligns max_len, so the bucket fallback for a
+    prompt longer than every bucket stays reshapeable."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=50,   # not a multiple of 16
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), page_size=16)
+    assert eng.max_len % 16 == 0
+    prompt = list(rng.integers(2, 400, size=20))  # > bucket 16 -> fallback
+    rid = eng.submit(prompt, max_new_tokens=3)
+    assert rid is not None
+    done = {}
+    while eng.num_active:
+        for r, toks in eng.step():
+            done[r] = toks
+    ref = generate(params, cfg, np.asarray([prompt]), np.asarray([20]),
+                   SamplingParams(max_new_tokens=3,
+                                  pad_token_id=cfg.pad_token_id))
+    assert done[rid] == list(ref.sequences[0][:3])
+
+
 def test_overlong_prompt_truncates_not_crashes(cfg_params, rng):
     cfg, params = cfg_params
     eng = ContinuousEngine(params, cfg, num_slots=1, max_len=32,

@@ -35,3 +35,33 @@ def test_engine_model_eval(rng, tmp_path):
     rows = out["samples"]["mvbench_think"]
     assert all(isinstance(r["resps"][0][0], str) for r in rows)
     assert (tmp_path / "samples_mvbench_think.jsonl").exists()
+
+
+def test_generate_until_groups_by_gen_kwargs():
+    """Instances with different gen_kwargs must never share a batch (ADVICE
+    r1: shape-sorting used to batch them together and apply chunk[0]'s
+    kwargs to everyone)."""
+    from video_r2_tpu.evalharness.api import Instance
+    from video_r2_tpu.evalharness.engine_backend import EngineBackend
+
+    backend = EngineBackend.__new__(EngineBackend)  # skip model setup
+    backend.batch_size = 4
+    backend._prepare = lambda inst: (list(range(len(inst.text))), [])
+    seen = []
+
+    def fake_run_batch(prepared, indices, gen_kwargs):
+        seen.append((tuple(indices), dict(gen_kwargs)))
+        return {i: f"out{i}" for i in indices}
+
+    backend._run_batch = fake_run_batch
+    instances = [
+        Instance(doc_id=i, doc={}, text=t, visuals=[],
+                 gen_kwargs={"max_new_tokens": m})
+        for i, (t, m) in enumerate(
+            [("aa", 8), ("bbbb", 64), ("c", 8), ("ddd", 64)])]
+    out = backend.generate_until(instances)
+    assert out == ["out0", "out1", "out2", "out3"]
+    for indices, kwargs in seen:
+        mnts = {instances[i].gen_kwargs["max_new_tokens"] for i in indices}
+        assert len(mnts) == 1, "mixed gen_kwargs in one batch"
+        assert kwargs["max_new_tokens"] in mnts

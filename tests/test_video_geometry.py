@@ -91,8 +91,10 @@ def test_frame_range():
 def test_sample_frame_indices_matches_torch_linspace():
     import torch
 
+    # (0, 5, 11) and (0, 9, 19) hit exact .5 linspace values: torch.round is
+    # half-to-even, so 0.5 -> 0 and 1.5 -> 2 (ADVICE r1)
     for (s, e, n) in [(0, 99, 20), (0, 99, 100), (7, 31, 4), (0, 1, 2), (5, 5, 1),
-                      (0, 2999, 32), (3, 997, 128)]:
+                      (0, 2999, 32), (3, 997, 128), (0, 5, 11), (0, 9, 19)]:
         ours = G.sample_frame_indices(s, e, n)
         ref = torch.linspace(s, e, n).round().long().tolist()
         assert ours == ref, (s, e, n)

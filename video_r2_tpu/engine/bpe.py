@@ -21,7 +21,7 @@ from pathlib import Path
 # pattern family). Python re lacks \p{}; this approximation covers ASCII +
 # treats all non-ascii letters as word chars via str.isalpha at merge level.
 _PRETOKEN_RE = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)| ?[^\s\d\W_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    r"'(?:[sdmt]|ll|ve|re)| ?[^\s\d\W_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
     re.UNICODE)
 
 

@@ -31,7 +31,7 @@ import numpy as np
 from ..models.decoder import KVCache, decoder_forward
 from ..models.model import lm_head
 from ..models.mrope import get_rope_index, mrope_cos_sin
-from .sampling import SamplingParams, sample_token
+from .sampling import SamplingParams, sample_token_per_slot
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,))
@@ -65,11 +65,12 @@ def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(1,))
 def _decode_step(params, cache: KVCache, cfg, sp: SamplingParams,
-                 last_logits, cur_len, pos_base, active, rng):
-    """One token for every slot. Inactive slots are masked no-ops.
+                 last_logits, cur_len, pos_base, active, samp, rng):
+    """One token for every slot. Inactive slots are masked no-ops. `samp` is
+    the per-slot (temperature, top_p, top_k, do_sample) request sampling state.
     Returns (tokens [N], next_logits, cache, new_cur_len)."""
     N = last_logits.shape[0]
-    tok = sample_token(last_logits, rng, sp)
+    tok = sample_token_per_slot(last_logits, rng, *samp)
     tok = jnp.where(active, tok, sp.pad_token_id)
 
     emb = params["model"]["embed_tokens"]["embedding"][tok][:, None]
@@ -96,6 +97,7 @@ class _Request:
     max_new_tokens: int
     done_cb: Optional[Callable] = None
     tokens: list = field(default_factory=list)
+    sp: Optional[SamplingParams] = None   # per-request sampling override
 
 
 class ContinuousEngine:
@@ -122,13 +124,20 @@ class ContinuousEngine:
         self.cur_len = np.zeros((num_slots,), np.int32)
         self.pos_base = np.zeros((num_slots,), np.int32)
         self.budget = np.zeros((num_slots,), np.int32)   # remaining new tokens
+        # per-slot request sampling state (ADVICE r1: /v1/chat/completions must
+        # honor the request's temperature, not the engine-constructor default)
+        self.slot_temp = np.ones((num_slots,), np.float32)
+        self.slot_top_p = np.ones((num_slots,), np.float32)
+        self.slot_top_k = np.zeros((num_slots,), np.int32)
+        self.slot_do_sample = np.zeros((num_slots,), bool)
         self.slot_req: list[Optional[_Request]] = [None] * num_slots
         self._rng = jax.random.PRNGKey(seed)
         self._next_rid = 0
 
     # -- request lifecycle -------------------------------------------------
     def submit(self, prompt_ids: list[int], max_new_tokens: int = 128,
-               done_cb: Callable | None = None) -> Optional[int]:
+               done_cb: Callable | None = None,
+               sp: SamplingParams | None = None) -> Optional[int]:
         """Admit into a free slot; returns request id or None (pool full)."""
         slot = next((i for i, r in enumerate(self.slot_req) if r is None), None)
         if slot is None:
@@ -149,7 +158,7 @@ class ContinuousEngine:
         rid = self._next_rid
         self._next_rid += 1
         req = _Request(rid, padded, pos, int(deltas[0, 0]) + bucket - true_len,
-                       max_new_tokens, done_cb)
+                       max_new_tokens, done_cb, sp=sp)
         logits = self._prefill_slot(slot, padded, pos, true_len,
                                     max_new_tokens)
         self.last_logits = self.last_logits.at[slot].set(logits)
@@ -158,6 +167,11 @@ class ContinuousEngine:
         #                 + (max_pos + 1 - true_len) = max_pos + 1 + step
         self.pos_base[slot] = req.rope_delta
         self.budget[slot] = max_new_tokens
+        rsp = sp or self.sp
+        self.slot_temp[slot] = max(rsp.temperature, 1e-6)
+        self.slot_top_p[slot] = rsp.top_p
+        self.slot_top_k[slot] = rsp.top_k
+        self.slot_do_sample[slot] = rsp.do_sample
         self.slot_req[slot] = req
         return rid
 
@@ -205,11 +219,15 @@ class ContinuousEngine:
             attn_impl=self.attn_impl)
         return logits
 
+    def _samp_arrays(self):
+        return (jnp.asarray(self.slot_temp), jnp.asarray(self.slot_top_p),
+                jnp.asarray(self.slot_top_k), jnp.asarray(self.slot_do_sample))
+
     def _decode_all(self, active, rng):
         tok, self.last_logits, self.cache, new_len = _decode_step(
             self.params, self.cache, self.cfg, self.sp, self.last_logits,
             jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
-            jnp.asarray(active), rng)
+            jnp.asarray(active), self._samp_arrays(), rng)
         return tok, new_len
 
     def _release_slot(self, slot: int) -> None:
@@ -256,7 +274,7 @@ def _prefill_into_pages(params, k_pages, v_pages, cfg, pids, ids,
                    donate_argnums=(1, 2))
 def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
                        last_logits, cur_len, pos_base, active, page_tables,
-                       trash_page, rng, page_size: int = 128,
+                       trash_page, samp, rng, page_size: int = 128,
                        interpret: bool = False):
     """One token for every slot, KV appended into pages, attention through
     the stacked paged kernel. page_tables must be sanitized (no -1 entries —
@@ -264,7 +282,7 @@ def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
     from ..ops.paged_attention import paged_decode_attention_stacked
 
     N = last_logits.shape[0]
-    tok = sample_token(last_logits, rng, sp)
+    tok = sample_token_per_slot(last_logits, rng, *samp)
     tok = jnp.where(active, tok, sp.pad_token_id)
 
     emb = params["model"]["embed_tokens"]["embedding"][tok][:, None]
@@ -331,7 +349,10 @@ class PagedContinuousEngine(ContinuousEngine):
         from ..ops.paged_attention import PagedKVCache
 
         ps = self._page_size
-        max_pages = -(-self.max_len // ps)
+        # page-align max_len: submit()'s bucket fallback and the prompt-scatter
+        # reshape both require page multiples (ADVICE r1)
+        self.max_len = -(-self.max_len // ps) * ps
+        max_pages = self.max_len // ps
         num_pages = self._num_pages or self.num_slots * max_pages + 1
         self.pcache = PagedKVCache.create(
             self.cfg.text.num_hidden_layers, num_pages, ps,
@@ -375,8 +396,8 @@ class PagedContinuousEngine(ContinuousEngine):
             self.params, pc.k, pc.v, self.cfg, self.sp, self.last_logits,
             jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
             jnp.asarray(active), jnp.asarray(tables),
-            jnp.int32(self.trash_page), rng, page_size=self._page_size,
-            interpret=self._interpret)
+            jnp.int32(self.trash_page), self._samp_arrays(), rng,
+            page_size=self._page_size, interpret=self._interpret)
         return tok, new_len
 
     def _release_slot(self, slot: int) -> None:
@@ -393,11 +414,13 @@ def _run_loop_impl(engine, request_queue: "queue.Queue",
         admitted = False
         while engine.num_active < engine.num_slots:
             try:
-                prompt_ids, mnt, cb = request_queue.get_nowait()
+                item = request_queue.get_nowait()
             except queue.Empty:
                 break
+            prompt_ids, mnt, cb = item[:3]
+            sp = item[3] if len(item) > 3 else None
             try:
-                engine.submit(prompt_ids, mnt, cb)
+                engine.submit(prompt_ids, mnt, cb, sp=sp)
             except Exception:  # one bad request must not kill the loop
                 if cb:
                     cb(-1, [])

@@ -63,3 +63,32 @@ def sample_token(
     scaled = apply_top_k(scaled, sp.top_k)
     scaled = apply_top_p(scaled, sp.top_p)
     return jax.random.categorical(rng, scaled, axis=-1)
+
+
+def sample_token_per_slot(
+    logits: jax.Array,        # [N, V]
+    rng: jax.Array,
+    temperature: jax.Array,   # [N] float (ignored where do_sample is False)
+    top_p: jax.Array,         # [N] float (1.0 = off)
+    top_k: jax.Array,         # [N] int (0 = off)
+    do_sample: jax.Array,     # [N] bool
+) -> jax.Array:
+    """Per-slot sampling for continuous batching: each slot carries its own
+    request's temperature/top_p/top_k (HF order: temp scale -> top-k -> top-p),
+    so mixed greedy/sampled requests share one decode step. One [N, V] sort
+    serves both filters (top-p cumulates over the k-filtered ranks)."""
+    N, V = logits.shape
+    greedy = jnp.argmax(logits, axis=-1)
+    scaled = logits.astype(jnp.float32) / jnp.clip(temperature, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+    ranks = jnp.arange(V)[None, :]
+    k = jnp.where(top_k <= 0, V, jnp.clip(top_k, 1, V))
+    in_k = ranks < k[:, None]
+    sorted_f = jnp.where(in_k, sorted_logits, NEG_INF)
+    probs = jax.nn.softmax(sorted_f, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = ((cum - probs) < top_p[:, None]) & in_k
+    thresh = jnp.min(jnp.where(keep, sorted_f, jnp.inf), axis=-1, keepdims=True)
+    filtered = jnp.where(scaled < thresh, NEG_INF, scaled)
+    sampled = jax.random.categorical(rng, filtered, axis=-1)
+    return jnp.where(do_sample, sampled, greedy)

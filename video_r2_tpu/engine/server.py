@@ -74,6 +74,11 @@ class ChatEngine:
                                default_system=None)
         ids = self.tok.encode(text)
         mnt = max_tokens or self.max_new_tokens
+        sp = SamplingParams(
+            do_sample=temperature > 0, temperature=max(temperature, 1e-6),
+            top_p=top_p, top_k=top_k, max_new_tokens=mnt,
+            eos_token_ids=(self.cfg.eos_token_id,),
+            pad_token_id=self.cfg.pad_token_id)
 
         if self._queue is not None:
             done = threading.Event()
@@ -83,16 +88,14 @@ class ChatEngine:
                 box["tokens"] = toks
                 done.set()
 
-            self._queue.put((ids, mnt, cb))
+            # per-request sampling rides the queue item: the continuous engine
+            # applies it per slot, so /v1/chat/completions honors the request's
+            # temperature/top_p/top_k instead of the constructor default
+            self._queue.put((ids, mnt, cb, sp))
             done.wait()
             return self.tok.decode(box["tokens"], skip_special_tokens=True)
 
         packed = pack_prompts([ids], pad_id=self.cfg.pad_token_id)
-        sp = SamplingParams(
-            do_sample=temperature > 0, temperature=max(temperature, 1e-6),
-            top_p=top_p, top_k=top_k, max_new_tokens=mnt,
-            eos_token_ids=(self.cfg.eos_token_id,),
-            pad_token_id=self.cfg.pad_token_id)
         with self._lock:
             self._seed += 1
             res = generate(self.params, self.cfg, packed.input_ids,

@@ -72,15 +72,23 @@ class EngineBackend:
 
         with ThreadPoolExecutor(max_workers=4) as ex:
             prepared = list(ex.map(self._prepare, instances))
-        order = sorted(range(len(prepared)),
-                       key=lambda i: (sum(f.num_tokens for f in prepared[i][1]),
-                                      len(prepared[i][0])))
+        # group by gen_kwargs FIRST (a shape-sorted batch must not mix
+        # requests with different max_new_tokens/temperature — ADVICE r1),
+        # then shape-sort within each group so padded shapes bucket tightly
+        groups: dict[str, list[int]] = {}
+        for i, inst in enumerate(instances):
+            key = repr(sorted((inst.gen_kwargs or {}).items()))
+            groups.setdefault(key, []).append(i)
         results: dict[int, str] = {}
-        for start in range(0, len(order), self.batch_size):
-            chunk = order[start: start + self.batch_size]
-            results.update(self._run_batch(
-                [prepared[i] for i in chunk], chunk,
-                instances[chunk[0]].gen_kwargs))
+        for idxs in groups.values():
+            order = sorted(idxs,
+                           key=lambda i: (sum(f.num_tokens for f in prepared[i][1]),
+                                          len(prepared[i][0])))
+            for start in range(0, len(order), self.batch_size):
+                chunk = order[start: start + self.batch_size]
+                results.update(self._run_batch(
+                    [prepared[i] for i in chunk], chunk,
+                    instances[chunk[0]].gen_kwargs))
         return [results[i] for i in range(len(instances))]
 
     def _run_batch(self, prepared, indices, gen_kwargs):

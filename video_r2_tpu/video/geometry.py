@@ -150,14 +150,11 @@ def sample_frame_indices(start_frame: int, end_frame: int, nframes: int) -> list
     """
     if nframes == 1:
         return [int(round(start_frame))]
-    step = (end_frame - start_frame) / (nframes - 1)
-    # numpy/torch linspace round: round-half-to-even via float banker's rounding
-    out = []
-    for i in range(nframes):
-        v = start_frame + step * i
-        # emulate torch .round(): round half away from zero
-        out.append(int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5)))
-    return out
+    # torch.round rounds half-to-even (banker's); np.round matches it, where a
+    # half-away-from-zero emulation picks a different frame on exact .5 values
+    import numpy as np
+
+    return np.linspace(start_frame, end_frame, nframes).round().astype(int).tolist()
 
 
 def video_frame_pixel_budget(

@@ -10,7 +10,14 @@ import sys
 
 from ..config import parse_config
 from ..engine.server import ChatEngine, serve
-from .common import attn_impl, build_model, build_tokenizer, logger, setup_logging
+from .common import (
+    attn_impl,
+    build_mesh,
+    build_model,
+    build_tokenizer,
+    logger,
+    setup_logging,
+)
 
 
 def main(argv=None):
@@ -29,8 +36,12 @@ def main(argv=None):
     app = parse_config(rest)
     cfg, params = build_model(app)
     tok = build_tokenizer(app)
-    engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app))
-    logger.info("serving OpenAI-compatible API on :%d", port)
+    # --run.tp 4 serves tensor-parallel (the 80B-judge deployment shape,
+    # serve_qwen3.sh:13): params shard at engine construction
+    mesh = build_mesh(app)
+    engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app), mesh=mesh)
+    logger.info("serving OpenAI-compatible API on :%d%s", port,
+                f" (mesh {dict(mesh.shape)})" if mesh is not None else "")
     serve(engine, port=port)
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,13 +43,25 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 1,
     judge = judge or OpenAICompatClient()
     embedder = embedder or load_embedder()
 
+    # mesh: reference GRPO is 8-way ZeRO-3 (train_grpo.sh:41-42). Params,
+    # optimizer state, loss batches and rollout generation all shard.
+    mesh = build_mesh(app)
+    if mesh is not None:
+        from ..parallel.sharding import shard_params
+
+        params = shard_params(params, mesh)
+        logger.info("GRPO sharded over mesh %s", dict(mesh.shape))
     optimizer = make_optimizer(app.optim, params)
-    step = make_grpo_step(cfg, app.grpo, optimizer, attn_impl="xla")
-    ref_params = params if app.grpo.beta != 0 else None
+    step = make_grpo_step(cfg, app.grpo, optimizer, attn_impl="xla", mesh=mesh)
+    # ref policy must be a REAL copy (reference: fresh model copy,
+    # grpo_trainer.py:329-339): the train state aliases `params`' buffers,
+    # and the donated step deletes them — an aliased ref would die on cycle 2
+    ref_params = (jax.tree_util.tree_map(jnp.copy, params)
+                  if app.grpo.beta != 0 else None)
     runner = GRPORunner(params, cfg, app.grpo, tok, reward_funcs,
                         reward_names, step, ref_params=ref_params,
                         judge=judge, embedder=embedder, attn_impl=impl,
-                        seed=app.run.seed)
+                        seed=app.run.seed, mesh=mesh)
 
     state = GRPOTrainState(params, optimizer.init(params),
                            jnp.zeros((), jnp.int32))

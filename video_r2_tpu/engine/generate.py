@@ -38,7 +38,7 @@ class GenerationResult:
 
 
 @partial(jax.jit, static_argnames=("cfg", "attn_impl", "max_cache_len",
-                                   "act_quant"))
+                                   "act_quant", "mesh"))
 def prefill(
     params: dict,
     cfg: ModelConfig,
@@ -50,6 +50,7 @@ def prefill(
     vision_token_id: int | None = None,
     attn_impl: str = "xla",
     act_quant: str | None = None,
+    mesh=None,                   # TP inference: KV sharded on heads over "tp"
 ):
     """Run the prompt, fill the KV cache. Returns (last_logits [B,V], cache)."""
     B, S = input_ids.shape
@@ -70,6 +71,12 @@ def prefill(
         allowed = (j <= i) & (j[None] < lengths[:, None, None])
         bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
     cache = KVCache.init(cfg.text, B, max_cache_len, h.dtype)
+    if mesh is not None:
+        from ..parallel.sharding import kv_cache_sharding
+
+        sh = kv_cache_sharding(mesh, cfg.text.num_key_value_heads)
+        cache = KVCache(jax.lax.with_sharding_constraint(cache.k, sh),
+                        jax.lax.with_sharding_constraint(cache.v, sh))
     # prefill cache: write rows [0, S)
     hidden, cache = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                     cache=cache, cache_position=0,
@@ -81,7 +88,7 @@ def prefill(
     return logits.astype(jnp.float32), cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "sp", "attn_impl"),
+@partial(jax.jit, static_argnames=("cfg", "sp", "attn_impl", "mesh"),
          donate_argnums=(4,))
 def decode(
     params: dict,
@@ -93,6 +100,7 @@ def decode(
     rope_deltas: jax.Array,      # [B] from get_rope_index
     rng: jax.Array,
     attn_impl: str = "xla",
+    mesh=None,                   # TP inference: keep KV head-sharded over "tp"
 ):
     """Scan `max_new_tokens` decode steps. Returns (tokens [B,T], logprobs [B,T],
     gen_lengths [B], cache).
@@ -110,6 +118,12 @@ def decode(
     # per-sample scatter; rope positions still use true lengths, and the
     # attention mask admits prompt rows [0, len_b) plus slots [S_pad, S_pad+t].
     s_pad = max_len - sp.max_new_tokens
+    if mesh is not None:
+        from ..parallel.sharding import kv_cache_sharding
+
+        sh = kv_cache_sharding(mesh, cfg.text.num_key_value_heads)
+        cache = KVCache(jax.lax.with_sharding_constraint(cache.k, sh),
+                        jax.lax.with_sharding_constraint(cache.v, sh))
     eos = jnp.asarray(sp.eos_token_ids, dtype=jnp.int32) if sp.eos_token_ids else None
 
     def is_eos(tok):
@@ -168,6 +182,9 @@ def generate(
     seed: int = 0,
     attn_impl: str = "xla",
     act_quant: str | None = None,  # "int8": W8A8 prefill on the integer MXU
+    mesh=None,                     # sharded inference (params pre-sharded by
+                                   # parallel.shard_params; KV head-sharded on
+                                   # "tp" — the 80B-judge deployment shape)
 ) -> GenerationResult:
     """Host-orchestrated batched generation."""
     B, S = input_ids.shape
@@ -189,9 +206,10 @@ def generate(
         params, cfg, jnp.asarray(input_ids), jnp.asarray(position_ids),
         jnp.asarray(lengths), max_cache,
         vision_embeds=vision_embeds, vision_token_id=vision_token_id,
-        attn_impl=attn_impl, act_quant=act_quant)
+        attn_impl=attn_impl, act_quant=act_quant, mesh=mesh)
     toks, logps, gen_len, _ = decode(
         params, cfg, sp, logits, cache, jnp.asarray(lengths),
-        jnp.asarray(rope_deltas), jax.random.PRNGKey(seed), attn_impl=attn_impl)
+        jnp.asarray(rope_deltas), jax.random.PRNGKey(seed), attn_impl=attn_impl,
+        mesh=mesh)
     return GenerationResult(np.asarray(toks), np.asarray(gen_len),
                             np.asarray(logps))

@@ -34,7 +34,15 @@ class ChatEngine:
                  max_new_tokens: int = 1024, attn_impl: str = "xla",
                  act_quant: str | None = None,
                  continuous: bool = False, num_slots: int = 8,
-                 max_len: int = 4096):
+                 max_len: int = 4096, mesh=None):
+        # mesh: tensor-parallel serving (the reference judge is an 80B at
+        # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
+        # parallel.sharding rules; the KV cache shards on heads over "tp".
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -101,7 +109,7 @@ class ChatEngine:
             res = generate(self.params, self.cfg, packed.input_ids,
                            packed.lengths, sp, seed=self._seed,
                            attn_impl=self.attn_impl,
-                           act_quant=self.act_quant)
+                           act_quant=self.act_quant, mesh=self.mesh)
         out_ids = res.sequences[0][: res.lengths[0]]
         return self.tok.decode(out_ids, skip_special_tokens=True)
 

@@ -104,5 +104,14 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (ndim - 1))))
 
 
+def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
+    """KV cache [L, B, S, kv_heads, head_dim] sharded on heads over "tp"
+    (megatron attention sharding: each tp shard holds its own heads' KV —
+    the reference's only TP use is vLLM judge serving, serve_qwen3.sh:13).
+    Falls back to replicated when tp doesn't divide the head count."""
+    axis = "tp" if kv_heads % mesh.shape["tp"] == 0 else None
+    return NamedSharding(mesh, P(None, None, None, axis, None))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -245,7 +245,12 @@ class GRPOTrainState(NamedTuple):
 
 def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
                    video_layout=None, attn_impl: str = "xla",
-                   donate: bool = True):
+                   donate: bool = True, mesh=None):
+    """Build the jitted GRPO step. With a mesh, params/opt state are
+    FSDP/TP-sharded (reference bar: 8-way ZeRO-3 GRPO, train_grpo.sh:41-42,
+    grpo_trainer.py:329,579-585) and batches shard over (dp, fsdp); XLA
+    inserts the reduce-scatter/all-gather collectives from the annotations."""
+
     def step_fn(state: GRPOTrainState, batch: dict):
         (loss, metrics), grads = jax.value_and_grad(grpo_loss, has_aux=True)(
             state.params, cfg, gcfg, batch, video_layout, attn_impl)
@@ -255,4 +260,27 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
         metrics["grad_norm"] = optax.global_norm(grads)
         return GRPOTrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    if mesh is None:
+        return jitted
+
+    from ..parallel.sharding import batch_sharding, replicated
+
+    def shard_batch(batch):
+        out = {}
+        for k, v in batch.items():
+            if v is None:
+                continue
+            nd = np.asarray(v).ndim if not hasattr(v, "ndim") else v.ndim
+            if k == "position_ids":          # [3, B, S] — batch is dim 1
+                sh = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(None, ("dp", "fsdp")))
+            elif k == "video_embeds":        # ragged token-concat, no batch dim
+                sh = replicated(mesh)
+            else:
+                sh = batch_sharding(mesh, nd)
+            out[k] = jax.device_put(v, sh)
+        return out
+
+    jitted.shard_batch = shard_batch
+    return jitted

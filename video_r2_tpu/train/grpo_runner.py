@@ -52,10 +52,14 @@ class GRPORunner:
                  step_fn, ref_params=None, judge=None, embedder=None,
                  video_cfg: VideoPreprocessConfig | None = None,
                  attn_impl: str = "xla", act_quant: str | None = None,
-                 seed: int = 0,
+                 seed: int = 0, mesh=None,
                  metrics_logger=None, params_from_state=None):
         self.params = params
         self.ref_params = ref_params
+        # with a mesh, params are FSDP/TP-sharded and rollouts run sharded
+        # generation on the same arrays — no ZeRO-3 gather-for-generation
+        # (grpo_trainer.py:779-786 disappears by construction)
+        self.mesh = mesh
         self.cfg = cfg
         self.gcfg = gcfg
         self.tok = tokenizer
@@ -160,7 +164,7 @@ class GRPORunner:
                            rope_deltas=deltas[:, 0], vision_embeds=embeds,
                            vision_token_id=self.cfg.video_token_id,
                            seed=self._seed, attn_impl=self.attn_impl,
-                           act_quant=self.act_quant)
+                           act_quant=self.act_quant, mesh=self.mesh)
 
         completion_ids = res.sequences
         cmask = completion_mask_from_ids(
@@ -280,6 +284,9 @@ class GRPORunner:
         """One full GRPO cycle: rollout once, mu optimizer steps."""
         with profiling_phase(self.timer, "generate_and_score"):
             batch, gen_metrics = self.rollout_and_score(samples)
+        shard_batch = getattr(self.step_fn, "shard_batch", None)
+        if shard_batch is not None:
+            batch = shard_batch(batch)
         metrics = dict(gen_metrics)
         with profiling_phase(self.timer, "optimize"):
             for _ in range(self.gcfg.num_iterations):

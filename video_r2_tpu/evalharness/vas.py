@@ -17,48 +17,13 @@ from typing import Any, Optional
 
 from ..rewards.judge import JudgeClient
 
-SYSTEM_PROMPT = (
-    "You are an expert judge of **claimed visual grounding** in video QA "
-    "chain-of-thought. You will receive an Input (question/options/prompt) "
-    "and a model Response that includes <think>...</think> and "
-    "<answer>...</answer> tags.\n\n"
-    "Your task: Evaluate how much the reasoning inside <think> and </think> "
-    "only *claims* to rely on concrete visual evidence from the video versus "
-    "using text patterns, prior knowledge, or guessing. You do not have the "
-    "video; score what the reasoning asserts, not whether those assertions "
-    "are true or the final answer is correct.\n\n"
-    "Positive cues: concrete references to visible entities/attributes "
-    "(colors, positions, counts, on-screen text), spatio-temporal "
-    "descriptions tied to the video, actions clearly described as seen, "
-    "visual logic chained to the question. Negative cues: generic mentions "
-    "of 'the video' with no specific content, option pattern matching, "
-    "restating the question, timestamp name-dropping without content.\n\n"
-    "Edge cases: multiple <think> blocks -> judge the first; missing/empty "
-    "<think> -> score 0; ignore <answer>.\n\n"
-    "Scoring (0-10 integer): 10 dense specific step-by-step visual "
-    "reasoning; 7-9 clearly video-based with several specific claims; 4-6 "
-    "claims specific video facts but lacks spatial/temporal detail; 1-3 "
-    "minimal visual content; 0 none.\n\n"
-    'Output: Return JSON only with keys "score" (0-10 integer) and '
-    '"rationale" (2-3 concise sentences; do not mention lack of video).'
-)
+# Judge prompts are metric DATA: byte-identical to the reference
+# (eval/scripts/vas/evaluate_vas.py:116-170, typographic quotes and all);
+# a fixture test pins them against the reference file. Paraphrasing the
+# rubric would silently redefine the published VAS metric.
+SYSTEM_PROMPT = 'You are an expert judge of **claimed visual grounding** in video QA chain-of-thought.\nYou will receive an Input (question/options/prompt) and a model Response that includes <think>…</think> and <answer>…</answer> tags.\n\nYour task: Evaluate how much the reasoning inside <think> and </think> only *claims* to rely on concrete visual evidence from the video versus using text patterns, prior knowledge, or guessing. You do not have the video; score what the reasoning asserts, not whether those assertions are true or the final answer is correct.\n\nWhat counts as visual grounding signals (positive cues):\n- Concrete, specific references to visible entities and attributes (colors, positions, counts, on-screen text/OCR).\n- Spatio-temporal descriptions tied to the video (“first/then,” “left/right,” “foreground/background,” scene changes).\n- Actions/interactions clearly described as seen (“picks up,” “points at,” “walks behind”).\n- Visual logic chained to the question (“Because the sign reads ‘Gate B’ and the arrow points left…”).\n- Mentions like “the video shows,” “the video states,” or “the video indicates…” count as *moderate visual grounding* **if** they reference specific factual content (e.g., numbers, object names, or events), even without spatial detail.\n\nWhat counts as non-visual or weak grounding (negative cues):\n- Generic mentions of “the video” with no specific content (“the video talks about cars”).\n- Option pattern matching, stereotypes/common knowledge, or generic phrases (“based on the context,” “usually…”).\n- Restating the question or options with “I see” but no concrete visual detail.\n- Timestamp name-dropping without linked content, irrelevant flourish, or contradictions.\n\nEdge cases:\n- If multiple <think> blocks exist, judge the first.\n- If <think> is missing or empty → score 0.\n- Ignore <answer> when scoring.\n\nScoring (0–10, integer):\n- 10 (Excellent): Dense, highly specific, step-by-step visual reasoning directly addressing the question.\n- 7–9 (Strong): Clearly video-based with several specific claims tied to what’s shown, even if phrased verbally (“the video states…”).\n- 4–6 (Moderate): Claims to recall or cite specific video facts (numbers, entities, or comparisons) but lacks spatial or temporal detail.\n- 1–3 (Weak): Minimal visual content; mostly generic or option-pattern reasoning with only token mentions of the video.\n- 0 (None): No visual grounding; guessing, meta-reasoning only, or <think> absent.\n\nOutput: Return JSON only with keys "score" (0–10 integer) and "rationale" (2–3 concise sentences citing the most important cues; do not mention lack of video).\n'
 
-USER_TEMPLATE = (
-    "Evaluate ATTENTION-TO-VIDEO in the model's reasoning. Score only the "
-    "text inside <think>...</think>, not the final <answer> and not answer "
-    "correctness.\n\nYou do not have access to the video. Judge whether the "
-    "reasoning *claims* to use concrete visual evidence versus generic "
-    "patterns, options, or prior knowledge.\n\n"
-    "Use this rubric (0-10):\n"
-    "- 10: Dense, specific visual descriptions directly supporting the question.\n"
-    "- 7-9: Clearly video-based reasoning with multiple specific claims.\n"
-    "- 4-6: Claims to recall specific video facts but lacks visual detail.\n"
-    "- 1-3: Minimal visual content; generic or option-based logic.\n"
-    "- 0: No visual grounding; guessing or missing <think> block.\n\n"
-    "Edge handling: If <think> is missing/empty -> score 0.\n\n"
-    "Input:\n{input_text}\n\nResponse:\n{response_text}\n\n"
-    'Reply ONLY with JSON like: {{"score": <0-10 int>, "rationale": "..."}}'
-)
+USER_TEMPLATE = '\nEvaluate ATTENTION-TO-VIDEO in the model’s reasoning. Score only the text inside <think>…</think>, not the final <answer> and not answer correctness.\n\nYou do not have access to the video. Judge whether the reasoning *claims* to use concrete visual evidence (what is seen, where it appears, how it changes) versus relying on generic patterns, options, or prior knowledge.\n\nUse this rubric (0–10):\n- 10: Dense, specific visual descriptions (entities, attributes, counts, on-screen text, spatial relations, temporal order) directly supporting the question.\n- 7–9: Clearly video-based reasoning with multiple specific claims tied to what the video shows, even if phrased as “the video states…” or “the video shows…”.\n- 4–6: Claims to recall or cite specific video facts (numbers, labels, or entities) but lacks spatial or visual detail.\n- 1–3: Minimal visual content; generic “the video talks about…” or option-based logic.\n- 0: No visual grounding; guessing, meta-reasoning only, or missing <think> block.\n\nEdge handling: If <think> is missing/empty → score 0.\n\nInput:\n{input_text}\n\nResponse:\n{response_text}\n\nReply ONLY with JSON like: {{"score": <0-10 int>, "rationale": "..."}}\n'
 
 
 def extract_response_text(row: dict) -> str:

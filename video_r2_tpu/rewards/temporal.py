@@ -169,25 +169,12 @@ def robust_json_from_text(text: str) -> dict:
     return {}
 
 
-EXTRACTION_SYSTEM = (
-    "You are a precise temporal information extraction assistant.\n\n"
-    "Given ONLY the provided text, extract every timestamp mention and return "
-    "a compact JSON object mapping each timestamp to ONE short sentence "
-    "describing what happens then, per the STRICT format rules.\n"
-    "- Return ONLY a JSON object; no prose or code fences.\n"
-    "- Keys: zero-padded MM:SS or HH:MM:SS; ranges as 'MM:SS-MM:SS'.\n"
-    "- Order keys by start time ascending; merge duplicates; if no "
-    "timestamps, return {}.\n"
-    "- Values: one short action-focused clause (<= 10 words) derived strictly "
-    "from the text."
-)
+# The extraction prompts are metric/reward DATA: byte-identical to the
+# reference (train/src/train/temporal_grounding_reward.py:264-318); a
+# fixture test pins them against the reference file.
+EXTRACTION_SYSTEM = '\nYou are a precise temporal information extraction assistant.\n\nGoal:\nGiven ONLY the provided text, extract every timestamp mention and produce a compact JSON object mapping each timestamp (key) to ONE short sentence (value) describing what happens at that time according to the text.\n\nOutput format (STRICT):\n- Return ONLY a JSON object. No prose, no code fences, no explanations.\n- Keys: timestamps exactly as mentioned, normalized to MM:SS or HH:MM:SS with leading zeros.\n  • Single time example: "00:42"\n  • Range examples: "00:42-00:45", "01:45-02:01"\n- Order keys by start time ascending.\n- If the text uses phrases like "around the 16-second mark" or "at about 1:02", convert to "00:16" or "01:02".\n- If a single continuous action is described across adjacent times (e.g., 00:07 and 00:08), you MAY consolidate into a range "00:07-00:08" with one concise sentence.\n- If the same timestamp appears multiple times, merge into a single key and summarize succinctly.\n- If no timestamps are present, return {}.\n\nContent rules:\n- Derive sentences ONLY from the given text. No hallucinations.\n- Each value is a brief, plain-language clause (≤ 10 words), sentence case, ending with a period.\n- Prefer action-focused wording (“Performer executes a cartwheel while holding the jump rope.”).\n'
 
-EXTRACTION_USER = (
-    "Extract timestamped events from the following text and return ONLY the "
-    "JSON object as specified. Keys MUST be zero-padded MM:SS or HH:MM:SS "
-    "(ranges with a single hyphen); round decimal seconds; no words like "
-    "'end' or trailing symbols; return {{}} if none.\n\nThe text:\n{text}"
-)
+EXTRACTION_USER = '\nExtract timestamped events from the following text and return ONLY the JSON object as specified.\n\nSTRICT KEYS FORMAT:\n- Use ONLY zero-padded MM:SS or HH:MM:SS.\n- For ranges, use a single hyphen: "MM:SS-HH:MM:SS".\n- Do NOT output plain seconds without a colon (e.g., "6" or "020" is forbidden).\n- Do NOT output words like "end", "EOF", "+", or any trailing symbols.\n- If the text mentions decimal seconds (e.g., 01.77s or 3.5s), round to the nearest second BEFORE emitting.\n- Normalize phrases like "around 16 seconds" to "00:16".\n- Keys must be unique and ordered by start time ascending.\n- If no timestamps are present, return {{}} exactly.\n\nVALUES:\n- Each value is ONE short clause (≤ 10 words), sentence case, action-focused, ends with a period.\n- Derive strictly from the provided text (no hallucinations).\n\nReturn ONLY the JSON object. No prose, no code fences, no explanations.\n\nThe text:\n{text}\n'
 
 CONSISTENCY_SYSTEM = (
     "You are a meticulous auditor. Determine whether the reasoning (THINK) "
@@ -197,12 +184,18 @@ CONSISTENCY_SYSTEM = (
     "final ANSWER for the same question."
 )
 
+# Verbatim from reward_funcs.py:122-134 (user_msg), as a .format template.
 CONSISTENCY_USER = (
-    "QUESTION:\n{question}\n\nTHINK (model's internal reasoning):\n{think}\n\n"
-    "ANSWER (model's final answer):\n{answer}\n\nTASK:\n"
+    "QUESTION:\n"
+    "{question}\n\n"
+    "THINK (model's internal reasoning):\n"
+    "{think}\n\n"
+    "ANSWER (model's final answer):\n"
+    "{answer}\n\n"
+    "TASK:\n"
     "1) Output ONLY one of the TRUE or FALSE on the first line.\n"
     "   - TRUE  => THINK and ANSWER are consistent and the same conclusion.\n"
-    "   - FALSE => THINK contradicts or does not support the ANSWER.\n"
+    "   - FALSE => THINK contradicts or does not support the ANSWER (e.g., mismatched conclusion).\n"
     "2) On the next line(s), give a brief justification (1-3 sentences)."
 )
 
@@ -280,10 +273,12 @@ def temporal_grounding_sentence_embedding_consistency_reward(
             grounding = calculate_grounding_reward(
                 prediction, tg, judge, embedder,
                 buffer_seconds, similarity_threshold)
+            reasoning = extract_reasoning(prediction)
+            ans = extract_answer(prediction)
             out = judge.chat(CONSISTENCY_SYSTEM, CONSISTENCY_USER.format(
-                question=(question or "(none)").strip(),
-                think=extract_reasoning(prediction) or "(missing)",
-                answer=extract_answer(prediction) or "(missing)"))
+                question=question.strip() if question else "(none)",
+                think=reasoning.strip() if reasoning else "(missing)",
+                answer=ans.strip() if ans else "(missing)"))
             decision, _ = parse_decision(out)
             rewards.append((1 if decision is True else 0) * grounding)
         except Exception:

@@ -237,6 +237,61 @@ def test_server_continuous_mode(cfg_params):
         engine.shutdown()
 
 
+def test_paged_engine_multimodal_matches_batch_generate(rng):
+    """Vision-embed merge in the slot/page prefill (VERDICT r1 #6): a video
+    prompt through the paged continuous engine decodes the same greedy tokens
+    as the batch generate path."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+    from video_r2_tpu.models import (
+        get_rope_index,
+        init_params,
+        plan_vision_layout,
+        tiny_test_config,
+    )
+    from video_r2_tpu.models.vision import vit_forward
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    grid = (2, 4, 4)
+    n_tok = 2 * 2 * 2  # (t*h*w) / merge 2x2
+    patches = rng.normal(size=(32, cfg.vision.patch_input_dim)).astype(np.float32)
+    layout = plan_vision_layout([grid], cfg.vision)
+    embeds = vit_forward(params["visual"], cfg.vision, jnp.asarray(patches),
+                         layout)
+    ids = np.concatenate([
+        [5, 6], [cfg.vision_start_token_id],
+        [cfg.video_token_id] * n_tok, [cfg.vision_end_token_id],
+        [7, 8, 9]]).astype(np.int32)
+    T = 6
+    pos, deltas = get_rope_index(ids[None], cfg, video_grid_thw=np.array([grid]),
+                                 second_per_grid_ts=np.array([1.0]))
+    ref = generate(params, cfg, ids[None], np.asarray([len(ids)]),
+                   SamplingParams(max_new_tokens=T,
+                                  pad_token_id=cfg.pad_token_id,
+                                  eos_token_ids=()),
+                   position_ids=pos, rope_deltas=deltas[:, 0],
+                   vision_embeds=embeds,
+                   vision_token_id=cfg.video_token_id)
+
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), page_size=16, embed_bucket=8)
+    rid = eng.submit(list(ids), max_new_tokens=T,
+                     vision_embeds=embeds, video_grid_thw=[grid],
+                     second_per_grid_ts=[1.0])
+    # a concurrent text-only request decodes alongside
+    rid_txt = eng.submit(list(rng.integers(2, 400, size=5)), max_new_tokens=T)
+    done = {}
+    while eng.num_active:
+        for r, toks in eng.step():
+            done[r] = toks
+    assert done[rid] == list(ref.sequences[0][:T])
+    assert rid_txt in done and len(done[rid_txt]) == T
+
+
 def test_per_request_sampling_params(cfg_params, rng):
     """A greedy request inside an engine whose DEFAULT sampling is hot
     temperature must still decode greedily (ADVICE r1: per-request

@@ -37,6 +37,34 @@ def test_engine_model_eval(rng, tmp_path):
     assert (tmp_path / "samples_mvbench_think.jsonl").exists()
 
 
+def test_engine_model_eval_paged(rng, tmp_path):
+    """Same end-to-end eval through the continuous paged engine
+    (engine_mode='paged') — the vLLM-role eval path (VERDICT r1 #6)."""
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+
+    docs = [{
+        "video": rng.integers(0, 256, size=(6, 56, 56, 3), dtype=np.uint8),
+        "question": f"What is shown {i}?",
+        "candidates": ["a cat", "a dog", "a car"],
+        "answer": "a dog",
+    } for i in range(3)]
+    task = get_task("mvbench_think", docs=docs)
+    task.config.generation_kwargs["max_new_tokens"] = 8
+
+    model = EngineModel(params, cfg, ByteTokenizer(), max_num_frames=4,
+                        max_pixels=56 * 56, batch_size=2,
+                        engine_mode="paged")
+    out = evaluate(model, [task], output_dir=tmp_path)
+    res = out["results"]["mvbench_think"]
+    assert res["samples"] == 3
+    rows = out["samples"]["mvbench_think"]
+    assert all(isinstance(r["resps"][0][0], str) for r in rows)
+
+
 def test_generate_until_groups_by_gen_kwargs():
     """Instances with different gen_kwargs must never share a batch (ADVICE
     r1: shape-sorting used to batch them together and apply chunk[0]'s
@@ -46,6 +74,7 @@ def test_generate_until_groups_by_gen_kwargs():
 
     backend = EngineBackend.__new__(EngineBackend)  # skip model setup
     backend.batch_size = 4
+    backend.engine_mode = "batch"
     backend._prepare = lambda inst: (list(range(len(inst.text))), [])
     seen = []
 

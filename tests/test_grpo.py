@@ -208,6 +208,54 @@ def test_grpo_end_to_end_cycle(rng):
     assert "kl" in metrics
 
 
+def test_grpo_paged_rollout_cycle(rng):
+    """rollout_backend='paged': the full GRPO cycle runs on the continuous
+    paged engine (VERDICT r1 #6), including video prompts."""
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.train import make_grpo_step
+    from video_r2_tpu.train.optim import OptimConfig, make_optimizer
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    gcfg = GRPOConfig(num_generations=2, beta=0.04, max_completion_length=8,
+                      max_prompt_length=128, temperature=1.0,
+                      logp_chunk_size=64, rollout_backend="paged")
+    opt = make_optimizer(OptimConfig(learning_rate=1e-4, total_steps=10), params)
+    step = make_grpo_step(cfg, gcfg, opt, donate=False)
+
+    def fake_reward(completions, **kw):
+        return [float(len(c[0]["content"]) % 3) for c in completions]
+
+    runner = GRPORunner(
+        params, cfg, gcfg, ByteTokenizer(),
+        reward_funcs=[fake_reward], reward_func_names=["fake_reward"],
+        step_fn=step, ref_params=params)
+
+    frames = rng.integers(0, 256, size=(4, 28, 28, 3), dtype=np.uint8)
+    samples = [{
+        "prompt": [{"role": "user", "content": [
+            {"type": "video", "video": frames, "video_fps": 2.0, "nframes": 4},
+            {"type": "text", "text": "What?"}]}],
+        "assistant": "<answer>A</answer>",
+        "temporal_grounding": {}, "temporal_captions": {},
+    } for _ in range(2)]
+
+    state = GRPOTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    state, metrics = runner.train_cycle(state, samples)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["completion_len_mean"] > 0
+    assert "kl" in metrics
+    # the engine is reused on the next cycle (no rebuild)
+    eng = runner._rollout_eng
+    assert eng is not None
+    state, metrics = runner.train_cycle(state, samples)
+    assert runner._rollout_eng is eng
+    assert np.isfinite(metrics["loss"])
+
+
 def test_lora_grpo_cycle(rng):
     """LoRA-GRPO: adapters train; ref policy = adapter-disabled base (no
     reference model copy). KL is exactly 0 at step 0 and grows after."""

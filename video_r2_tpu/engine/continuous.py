@@ -36,10 +36,16 @@ from .sampling import SamplingParams, sample_token_per_slot
 
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,))
 def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
-                       length, attn_impl: str = "xla"):
+                       length, vision_embeds=None, attn_impl: str = "xla"):
     """Run one sequence's prompt ([1, S]) and write its KV into `slot`.
-    Returns (last_logits [V], cache)."""
+    vision_embeds [N, H] (padded; extra rows never gathered) merge into the
+    <|video_pad|> slots — the multimodal serving path the reference gets from
+    vLLM (models/qwen2_5_vl_vllm.py:33). Returns (last_logits [V], cache)."""
     h = params["model"]["embed_tokens"]["embedding"][ids]
+    if vision_embeds is not None:
+        from ..models.model import merge_vision_embeddings
+
+        h = merge_vision_embeddings(ids, h, vision_embeds, cfg.video_token_id)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
     S = ids.shape[1]
     # single-sequence prefill cache covering the prompt, then scatter to slot
@@ -106,11 +112,13 @@ class ContinuousEngine:
     def __init__(self, params, cfg, num_slots: int = 8, max_len: int = 2048,
                  sp: SamplingParams | None = None, attn_impl: str = "xla",
                  prompt_buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048),
-                 seed: int = 0):
+                 embed_bucket: int = 256, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_len = max_len
+        # vision embeds pad up to multiples of this (recompile granularity)
+        self.embed_bucket = embed_bucket
         self.sp = sp or SamplingParams(
             max_new_tokens=max_len, eos_token_ids=(cfg.eos_token_id,),
             pad_token_id=cfg.pad_token_id)
@@ -137,8 +145,14 @@ class ContinuousEngine:
     # -- request lifecycle -------------------------------------------------
     def submit(self, prompt_ids: list[int], max_new_tokens: int = 128,
                done_cb: Callable | None = None,
-               sp: SamplingParams | None = None) -> Optional[int]:
-        """Admit into a free slot; returns request id or None (pool full)."""
+               sp: SamplingParams | None = None,
+               vision_embeds=None, video_grid_thw=None,
+               second_per_grid_ts=None) -> Optional[int]:
+        """Admit into a free slot; returns request id or None (pool full).
+
+        Multimodal requests pass precomputed merged ViT outputs as
+        vision_embeds [N, H] plus the video grids for M-RoPE positions (the
+        prompt must already contain the matching <|video_pad|> run)."""
         slot = next((i for i, r in enumerate(self.slot_req) if r is None), None)
         if slot is None:
             return None
@@ -147,6 +161,11 @@ class ContinuousEngine:
         # (TRL-style max_prompt_length truncation keeps the recent context)
         room = max(self.max_len - max_new_tokens - 1, 8)
         if ids.shape[0] > room:
+            if vision_embeds is not None:
+                # truncation would sever the token/feature invariant
+                raise ValueError(
+                    f"multimodal prompt of {ids.shape[0]} tokens exceeds slot "
+                    f"room {room}; raise max_len or reduce frames")
             ids = ids[-room:]
         true_len = ids.shape[0]
         bucket = next((b for b in self.prompt_buckets if b >= true_len),
@@ -154,13 +173,25 @@ class ContinuousEngine:
         padded = np.full((1, bucket), self.cfg.pad_token_id, np.int32)
         padded[0, :true_len] = ids
         mask = (np.arange(bucket)[None, :] < true_len).astype(np.int64)
-        pos, deltas = get_rope_index(padded, self.cfg, attention_mask=mask)
+        pos, deltas = get_rope_index(
+            padded, self.cfg,
+            video_grid_thw=(np.asarray(video_grid_thw)
+                            if video_grid_thw is not None else None),
+            second_per_grid_ts=(np.asarray(second_per_grid_ts)
+                                if second_per_grid_ts is not None else None),
+            attention_mask=mask)
+        embeds = None
+        if vision_embeds is not None:
+            n = vision_embeds.shape[0]
+            nb = -(-n // self.embed_bucket) * self.embed_bucket
+            embeds = jnp.pad(jnp.asarray(vision_embeds),
+                             ((0, nb - n), (0, 0)))
         rid = self._next_rid
         self._next_rid += 1
         req = _Request(rid, padded, pos, int(deltas[0, 0]) + bucket - true_len,
                        max_new_tokens, done_cb, sp=sp)
         logits = self._prefill_slot(slot, padded, pos, true_len,
-                                    max_new_tokens)
+                                    max_new_tokens, vision_embeds=embeds)
         self.last_logits = self.last_logits.at[slot].set(logits)
         self.cur_len[slot] = true_len
         # decode position = cur_len + pos_base = (true_len + step)
@@ -212,11 +243,12 @@ class ContinuousEngine:
         self.cache = KVCache.init(self.cfg.text, self.num_slots, self.max_len,
                                   dtype)
 
-    def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens):
+    def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens,
+                      vision_embeds=None):
         logits, self.cache = _prefill_into_slot(
             self.params, self.cache, self.cfg, slot, jnp.asarray(padded),
             jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
-            attn_impl=self.attn_impl)
+            vision_embeds=vision_embeds, attn_impl=self.attn_impl)
         return logits
 
     def _samp_arrays(self):
@@ -243,11 +275,16 @@ class ContinuousEngine:
                    static_argnames=("cfg", "attn_impl", "page_size"),
                    donate_argnums=(1, 2))
 def _prefill_into_pages(params, k_pages, v_pages, cfg, pids, ids,
-                        position_ids, length, attn_impl: str = "xla",
-                        page_size: int = 128):
+                        position_ids, length, vision_embeds=None,
+                        attn_impl: str = "xla", page_size: int = 128):
     """One sequence's prompt KV scattered into its allocated pages.
-    pids: [bucket // page_size] page ids covering the (padded) prompt."""
+    pids: [bucket // page_size] page ids covering the (padded) prompt.
+    vision_embeds as in _prefill_into_slot (multimodal serving)."""
     h = params["model"]["embed_tokens"]["embedding"][ids]
+    if vision_embeds is not None:
+        from ..models.model import merge_vision_embeddings
+
+        h = merge_vision_embeddings(ids, h, vision_embeds, cfg.video_token_id)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
     S = ids.shape[1]
     tmp = KVCache.init(cfg.text, 1, S, k_pages.dtype)
@@ -362,7 +399,8 @@ class PagedContinuousEngine(ContinuousEngine):
         self.trash_page = self.pcache.free_pages.pop()
         self._interpret = jax.default_backend() != "tpu"
 
-    def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens):
+    def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens,
+                      vision_embeds=None):
         pc = self.pcache
         ps = self._page_size
         bucket = padded.shape[1]
@@ -375,7 +413,8 @@ class PagedContinuousEngine(ContinuousEngine):
             self.params, pc.k, pc.v, self.cfg,
             jnp.asarray(pids, jnp.int32), jnp.asarray(padded),
             jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
-            attn_impl=self.attn_impl, page_size=ps)
+            vision_embeds=vision_embeds, attn_impl=self.attn_impl,
+            page_size=ps)
         # keep only the pages the true prompt occupies
         pc.page_tables[slot] = -1
         pc.page_tables[slot, :np_used] = pids[:np_used]

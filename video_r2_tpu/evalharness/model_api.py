@@ -43,14 +43,16 @@ class EngineModel(LMM):
                  max_pixels: int = 151200, min_pixels: int = 100352,
                  fps: float | None = None, batch_size: int = 8,
                  system_prompt: str = "You are a helpful assistant.",
-                 attn_impl: str = "xla", seed: int = 0):
+                 attn_impl: str = "xla", seed: int = 0,
+                 engine_mode: str = "batch", engine_max_len: int | None = None):
         from .engine_backend import EngineBackend
 
         self.backend = EngineBackend(
             params, cfg, tokenizer, max_num_frames=max_num_frames,
             max_pixels=max_pixels, min_pixels=min_pixels, fps=fps,
             batch_size=batch_size, system_prompt=system_prompt,
-            attn_impl=attn_impl, seed=seed)
+            attn_impl=attn_impl, seed=seed, engine_mode=engine_mode,
+            engine_max_len=engine_max_len)
 
     def generate_until(self, instances: list[Instance]) -> list[str]:
         return self.backend.generate_until(instances)

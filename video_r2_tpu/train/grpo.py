@@ -59,6 +59,10 @@ class GRPOConfig:
     buffer_seconds: float = 2.0
     similarity_threshold: float = 0.75
     logp_chunk_size: int = 1024
+    # rollout infrastructure (TRL's use_vllm analog): "batch" = static batch
+    # generate; "paged" = continuous batching over the paged KV pool, so
+    # rollouts that hit EOS early free their slot for the next request
+    rollout_backend: str = "batch"
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,7 @@ class GRPORunner:
         self._seed = seed
         self.timer = PhaseTimer()
         self.metrics_logger = metrics_logger
+        self._rollout_eng = None   # lazy PagedContinuousEngine ("paged" backend)
         # maps a train state to rollout/policy params; LoRA-GRPO passes
         # lambda s: attach_lora(base, s.lora, lcfg) so rollouts and the loss
         # see base+adapters while ref_params stays the bare base
@@ -159,19 +160,23 @@ class GRPORunner:
             pad_token_id=self.cfg.pad_token_id)
         self._seed += 1
         with profiling_phase(self.timer, "rollout_generate"):
-            res = generate(self.params, self.cfg, packed.input_ids,
-                           packed.lengths, sp, position_ids=pos,
-                           rope_deltas=deltas[:, 0], vision_embeds=embeds,
-                           vision_token_id=self.cfg.video_token_id,
-                           seed=self._seed, attn_impl=self.attn_impl,
-                           act_quant=self.act_quant, mesh=self.mesh)
+            if self.gcfg.rollout_backend == "paged":
+                completion_ids, gen_lengths = self._rollout_continuous(
+                    token_lists, prepared, G, sp)
+            else:
+                res = generate(self.params, self.cfg, packed.input_ids,
+                               packed.lengths, sp, position_ids=pos,
+                               rope_deltas=deltas[:, 0], vision_embeds=embeds,
+                               vision_token_id=self.cfg.video_token_id,
+                               seed=self._seed, attn_impl=self.attn_impl,
+                               act_quant=self.act_quant, mesh=self.mesh)
+                completion_ids, gen_lengths = res.sequences, res.lengths
 
-        completion_ids = res.sequences
         cmask = completion_mask_from_ids(
             completion_ids, self.cfg.eos_token_id,
             self.gcfg.mask_truncated_completions)
         completions_text = [
-            self.tok.decode(completion_ids[b][: res.lengths[b]],
+            self.tok.decode(completion_ids[b][: gen_lengths[b]],
                             skip_special_tokens=True)
             for b in range(B)]
         completions = [[{"role": "assistant", "content": t}]
@@ -270,6 +275,64 @@ class GRPORunner:
                 {name: list(rewards_per_func[:, i])
                  for i, name in enumerate(self.reward_func_names)})
         return batch, metrics
+
+    # ------------------------------------------------------------------
+    def _get_rollout_engine(self, max_prompt: int, num_requests: int):
+        from ..engine.continuous import PagedContinuousEngine
+
+        need = max_prompt + self.gcfg.max_completion_length + 1
+        page = 128
+        need = -(-need // page) * page
+        if self._rollout_eng is not None and self._rollout_eng.max_len >= need:
+            self._rollout_eng.params = self.params  # track trained params
+            return self._rollout_eng
+        buckets, b = [], page
+        while b < need:
+            buckets.append(b)
+            b *= 2
+        buckets.append(need)
+        self._rollout_eng = PagedContinuousEngine(
+            self.params, self.cfg, num_slots=min(num_requests, 32),
+            max_len=need,
+            sp=SamplingParams(eos_token_ids=(self.cfg.eos_token_id,),
+                              pad_token_id=self.cfg.pad_token_id),
+            attn_impl=self.attn_impl, prompt_buckets=tuple(buckets),
+            page_size=page, seed=self._seed)
+        return self._rollout_eng
+
+    def _rollout_continuous(self, token_lists, prepared, G, sp):
+        """Rollouts on the paged continuous engine: each of the B x G
+        requests streams independently, early-EOS rollouts free pages for
+        the rest (VERDICT r1 #6). Returns (completion_ids [B,C], lengths)."""
+        B = len(token_lists)
+        C = self.gcfg.max_completion_length
+        eng = self._get_rollout_engine(max(len(t) for t in token_lists), B)
+        out_tokens: list = [None] * B
+        pending = list(range(B))[::-1]
+        rid_to_b: dict[int, int] = {}
+        while pending or eng.num_active:
+            while pending:
+                bi = pending[-1]
+                p = prepared[bi // G]
+                rid = eng.submit(
+                    token_lists[bi], max_new_tokens=C, sp=sp,
+                    vision_embeds=p.video_embeds,
+                    video_grid_thw=p.video_grid_thw or None,
+                    second_per_grid_ts=(p.second_per_grid_ts
+                                        if p.video_grid_thw else None))
+                if rid is None:
+                    break
+                pending.pop()
+                rid_to_b[rid] = bi
+            if eng.num_active:
+                for rid, toks in eng.step():
+                    out_tokens[rid_to_b[rid]] = toks
+        completion_ids = np.full((B, C), self.cfg.pad_token_id, np.int64)
+        lengths = np.zeros((B,), np.int64)
+        for bi, toks in enumerate(out_tokens):
+            completion_ids[bi, : len(toks)] = toks
+            lengths[bi] = len(toks)
+        return completion_ids, lengths
 
     def _logps(self, params, batch, C):
         return jax.lax.stop_gradient(per_token_logps(

@@ -224,21 +224,31 @@ def test_tempcompass_variants():
     assert "tempcompass_caption_matching_think" in names
 
 
-def test_videomme_subtitle_mode(tmp_path, monkeypatch):
-    import os
-
+def test_videomme_subtitle_mode(tmp_path):
+    """videomme_w_subtitle is an explicit task variant fed by doc fields
+    (subtitle_path / subtitle) — no env-var side channels (ADVICE/VERDICT r1)."""
     doc = {"videoID": "vid1", "question": "Q?",
            "options": ["A. x", "B. y"], "answer": "A"}
-    task = get_task("videomme", docs=[doc])
-    base_text = task.config.doc_to_text(doc)
-    assert "subtitles are listed below" not in base_text
+    base = get_task("videomme", docs=[doc])
+    assert "subtitles are listed below" not in base.config.doc_to_text(doc)
+    assert base.config.post_prompt == "The best answer is:"
 
-    (tmp_path / "vid1.srt").write_text(
-        "1\n00:00:01,000 --> 00:00:02,000\nhello subtitle\n")
-    monkeypatch.setenv("VIDEOMME_SUBTITLE_ROOT", str(tmp_path))
-    with_subs = task.config.doc_to_text(doc)
+    srt = tmp_path / "vid1.srt"
+    srt.write_text("1\n00:00:01,000 --> 00:00:02,000\nhello subtitle\n")
+    task = get_task("videomme_w_subtitle",
+                    docs=[{**doc, "subtitle_path": str(srt)}])
+    with_subs = task.config.doc_to_text({**doc, "subtitle_path": str(srt)})
+    assert "This video's subtitles are listed below" in with_subs
     assert "hello subtitle" in with_subs
     assert with_subs.index("hello subtitle") < with_subs.index("Q?")
+    # Video-MME styled srt: extract the <font> payload
+    styled = ('1\n00:00:01,000 --> 00:00:02,000\n'
+              '<font color="white" size=".72c">styled text</font>\n')
+    t2 = task.config.doc_to_text({**doc, "subtitle": styled})
+    assert "styled text" in t2 and "<font" not in t2
+    # no subtitle at all
+    t3 = task.config.doc_to_text(doc)
+    assert "No subtitles available" in t3
 
 
 def test_extract_characters_regex():

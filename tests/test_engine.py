@@ -197,3 +197,46 @@ def test_decode_positions_match_full_forward(hf_and_params, rng):
             np.testing.assert_allclose(res.logprobs[b, t], ref_logp,
                                        rtol=0, atol=5e-5)
             seq.append(nxt)
+
+
+def test_kernel_decode_matches_xla(hf_and_params, rng):
+    """decode_impl="kernel" (stacked-cache Pallas decode, interpret mode on
+    CPU) must match the XLA decode path token-for-token."""
+    _, cfg, params = hf_and_params
+    B, T = 3, 7
+    lens = [13, 9, 11]
+    ids = np.full((B, 13), cfg.pad_token_id, dtype=np.int64)
+    for i, L in enumerate(lens):
+        ids[i, :L] = rng.integers(2, 400, size=L)
+    sp = SamplingParams(max_new_tokens=T, pad_token_id=cfg.pad_token_id,
+                        eos_token_ids=())
+    r_xla = generate(params, cfg, ids, np.asarray(lens), sp, decode_impl="xla")
+    r_ker = generate(params, cfg, ids, np.asarray(lens), sp,
+                     decode_impl="kernel")
+    np.testing.assert_array_equal(r_xla.sequences, r_ker.sequences)
+    np.testing.assert_allclose(r_xla.logprobs, r_ker.logprobs, atol=1e-4)
+
+
+def test_kv_quant_and_chunked_prefill(hf_and_params, rng):
+    """int8 KV cache: chunked prefill must be bit-identical to unchunked;
+    quantized logprobs must track the fp path closely on the prompt-local
+    first step (cache noise accumulates afterwards by design)."""
+    _, cfg, params = hf_and_params
+    B, T = 4, 6
+    lens = [13, 9, 11, 8]
+    ids = np.full((B, 13), cfg.pad_token_id, dtype=np.int64)
+    for i, L in enumerate(lens):
+        ids[i, :L] = rng.integers(2, 400, size=L)
+    sp = SamplingParams(max_new_tokens=T, pad_token_id=cfg.pad_token_id,
+                        eos_token_ids=())
+    r_fp = generate(params, cfg, ids, np.asarray(lens), sp)
+    r_q = generate(params, cfg, ids, np.asarray(lens), sp, kv_quant="int8")
+    r_qc = generate(params, cfg, ids, np.asarray(lens), sp, kv_quant="int8",
+                    prefill_chunk=2)
+    np.testing.assert_array_equal(r_q.sequences, r_qc.sequences)
+    np.testing.assert_allclose(r_q.logprobs, r_qc.logprobs, atol=1e-5)
+    # first generated token comes from the full-precision prefill attention
+    # (quantization only affects the cache decode reads), so it must agree
+    np.testing.assert_array_equal(r_fp.sequences[:, 0], r_q.sequences[:, 0])
+    np.testing.assert_allclose(r_fp.logprobs[:, 0], r_q.logprobs[:, 0],
+                               atol=2e-3)

@@ -130,3 +130,31 @@ def test_plan_video_geometry_grid():
     assert gt == 10
     assert plan.resized_height % 28 == 0 and plan.resized_width % 28 == 0
     assert gh == plan.resized_height // 14
+
+
+def test_snap_to_window():
+    from video_r2_tpu.video.geometry import snap_to_window
+
+    # nearest multiples of 112 within budget
+    assert snap_to_window(280, 504, 151200) == (336, 448)
+    # over-budget snap shrinks the larger dim first
+    assert snap_to_window(504, 504, 151200) == (336, 448)
+    # tiny targets clamp to one window
+    assert snap_to_window(28, 28, 151200) == (112, 112)
+    # already divisible is a no-op
+    assert snap_to_window(224, 448, 151200) == (224, 448)
+
+
+def test_plan_video_geometry_window_divisible():
+    from video_r2_tpu.video.geometry import plan_video_geometry
+
+    ele = {"min_pixels": 100352, "max_pixels": 151200, "max_frames": 128,
+           "fps": 2.0, "window_divisible": True}
+    g = plan_video_geometry(ele, total_frames=600, video_fps=30.0,
+                            fps_max_frames=128,
+                            native_height=720, native_width=1280)
+    assert g.resized_height % 112 == 0 and g.resized_width % 112 == 0
+    assert g.resized_height * g.resized_width <= 151200
+    # llm-grid dims divisible by the 4-unit window -> zero ViT window padding
+    _, gh, gw = g.grid_thw
+    assert (gh // 2) % 4 == 0 and (gw // 2) % 4 == 0

@@ -24,10 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.decoder import KVCache, decoder_forward
+from ..models.decoder import (DecodeKVCache, KVCache, QuantKVCache,
+                              decoder_decode_step, decoder_forward)
 from ..models.model import embed_inputs, lm_head
 from ..models.mrope import mrope_cos_sin
 from .sampling import SamplingParams, sample_token
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _cache_batch_write(big, chunk, offset):
+    """Write a batch-chunk cache into the full-batch cache at batch `offset`
+    (axis 1). The big cache is donated, so the update is in place — chunked
+    prefill's transient footprint stays at one chunk."""
+    return jax.tree_util.tree_map(
+        lambda b, c: jax.lax.dynamic_update_slice(
+            b, c.astype(b.dtype), (0, offset) + (0,) * (b.ndim - 2)),
+        big, chunk)
 
 
 @dataclass
@@ -38,7 +50,8 @@ class GenerationResult:
 
 
 @partial(jax.jit, static_argnames=("cfg", "attn_impl", "max_cache_len",
-                                   "act_quant", "mesh"))
+                                   "act_quant", "mesh", "cache_layout",
+                                   "kv_quant"))
 def prefill(
     params: dict,
     cfg: ModelConfig,
@@ -51,6 +64,8 @@ def prefill(
     attn_impl: str = "xla",
     act_quant: str | None = None,
     mesh=None,                   # TP inference: KV sharded on heads over "tp"
+    cache_layout: str = "seq",   # "head": DecodeKVCache for the decode kernel
+    kv_quant: str | None = None,  # "int8": quantized KV cache (QuantKVCache)
 ):
     """Run the prompt, fill the KV cache. Returns (last_logits [B,V], cache)."""
     B, S = input_ids.shape
@@ -62,7 +77,9 @@ def prefill(
                                     cfg.video_token_id if vision_token_id is None
                                     else vision_token_id)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
-    if attn_impl == "flash":
+    if attn_impl == "flash" or cache_layout == "head" or kv_quant:
+        # head-major and quantized fill attend over the LOCAL prompt-width
+        # k/v, so the prefix-causal bias is built inside dot_product_attention
         bias = None
     else:
         # bias spans the whole cache width: causal over the prompt, -inf beyond
@@ -70,8 +87,14 @@ def prefill(
         j = jnp.arange(max_cache_len)[None, :]
         allowed = (j <= i) & (j[None] < lengths[:, None, None])
         bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
-    cache = KVCache.init(cfg.text, B, max_cache_len, h.dtype)
+    if kv_quant == "int8":
+        assert cache_layout == "seq", "kv_quant uses the seq-major cache"
+        cache = QuantKVCache.init(cfg.text, B, max_cache_len)
+    else:
+        cache_cls = DecodeKVCache if cache_layout == "head" else KVCache
+        cache = cache_cls.init(cfg.text, B, max_cache_len, h.dtype)
     if mesh is not None:
+        assert cache_layout == "seq", "TP inference uses the seq-major cache"
         from ..parallel.sharding import kv_cache_sharding
 
         sh = kv_cache_sharding(mesh, cfg.text.num_key_value_heads)
@@ -88,19 +111,20 @@ def prefill(
     return logits.astype(jnp.float32), cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "sp", "attn_impl", "mesh"),
+@partial(jax.jit, static_argnames=("cfg", "sp", "attn_impl", "mesh", "s_pad"),
          donate_argnums=(4,))
 def decode(
     params: dict,
     cfg: ModelConfig,
     sp: SamplingParams,
     first_logits: jax.Array,     # [B, V] from prefill
-    cache: KVCache,
+    cache: KVCache,              # or DecodeKVCache -> Pallas decode kernel
     lengths: jax.Array,          # [B] prompt lengths
     rope_deltas: jax.Array,      # [B] from get_rope_index
     rng: jax.Array,
     attn_impl: str = "xla",
     mesh=None,                   # TP inference: keep KV head-sharded over "tp"
+    s_pad: int | None = None,    # decode-slot start (default: cache width - T)
 ):
     """Scan `max_new_tokens` decode steps. Returns (tokens [B,T], logprobs [B,T],
     gen_lengths [B], cache).
@@ -108,17 +132,24 @@ def decode(
     The input cache is DONATED and returned (as the scan carry) so XLA
     aliases the multi-GB buffer end to end — exactly one cache allocation
     lives across prefill+decode. Callers must not reuse the passed-in cache
-    object afterwards."""
+    object afterwards.
+
+    A DecodeKVCache (head-major) routes each step through
+    decoder_decode_step — the stacked-cache Pallas kernel that reads KV
+    blocks straight from HBM instead of materializing a per-layer slice."""
     B = first_logits.shape[0]
-    max_len = cache.k.shape[2]
+    use_kernel = isinstance(cache, DecodeKVCache)
+    max_len = cache.k.shape[3] if use_kernel else cache.k.shape[2]
     # Fixed-slot decode layout: step t's KV rows land at cache position
     # S_pad + t for EVERY sample (the prompt's padded width, not the true
     # length). A uniform scalar position makes the cache write a
     # dynamic-update-slice (in-place on the scan carry) instead of a
     # per-sample scatter; rope positions still use true lengths, and the
     # attention mask admits prompt rows [0, len_b) plus slots [S_pad, S_pad+t].
-    s_pad = max_len - sp.max_new_tokens
+    if s_pad is None:
+        s_pad = max_len - sp.max_new_tokens
     if mesh is not None:
+        assert not use_kernel, "TP inference uses the seq-major cache"
         from ..parallel.sharding import kv_cache_sharding
 
         sh = kv_cache_sharding(mesh, cfg.text.num_key_value_heads)
@@ -145,13 +176,19 @@ def decode(
         pos_scalar = cur_len + rope_deltas            # [B]
         pos3 = jnp.broadcast_to(pos_scalar[None, :, None], (3, B, 1))
         cos, sin = mrope_cos_sin(pos3, cfg, dtype=emb.dtype)
-        j = jnp.arange(max_len)[None, :]
-        allowed = (j < lengths[:, None]) | ((j >= s_pad) & (j <= s_pad + t))
-        bias = jnp.where(allowed[:, None, None], 0.0, -1e30).astype(jnp.float32)
-        hidden, cache = decoder_forward(
-            params["model"], cfg.text, emb, cos, sin, bias,
-            cache=cache, cache_position=s_pad + t, attn_impl=attn_impl,
-            causal=False)
+        if use_kernel:
+            hidden, cache = decoder_decode_step(
+                params["model"], cfg.text, emb, cos, sin, cache,
+                lengths, s_pad, t)
+        else:
+            j = jnp.arange(max_len)[None, :]
+            allowed = (j < lengths[:, None]) | ((j >= s_pad) & (j <= s_pad + t))
+            bias = jnp.where(allowed[:, None, None], 0.0,
+                             -1e30).astype(jnp.float32)
+            hidden, cache = decoder_forward(
+                params["model"], cfg.text, emb, cos, sin, bias,
+                cache=cache, cache_position=s_pad + t, attn_impl=attn_impl,
+                causal=False)
         next_logits = lm_head(params, cfg, hidden[:, 0]).astype(jnp.float32)
         cur_len = jnp.where(done, cur_len, cur_len + 1)
         return (next_logits, cache, cur_len, new_done), (tok, logp)
@@ -185,9 +222,26 @@ def generate(
     mesh=None,                     # sharded inference (params pre-sharded by
                                    # parallel.shard_params; KV head-sharded on
                                    # "tp" — the 80B-judge deployment shape)
+    decode_impl: str = "auto",     # "kernel": stacked-cache Pallas decode
+                                   # (head-major cache, single chip only);
+                                   # "xla": seq-major cache + XLA attention.
+                                   # auto = kernel when unmeshed.
+    kv_quant: str | None = None,   # "int8": quantized KV cache — halves KV
+                                   # traffic/footprint (enables B=256 decode
+                                   # on one v5e chip)
+    prefill_chunk: int | None = None,  # prefill in batch chunks of this size
+                                   # (B=256 prefill OOMs; 2x128 chunks fit),
+                                   # then decode the full batch together
 ) -> GenerationResult:
     """Host-orchestrated batched generation."""
     B, S = input_ids.shape
+    if decode_impl == "auto":
+        # measured on v5e (CLAUDE.md decode history): at decode shapes the
+        # XLA path's fused slice+attention already runs near the HBM
+        # roofline, while the Pallas stacked-cache kernel's (B, kh) grid of
+        # 32 KB block DMAs undershoots bandwidth (37 vs 17 ms/step at
+        # B=128/S=384) — kernel stays opt-in for long-context small-batch
+        decode_impl = "xla"
     if position_ids is None:
         from ..models.mrope import get_rope_index
 
@@ -201,15 +255,53 @@ def generate(
     # (cur_len starts at lengths), so shift: continuation position for step i
     # must be max_pos + 1 + i = cur_len + delta + (S - length).
     rope_deltas = np.asarray(rope_deltas) + (S - np.asarray(lengths))
-    max_cache = S + sp.max_new_tokens
-    logits, cache = prefill(
-        params, cfg, jnp.asarray(input_ids), jnp.asarray(position_ids),
-        jnp.asarray(lengths), max_cache,
-        vision_embeds=vision_embeds, vision_token_id=vision_token_id,
-        attn_impl=attn_impl, act_quant=act_quant, mesh=mesh)
+    if decode_impl == "kernel":
+        # head-major cache for the Pallas decode kernel: width padded to the
+        # kernel's block size; decode slots start at the prompt pad width S
+        from ..ops.decode_attention import BLOCK_S
+
+        assert kv_quant is None, "decode kernel is bf16-cache only"
+        max_cache = -(-(S + sp.max_new_tokens) // BLOCK_S) * BLOCK_S
+        layout, s_pad = "head", S
+    else:
+        max_cache = S + sp.max_new_tokens
+        layout, s_pad = "seq", None
+
+    def run_prefill(ids_c, pos_c, len_c):
+        return prefill(
+            params, cfg, jnp.asarray(ids_c), jnp.asarray(pos_c),
+            jnp.asarray(len_c), max_cache,
+            vision_embeds=vision_embeds, vision_token_id=vision_token_id,
+            attn_impl=attn_impl, act_quant=act_quant, mesh=mesh,
+            cache_layout=layout, kv_quant=kv_quant)
+
+    if prefill_chunk and B > prefill_chunk:
+        # batch-chunked prefill: B=256 prompt MLP intermediates OOM one chip,
+        # so fill the full-batch cache chunk by chunk — each chunk cache is
+        # written into the (donated, in-place) big cache immediately, keeping
+        # the transient footprint to one chunk instead of a full second cache.
+        # (Vision embeds index into the whole batch's token stream — the
+        # chunked path is text-only for now.)
+        assert vision_embeds is None, "prefill_chunk requires text-only input"
+        assert B % prefill_chunk == 0, (B, prefill_chunk)
+        if kv_quant == "int8":
+            cache = QuantKVCache.init(cfg.text, B, max_cache)
+        else:
+            dt = params["model"]["embed_tokens"]["embedding"].dtype
+            cache = KVCache.init(cfg.text, B, max_cache, dt)
+        lg_parts = []
+        for s in range(0, B, prefill_chunk):
+            e = s + prefill_chunk
+            lg, c = run_prefill(input_ids[s:e], position_ids[:, s:e],
+                                np.asarray(lengths)[s:e])
+            lg_parts.append(lg)
+            cache = _cache_batch_write(cache, c, s)
+        logits = jnp.concatenate(lg_parts, axis=0)
+    else:
+        logits, cache = run_prefill(input_ids, position_ids, lengths)
     toks, logps, gen_len, _ = decode(
         params, cfg, sp, logits, cache, jnp.asarray(lengths),
         jnp.asarray(rope_deltas), jax.random.PRNGKey(seed), attn_impl=attn_impl,
-        mesh=mesh)
+        mesh=mesh, s_pad=s_pad)
     return GenerationResult(np.asarray(toks), np.asarray(gen_len),
                             np.asarray(logps))

@@ -24,7 +24,8 @@ class EngineBackend:
                  max_pixels=151200, min_pixels=100352, fps=None, batch_size=8,
                  system_prompt="You are a helpful assistant.",
                  attn_impl="xla", act_quant=None, seed=0,
-                 engine_mode="batch", engine_max_len=None, page_size=128):
+                 engine_mode="batch", engine_max_len=None, page_size=128,
+                 window_divisible=False):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -45,6 +46,11 @@ class EngineBackend:
         self.engine_mode = engine_mode
         self.engine_max_len = engine_max_len
         self.page_size = page_size
+        # snap resize targets to 112-px ViT windows: zero window padding in
+        # the ViT and far fewer compile-shape buckets (video/geometry.py
+        # snap_to_window). Changes input resolution inside the same pixel
+        # budget -> off by default for reference-exact preprocessing.
+        self.window_divisible = window_divisible
         self._cont = None
 
     def _video_ele(self, visual) -> dict:
@@ -57,6 +63,8 @@ class EngineBackend:
         if self.fps is not None:
             ele["fps"] = self.fps
         ele["max_frames"] = self.max_num_frames
+        if self.window_divisible:
+            ele["window_divisible"] = True
         return ele
 
     def _prepare(self, inst: Instance):

@@ -37,10 +37,61 @@ class KVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+class QuantKVCache(NamedTuple):
+    """int8-quantized KV cache (per-token, per-head absmax scales).
+
+    Halves decode KV-read traffic and cache HBM footprint vs bf16 — the
+    enabler for batch-256 decode on one 16 GB v5e (bf16 KV at B=256 does not
+    fit next to the int8 7B weights). Dequant (convert + broadcast multiply)
+    fuses into the attention matmul operand, so no dequantized copy
+    materializes — same fusion XLA applies to int8 weight matmuls.
+    """
+
+    k: jax.Array        # [L, B, Smax, kh, hd] int8
+    v: jax.Array
+    k_scale: jax.Array  # [L, B, Smax, kh] float32
+    v_scale: jax.Array
+
+    @classmethod
+    def init(cls, cfg: TextConfig, batch: int, max_len: int,
+             dtype=None) -> "QuantKVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                   jnp.zeros(shape[:-1], jnp.float32),
+                   jnp.zeros(shape[:-1], jnp.float32))
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., hd] -> (int8 values, float32 absmax scale over hd)."""
+    x32 = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1), 1e-8) / 127.0
+    q = jnp.round(x32 / s[..., None]).astype(jnp.int8)
+    return q, s
+
+
+class DecodeKVCache(NamedTuple):
+    """Head-major stacked cache [L, B, kh, Smax, hd] for the batch-decode
+    Pallas kernel (ops/decode_attention.py): one (layer, batch, head) slice
+    is a contiguous [Smax, hd] run the kernel DMAs block-by-block — the
+    stacked buffer never leaves HBM, no per-layer slice materialization
+    (the measured ~100 MB/layer copy the seq-major XLA path pays at B=128)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def init(cls, cfg: TextConfig, batch: int, max_len: int,
+             dtype) -> "DecodeKVCache":
+        shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads,
+                 max_len, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
 def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
            cache_position=None, layer_idx=None, attn_impl: str = "xla",
            kv_lengths=None, causal: bool = False, segment_ids=None,
-           act_quant: str | None = None):
+           act_quant: str | None = None, head_major_fill: bool = False):
     """One decoder layer. With a cache, cache_kv is the FULL stacked
     (k, v) [L, B, Smax, kh, hd] pair carried through the layer scan; the new
     token rows are written in place (dynamic-update-slice on the scan carry —
@@ -55,7 +106,29 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
     v = linear(p["attn"]["v"], h, act_quant).reshape(B, S, kh, hd)
     q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
-    if cache_kv is not None and layer_idx is None:
+    if cache_kv is not None and layer_idx is None and head_major_fill:
+        # head-major fill (batch prefill for the decode kernel): per-layer
+        # [B, kh, Smax, hd] cache rides the scan as xs/ys; attention runs
+        # over the LOCAL prompt-width k/v (equivalent under the prefix mask
+        # and cheaper than attending over the padded cache width).
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.swapaxes(1, 2).astype(ck.dtype), (0, 0, cache_position, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.swapaxes(1, 2).astype(cv.dtype), (0, 0, cache_position, 0))
+        k_all, v_all, new_kv = k, v, (ck, cv)
+    elif cache_kv is not None and layer_idx is None and len(cache_kv) == 4:
+        # int8-quantized fill: store quantized values + scales, attend over
+        # the LOCAL bf16 k/v (full-precision prefill attention)
+        ck, cv, ksc, vsc = cache_kv
+        kq, ks_new = quantize_kv(k)
+        vq, vs_new = quantize_kv(v)
+        ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache_position, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache_position, 0, 0))
+        ksc = jax.lax.dynamic_update_slice(ksc, ks_new, (0, cache_position, 0))
+        vsc = jax.lax.dynamic_update_slice(vsc, vs_new, (0, cache_position, 0))
+        k_all, v_all, new_kv = k, v, (ck, cv, ksc, vsc)
+    elif cache_kv is not None and layer_idx is None:
         # fill mode (prefill): per-layer [B, Smax, kh, hd] cache rides the
         # layer scan as xs/ys. The zeros-initialized input lets XLA fold
         # DUS-into-zeros to a pad — no cache read traffic.
@@ -70,6 +143,32 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
                                               (0, cache_position, 0, 0))
         k_all, v_all, new_kv = ck, cv, (ck, cv)
+    elif cache_kv is not None and len(cache_kv) == 4:
+        # int8-quantized decode: write the new token quantized, dequantize
+        # the layer slice into the attention operand (fused, no copy)
+        ck, cv, ksc, vsc = cache_kv
+        kq, ks_new = quantize_kv(k)
+        vq, vs_new = quantize_kv(v)
+        ck = jax.lax.dynamic_update_slice(
+            ck, kq[None], (layer_idx, 0, cache_position, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, vq[None], (layer_idx, 0, cache_position, 0, 0))
+        ksc = jax.lax.dynamic_update_slice(
+            ksc, ks_new[None], (layer_idx, 0, cache_position, 0))
+        vsc = jax.lax.dynamic_update_slice(
+            vsc, vs_new[None], (layer_idx, 0, cache_position, 0))
+        from ..ops.attention import quant_dot_product_attention
+
+        attn = quant_dot_product_attention(
+            q,
+            jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(ksc, layer_idx, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(vsc, layer_idx, 0, keepdims=False),
+            mask_bias)
+        x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd), act_quant)
+        h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
+        return x + swiglu_mlp(p["mlp"], h, act_quant), (ck, cv, ksc, vsc)
     elif cache_kv is not None:
         ck, cv = cache_kv
         if isinstance(cache_position, jax.Array) and cache_position.ndim == 1:
@@ -163,7 +262,22 @@ def decoder_forward(
             body = jax.checkpoint(body)
         hidden, _ = jax.lax.scan(body, hidden, layers)
         new_cache = None
+    elif cache_fill and isinstance(cache, QuantKVCache):
+        def body(x, inp):
+            p, ck, cv, ksc, vsc = inp
+            x, new_kv = _layer(p, x, cos, sin, mask_bias, cfg,
+                               cache_kv=(ck, cv, ksc, vsc),
+                               cache_position=cache_position,
+                               attn_impl=attn_impl,
+                               kv_lengths=kv_lengths, causal=causal,
+                               act_quant=act_quant)
+            return x, new_kv
+
+        hidden, ys = jax.lax.scan(body, hidden, (layers, *cache))
+        new_cache = QuantKVCache(*ys)
     elif cache_fill:
+        head_major = isinstance(cache, DecodeKVCache)
+
         def body(x, inp):
             p, ck, cv = inp
             x, (nk, nv) = _layer(p, x, cos, sin, mask_bias, cfg,
@@ -171,12 +285,29 @@ def decoder_forward(
                                  cache_position=cache_position,
                                  attn_impl=attn_impl,
                                  kv_lengths=kv_lengths, causal=causal,
-                                 act_quant=act_quant)
+                                 act_quant=act_quant,
+                                 head_major_fill=head_major)
             return x, (nk, nv)
 
         hidden, (ks, vs) = jax.lax.scan(body, hidden,
                                         (layers, cache.k, cache.v))
-        new_cache = KVCache(ks, vs)
+        new_cache = (DecodeKVCache if head_major else KVCache)(ks, vs)
+    elif isinstance(cache, QuantKVCache):
+        n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+
+        def body(carry, inp):
+            x, ck, cv, ksc, vsc = carry
+            l, p = inp
+            x, new_kv = _layer(p, x, cos, sin, mask_bias, cfg,
+                               cache_kv=(ck, cv, ksc, vsc),
+                               cache_position=cache_position,
+                               layer_idx=l, attn_impl=attn_impl,
+                               kv_lengths=kv_lengths, causal=causal)
+            return (x, *new_kv), None
+
+        (hidden, *ys), _ = jax.lax.scan(
+            body, (hidden, *cache), (jnp.arange(n_layers), layers))
+        new_cache = QuantKVCache(*ys)
     else:
         n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
 
@@ -214,6 +345,83 @@ def decoder_forward(
 
     hidden = rms_norm(params["norm"]["scale"], hidden, cfg.rms_norm_eps)
     return hidden, new_cache
+
+
+def _decode_layer_kernel(p, x, cos, sin, cfg: TextConfig, ck, cv, layer_idx,
+                         lengths, s_pad: int, t, interpret: bool):
+    """One decoder layer of single-token batch decode through the stacked-
+    cache Pallas kernel. ck/cv are the FULL head-major [L, B, kh, Smax, hd]
+    stacks carried through the layer scan; the new token's KV is written in
+    place at slot s_pad + t (uniform over the batch), then the kernel reads
+    the layer's blocks straight from HBM (no per-layer slice copy)."""
+    from ..ops.decode_attention import decode_attention_stacked
+
+    B, S, _ = x.shape  # S == 1
+    nh, kh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = rms_norm(p["input_layernorm"]["scale"], x, cfg.rms_norm_eps)
+    q = linear(p["attn"]["q"], h).reshape(B, S, nh, hd)
+    k = linear(p["attn"]["k"], h).reshape(B, S, kh, hd)
+    v = linear(p["attn"]["v"], h).reshape(B, S, kh, hd)
+    q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
+
+    slot = s_pad + t
+    k_w = k[:, 0][None, :, :, None, :]   # [1, B, kh, 1, hd]
+    v_w = v[:, 0][None, :, :, None, :]
+    ck = jax.lax.dynamic_update_slice(ck, k_w.astype(ck.dtype),
+                                      (layer_idx, 0, 0, slot, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v_w.astype(cv.dtype),
+                                      (layer_idx, 0, 0, slot, 0))
+    attn = decode_attention_stacked(q[:, 0], ck, cv, lengths,
+                                    slot_end=slot, layer=layer_idx,
+                                    s_pad_static=s_pad, interpret=interpret)
+    x = x + linear(p["attn"]["o"], attn.reshape(B, 1, nh * hd))
+    h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
+    return x + swiglu_mlp(p["mlp"], h), ck, cv
+
+
+def decoder_decode_step(
+    params: dict,
+    cfg: TextConfig,
+    hidden: jax.Array,        # [B, 1, H]
+    cos: jax.Array,           # [B, 1, head_dim]
+    sin: jax.Array,
+    cache: DecodeKVCache,
+    lengths: jax.Array,       # [B] prompt lengths (keys [0, len_b) valid)
+    s_pad: int,               # static: decode slots start here
+    t: jax.Array,             # step index — this token writes slot s_pad + t
+) -> tuple[jax.Array, DecodeKVCache]:
+    """Single-token batch decode across all layers via the stacked-cache
+    kernel. Equivalent math to decoder_forward's decode branch; avoids the
+    materialized per-layer KV slice (see DecodeKVCache)."""
+    layers = params["layers"]
+    n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    interpret = jax.default_backend() != "tpu"
+
+    if _has_stacked_q4(layers):
+        def body(carry, l):
+            x, ck, cv = carry
+            p = _stacked_quant_view(layers, l)
+            x, ck, cv = _decode_layer_kernel(p, x, cos, sin, cfg, ck, cv, l,
+                                             lengths, s_pad, t, interpret)
+            return (x, ck, cv), None
+
+        (hidden, ks, vs), _ = jax.lax.scan(
+            body, (hidden, cache.k, cache.v), jnp.arange(n_layers))
+    else:
+        def body(carry, inp):
+            x, ck, cv = carry
+            l, p = inp
+            x, ck, cv = _decode_layer_kernel(p, x, cos, sin, cfg, ck, cv, l,
+                                             lengths, s_pad, t, interpret)
+            return (x, ck, cv), None
+
+        (hidden, ks, vs), _ = jax.lax.scan(
+            body, (hidden, cache.k, cache.v),
+            (jnp.arange(n_layers), layers))
+
+    hidden = rms_norm(params["norm"]["scale"], hidden, cfg.rms_norm_eps)
+    return hidden, DecodeKVCache(ks, vs)
 
 
 def causal_mask_bias(seq_len: int, attention_mask: jax.Array | None,

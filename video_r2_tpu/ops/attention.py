@@ -51,6 +51,38 @@ def dot_product_attention(
     return _xla_attention(q, k, v, bias)
 
 
+def quant_dot_product_attention(
+    q: jax.Array,        # [B, Sq, num_heads, head_dim] (Sq == 1 decode)
+    k_q: jax.Array,      # [B, Skv, kv_heads, head_dim] int8
+    k_scale: jax.Array,  # [B, Skv, kv_heads] float32 per-row absmax scales
+    v_q: jax.Array,
+    v_scale: jax.Array,
+    bias: jax.Array,     # [B, 1, Sq, Skv] additive
+) -> jax.Array:
+    """GQA attention over an int8-quantized KV cache WITHOUT dequantizing a
+    copy: per-row scales factor out of both dot products —
+    q.(k_q*s_k) == (q.k_q)*s_k  and  sum_k p*(v_q*s_v) == sum_k (p*s_v)*v_q —
+    so the matmul operands are int8-with-convert (XLA fuses convert into the
+    dot, exactly as for int8 weights) and the scales apply elementwise to the
+    [.., Sq, Skv] score/prob tensors. A naive `(k_q * s).astype(bf16)` operand
+    materializes the dequantized slice in HBM (measured: erases the entire
+    int8 traffic win at B=256)."""
+    B, Sq, nh, hd = q.shape
+    kh = k_q.shape[2]
+    g = nh // kh
+    dt = q.dtype
+    qg = q.reshape(B, Sq, kh, g, hd)
+    scale = hd ** -0.5
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_q.astype(dt),
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    scores = scores + bias[:, :, None].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = (probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]).astype(dt)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_q.astype(dt))
+    return out.reshape(B, Sq, nh, hd)
+
+
 def _xla_attention(q, k, v, bias):
     B, Sq, nh, hd = q.shape
     kh = k.shape[2]

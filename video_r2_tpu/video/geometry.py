@@ -177,6 +177,48 @@ def video_frame_pixel_budget(
     return int(min_px), int(budget_max)
 
 
+WINDOW_FACTOR = 112  # ViT attention window in pixels (4 units x merge 2 x patch 14)
+
+
+def snap_to_window(height: int, width: int, max_pixels: int,
+                   window: int = WINDOW_FACTOR) -> tuple[int, int]:
+    """Snap a smart_resize target to multiples of the ViT window (112 px).
+
+    TPU perf bucketing (opt-in, `ele["window_divisible"]`): window-divisible
+    frames fully populate every 8x8-patch attention window — the physically
+    padded window layout (models/vision.py) drops from up to ~1.5x pad slots
+    to exactly 1.0x — and collapse the resize-shape bucket space (fewer XLA
+    recompiles). Deviates from the reference resize targets within the same
+    pixel budget, so it is off by default.
+    """
+    def snaps(x: int) -> tuple[int, ...]:
+        lo = max(window, floor_by_factor(x, window))
+        hi = max(window, ceil_by_factor(x, window))
+        return (lo,) if lo == hi else (lo, hi)
+
+    target = height * width
+    best = None
+    for h in snaps(height):
+        for w in snaps(width):
+            if h * w > max_pixels:
+                continue
+            # closest area to the reference target, then least aspect skew
+            key = (abs(h * w - target),
+                   abs(math.log(h / w) - math.log(height / width)))
+            if best is None or key < best[0]:
+                best = (key, h, w)
+    if best is not None:
+        return best[1], best[2]
+    h = max(window, floor_by_factor(height, window))
+    w = max(window, floor_by_factor(width, window))
+    while h * w > max_pixels and max(h, w) > window:
+        if h >= w:
+            h -= window
+        else:
+            w -= window
+    return h, w
+
+
 def format_hhmmss(seconds: float) -> str:
     """HH:MM:SS burn-in text. Parity: vision_process.py:65-70."""
     total = int(seconds)
@@ -222,6 +264,7 @@ def plan_video_geometry(
     sample_fps = nframes / max(count, 1e-6) * video_fps
     if "resized_height" in ele and "resized_width" in ele:
         rh, rw = smart_resize(ele["resized_height"], ele["resized_width"], factor=image_factor)
+        max_px = rh * rw
     else:
         if native_height is None or native_width is None:
             raise ValueError("native H/W required unless resized_height/width given")
@@ -234,4 +277,6 @@ def plan_video_geometry(
         )
         rh, rw = smart_resize(native_height, native_width, factor=image_factor,
                               min_pixels=min_px, max_pixels=max_px)
+    if ele.get("window_divisible"):
+        rh, rw = snap_to_window(rh, rw, max(max_px, WINDOW_FACTOR ** 2))
     return VideoGeometry(nframes, rh, rw, sample_fps, tuple(idx))

@@ -39,13 +39,34 @@ class HashingEmbedder:
 
 
 def load_embedder(model_name: str = "sentence-transformers/all-MiniLM-L6-v2"):
-    """MiniLM if its weights are locally available, else HashingEmbedder."""
+    """MiniLM if its weights are locally available, else HashingEmbedder.
+
+    The fallback is LOUD (VERDICT r1 weak #9): TAR consistency scores
+    computed with the hashing embedder are NOT comparable to the reference's
+    MiniLM numbers, so substituting silently would corrupt cross-run
+    comparisons. Detect which one ran via `is_fallback_embedder`."""
     try:
         from sentence_transformers import SentenceTransformer
 
         return SentenceTransformer(model_name, local_files_only=True)
     except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "MiniLM (%s) unavailable locally — TAR similarity falls back to "
+            "the char-ngram HashingEmbedder. Scores are deterministic but NOT "
+            "comparable to MiniLM-based runs; metrics are tagged "
+            "embedder=hashing-fallback.", model_name)
         return HashingEmbedder()
+
+
+def is_fallback_embedder(embedder) -> bool:
+    return isinstance(embedder, HashingEmbedder)
+
+
+def embedder_tag(embedder) -> str:
+    """Provenance tag recorded next to TAR metrics."""
+    return "hashing-fallback" if is_fallback_embedder(embedder) else "minilm"
 
 
 def cos_sim(a: np.ndarray, b: np.ndarray) -> float:

@@ -25,6 +25,7 @@ from ..engine.sampling import SamplingParams
 from ..models.config import ModelConfig
 from ..models.mrope import get_rope_index
 from ..models.vision import plan_vision_layout, vit_forward
+from ..rewards.embedding import embedder_tag as _embedder_tag
 from ..utils.profiling import PhaseTimer, profiling_phase
 from ..video import VideoPreprocessConfig, fetch_image, fetch_video
 from .grpo import (
@@ -255,6 +256,9 @@ class GRPORunner:
         metrics = {
             "reward_mean": float(np.mean(rewards)),
             "reward_std": float(np.std(rewards)),
+            # provenance: TAR similarity via MiniLM vs the offline hashing
+            # fallback — the two are NOT comparable (rewards/embedding.py)
+            "embedder": _embedder_tag(self.embedder) if self.embedder else "none",
             "completion_len_mean": float(cmask.sum(1).mean()),
             "completion_len_min": float(cmask.sum(1).min()),
             "completion_len_max": float(cmask.sum(1).max()),

@@ -111,7 +111,8 @@ def prefill(
     return logits.astype(jnp.float32), cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "sp", "attn_impl", "mesh", "s_pad"),
+@partial(jax.jit, static_argnames=("cfg", "sp", "attn_impl", "mesh", "s_pad",
+                                   "act_quant"),
          donate_argnums=(4,))
 def decode(
     params: dict,
@@ -125,6 +126,11 @@ def decode(
     attn_impl: str = "xla",
     mesh=None,                   # TP inference: keep KV head-sharded over "tp"
     s_pad: int | None = None,    # decode-slot start (default: cache width - T)
+    act_quant: str | None = None,  # "int8": W8A8 decode matmuls + lm_head —
+                                 # at B>=~192 decode is MXU-bound (every bf16
+                                 # matmul re-reads 256 rows), the integer MXU
+                                 # doubles peak (measured: 0.93 ms/layer bf16
+                                 # at B=256 vs ~0.5 roofline)
 ):
     """Scan `max_new_tokens` decode steps. Returns (tokens [B,T], logprobs [B,T],
     gen_lengths [B], cache).
@@ -167,7 +173,11 @@ def decode(
         logits, cache, cur_len, done = carry
         tok = sample_token(logits, rng_step, sp)
         tok = jnp.where(done, sp.pad_token_id, tok)
-        logp = jax.nn.log_softmax(logits, axis=-1)[jnp.arange(B), tok]
+        # chosen-token logprob via gather + logsumexp — never materializes
+        # the full [B, V] log_softmax array (at B=256 that is ~156 MB fp32
+        # written+read per step just to gather B scalars)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        logp = logits[jnp.arange(B), tok] - lse
         logp = jnp.where(done, 0.0, logp)
         new_done = done | is_eos(tok)
 
@@ -188,8 +198,9 @@ def decode(
             hidden, cache = decoder_forward(
                 params["model"], cfg.text, emb, cos, sin, bias,
                 cache=cache, cache_position=s_pad + t, attn_impl=attn_impl,
-                causal=False)
-        next_logits = lm_head(params, cfg, hidden[:, 0]).astype(jnp.float32)
+                causal=False, act_quant=act_quant)
+        next_logits = lm_head(params, cfg, hidden[:, 0],
+                              act_quant).astype(jnp.float32)
         cur_len = jnp.where(done, cur_len, cur_len + 1)
         return (next_logits, cache, cur_len, new_done), (tok, logp)
 
@@ -229,6 +240,9 @@ def generate(
     kv_quant: str | None = None,   # "int8": quantized KV cache — halves KV
                                    # traffic/footprint (enables B=256 decode
                                    # on one v5e chip)
+    decode_act_quant: str | None = "auto",  # W8A8 decode matmuls; "auto" =
+                                   # int8 iff act_quant is int8 and B >= 192
+                                   # (where decode turns MXU-bound)
     prefill_chunk: int | None = None,  # prefill in batch chunks of this size
                                    # (B=256 prefill OOMs; 2x128 chunks fit),
                                    # then decode the full batch together
@@ -299,9 +313,11 @@ def generate(
         logits = jnp.concatenate(lg_parts, axis=0)
     else:
         logits, cache = run_prefill(input_ids, position_ids, lengths)
+    if decode_act_quant == "auto":
+        decode_act_quant = "int8" if (act_quant == "int8" and B >= 192) else None
     toks, logps, gen_len, _ = decode(
         params, cfg, sp, logits, cache, jnp.asarray(lengths),
         jnp.asarray(rope_deltas), jax.random.PRNGKey(seed), attn_impl=attn_impl,
-        mesh=mesh, s_pad=s_pad)
+        mesh=mesh, s_pad=s_pad, act_quant=decode_act_quant)
     return GenerationResult(np.asarray(toks), np.asarray(gen_len),
                             np.asarray(logps))

@@ -23,7 +23,7 @@ class EngineBackend:
     def __init__(self, params, cfg, tokenizer, max_num_frames=128,
                  max_pixels=151200, min_pixels=100352, fps=None, batch_size=8,
                  system_prompt="You are a helpful assistant.",
-                 attn_impl="xla", act_quant=None, seed=0,
+                 attn_impl="xla", act_quant=None, kv_quant=None, seed=0,
                  engine_mode="batch", engine_max_len=None, page_size=128,
                  window_divisible=False):
         self.params = params
@@ -37,6 +37,7 @@ class EngineBackend:
         self.system_prompt = system_prompt
         self.attn_impl = attn_impl
         self.act_quant = act_quant  # "int8": W8A8 prefill (integer MXU)
+        self.kv_quant = kv_quant    # "int8": quantized KV cache (2x batch headroom)
         self.seed = seed
         self.vcfg = VideoPreprocessConfig()
         # "paged": run requests through PagedContinuousEngine (continuous
@@ -147,7 +148,7 @@ class EngineBackend:
                        vision_embeds=embeds,
                        vision_token_id=self.cfg.video_token_id,
                        seed=self.seed, attn_impl=self.attn_impl,
-                       act_quant=self.act_quant)
+                       act_quant=self.act_quant, kv_quant=self.kv_quant)
         out = {}
         for row, idx in enumerate(indices):
             ids = res.sequences[row][: res.lengths[row]]

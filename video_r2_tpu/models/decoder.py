@@ -101,9 +101,15 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
     nh, kh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     h = rms_norm(p["input_layernorm"]["scale"], x, cfg.rms_norm_eps)
-    q = linear(p["attn"]["q"], h, act_quant).reshape(B, S, nh, hd)
-    k = linear(p["attn"]["k"], h, act_quant).reshape(B, S, kh, hd)
-    v = linear(p["attn"]["v"], h, act_quant).reshape(B, S, kh, hd)
+    pq = None
+    if (act_quant == "int8" and "kernel_q" in p["attn"]["q"]
+            and p["attn"]["q"]["kernel_q"].ndim == 2):
+        from .layers import quantize_act
+
+        pq = quantize_act(h)  # q/k/v share one activation quantization
+    q = linear(p["attn"]["q"], h, act_quant, pq).reshape(B, S, nh, hd)
+    k = linear(p["attn"]["k"], h, act_quant, pq).reshape(B, S, kh, hd)
+    v = linear(p["attn"]["v"], h, act_quant, pq).reshape(B, S, kh, hd)
     q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
     if cache_kv is not None and layer_idx is None and head_major_fill:
@@ -302,7 +308,8 @@ def decoder_forward(
                                cache_kv=(ck, cv, ksc, vsc),
                                cache_position=cache_position,
                                layer_idx=l, attn_impl=attn_impl,
-                               kv_lengths=kv_lengths, causal=causal)
+                               kv_lengths=kv_lengths, causal=causal,
+                               act_quant=act_quant)
             return (x, *new_kv), None
 
         (hidden, *ys), _ = jax.lax.scan(
@@ -335,7 +342,8 @@ def decoder_forward(
                                      cache_kv=(ck, cv),
                                      cache_position=cache_position,
                                      layer_idx=l, attn_impl=attn_impl,
-                                     kv_lengths=kv_lengths, causal=causal)
+                                     kv_lengths=kv_lengths, causal=causal,
+                                     act_quant=act_quant)
                 return (x, ck, cv), None
 
             (hidden, ks, vs), _ = jax.lax.scan(

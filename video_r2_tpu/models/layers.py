@@ -10,7 +10,20 @@ import jax
 import jax.numpy as jnp
 
 
-def linear(params: dict, x: jax.Array, act_quant: str | None = None) -> jax.Array:
+def quantize_act(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic per-token int8 activation quant: [..., K] ->
+    (int8 [M, K], float32 scale [M, 1]) with rows flattened. Compute it ONCE
+    per shared matmul input (q/k/v share one, gate/up share one) — each
+    quantize pass re-reads the full activation from HBM, so redundant passes
+    are measurable at prefill shapes."""
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1, keepdims=True), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x2 / a), -127, 127).astype(jnp.int8)
+    return xq, a
+
+
+def linear(params: dict, x: jax.Array, act_quant: str | None = None,
+           pre_quant: tuple[jax.Array, jax.Array] | None = None) -> jax.Array:
     """x @ kernel (+ bias). kernel is [in, out]; int8 weight-only quantized
     leaves ({kernel_q, scale}) route through the dequant-fused Pallas matmul
     for decode-sized activations; int4 leaves ({kernel_q4, scale4}) through
@@ -24,7 +37,7 @@ def linear(params: dict, x: jax.Array, act_quant: str | None = None) -> jax.Arra
         y = _int4_linear(params, x)
     elif "kernel_q" in params:
         if act_quant == "int8" and params["kernel_q"].ndim == 2:
-            y = _w8a8_linear(params, x)
+            y = _w8a8_linear(params, x, pre_quant)
         elif params["kernel_q"].ndim == 2:
             from ..ops.int8_matmul import quantized_linear_auto
 
@@ -45,16 +58,15 @@ def linear(params: dict, x: jax.Array, act_quant: str | None = None) -> jax.Arra
     return y
 
 
-def _w8a8_linear(params: dict, x: jax.Array) -> jax.Array:
+def _w8a8_linear(params: dict, x: jax.Array,
+                 pre_quant: tuple[jax.Array, jax.Array] | None = None) -> jax.Array:
     """Dynamic per-token activation int8 x weight int8 on the integer MXU
-    (2x bf16 peak). Opt-in via act_quant="int8" — used for PREFILL, where
-    the matmuls are compute-bound; decode stays weight-only (bandwidth-
-    bound, activation precision free)."""
+    (2x bf16 peak). Opt-in via act_quant="int8" — used for PREFILL (matmuls
+    compute-bound) and for large-batch decode (B>=~192 turns MXU-bound).
+    pre_quant: already-quantized (xq, scale) shared across sibling matmuls."""
     wq, w_scale = params["kernel_q"], params["scale"]
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-    a = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1, keepdims=True), 1e-6) / 127.0
-    xq = jnp.clip(jnp.round(x2 / a), -127, 127).astype(jnp.int8)
+    xq, a = quantize_act(x) if pre_quant is None else pre_quant
     y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     y = (y.astype(jnp.float32) * a * w_scale[None, :]).astype(x.dtype)
@@ -104,9 +116,15 @@ def rms_norm(scale: jax.Array, x: jax.Array, eps: float) -> jax.Array:
 
 def swiglu_mlp(params: dict, x: jax.Array,
                act_quant: str | None = None) -> jax.Array:
-    """down(silu(gate(x)) * up(x)) — Qwen2MLP / Qwen2_5_VLMLP."""
-    h = jax.nn.silu(linear(params["gate"], x, act_quant)) \
-        * linear(params["up"], x, act_quant)
+    """down(silu(gate(x)) * up(x)) — Qwen2MLP / Qwen2_5_VLMLP.
+    Under W8A8 the gate/up matmuls share one activation quantization."""
+    pq = None
+    if (act_quant == "int8" and "kernel_q" in params["gate"]
+            and "kernel_q4" not in params["gate"]
+            and params["gate"]["kernel_q"].ndim == 2):
+        pq = quantize_act(x)
+    h = jax.nn.silu(linear(params["gate"], x, act_quant, pq)) \
+        * linear(params["up"], x, act_quant, pq)
     return linear(params["down"], h, act_quant)
 
 

@@ -97,13 +97,14 @@ def lm_head_weight(params: dict, cfg: ModelConfig) -> jax.Array:
             * head["scale"][None, :]).astype(jnp.bfloat16)
 
 
-def lm_head(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+def lm_head(params: dict, cfg: ModelConfig, hidden: jax.Array,
+            act_quant: str | None = None) -> jax.Array:
     if cfg.text.tie_word_embeddings:
         w = params["model"]["embed_tokens"]["embedding"].T
         return jnp.einsum("...h,hv->...v", hidden, w)
     from .layers import linear
 
-    return linear(params["lm_head"], hidden)
+    return linear(params["lm_head"], hidden, act_quant)
 
 
 def forward(

@@ -53,6 +53,7 @@ class GRPORunner:
                  step_fn, ref_params=None, judge=None, embedder=None,
                  video_cfg: VideoPreprocessConfig | None = None,
                  attn_impl: str = "xla", act_quant: str | None = None,
+                 kv_quant: str | None = None,
                  seed: int = 0, mesh=None,
                  metrics_logger=None, params_from_state=None):
         self.params = params
@@ -76,6 +77,9 @@ class GRPORunner:
         # forward, the same class of policy mismatch as the reference's
         # vLLM-rollout setups)
         self.act_quant = act_quant
+        # "int8": int8 rollout KV cache (QuantKVCache) — 2x rollout batch
+        # headroom; same policy-mismatch class as act_quant above
+        self.kv_quant = kv_quant
         self._seed = seed
         self.timer = PhaseTimer()
         self.metrics_logger = metrics_logger
@@ -170,7 +174,8 @@ class GRPORunner:
                                rope_deltas=deltas[:, 0], vision_embeds=embeds,
                                vision_token_id=self.cfg.video_token_id,
                                seed=self._seed, attn_impl=self.attn_impl,
-                               act_quant=self.act_quant, mesh=self.mesh)
+                               act_quant=self.act_quant,
+                               kv_quant=self.kv_quant, mesh=self.mesh)
                 completion_ids, gen_lengths = res.sequences, res.lengths
 
         cmask = completion_mask_from_ids(

@@ -203,6 +203,81 @@ def test_threaded_loop(cfg_params, rng):
     assert all(len(v) == 4 for v in results.values())
 
 
+def test_run_loop_admission_budget():
+    """While slots are decoding, at most `admit_per_step` prefills run
+    between decode steps (a burst can't stall active streams); an idle
+    engine admits without budget."""
+    from video_r2_tpu.engine.continuous import _run_loop_impl
+
+    class FakeEngine:
+        num_slots = 8
+
+        def __init__(self):
+            self.num_active = 0
+            self.events = []
+            self.remaining = {}
+            self._next = 0
+
+        def submit(self, prompt_ids, mnt, cb=None, sp=None):
+            self.events.append("submit")
+            self.num_active += 1
+            self.remaining[self._next] = 2  # finish after 2 steps
+            self._next += 1
+            return self._next - 1
+
+        def step(self):
+            self.events.append("step")
+            for rid in list(self.remaining):
+                self.remaining[rid] -= 1
+                if self.remaining[rid] == 0:
+                    del self.remaining[rid]
+                    self.num_active -= 1
+            return []
+
+    # Busy case: one active stream, then a burst of 4 arrivals.
+    eng = FakeEngine()
+    q: queue.Queue = queue.Queue()
+    stop = threading.Event()
+    eng.submit([1], 4)  # pre-active stream (admitted while idle)
+    for _ in range(4):
+        q.put(([1, 2], 4, None))
+    t = threading.Thread(target=_run_loop_impl, args=(eng, q, stop),
+                         kwargs={"idle_sleep": 0.001}, daemon=True)
+    t.start()
+    import time
+    deadline = time.time() + 10
+    while (eng.num_active or not q.empty()) and time.time() < deadline:
+        time.sleep(0.005)
+    stop.set()
+    t.join(timeout=5)
+    assert eng.events.count("submit") == 5
+    # Between consecutive steps while busy, never more than 1 submit.
+    run = 0
+    for ev in eng.events[1:]:  # skip the manual pre-active submit
+        if ev == "submit":
+            run += 1
+            assert run <= 1, eng.events
+        else:
+            run = 0
+
+    # Idle case: burst of 4 arrivals with nothing active -> all admitted
+    # before the first step.
+    eng2 = FakeEngine()
+    q2: queue.Queue = queue.Queue()
+    stop2 = threading.Event()
+    for _ in range(4):
+        q2.put(([1, 2], 4, None))
+    t2 = threading.Thread(target=_run_loop_impl, args=(eng2, q2, stop2),
+                          kwargs={"idle_sleep": 0.001}, daemon=True)
+    t2.start()
+    deadline = time.time() + 10
+    while (eng2.num_active or not q2.empty()) and time.time() < deadline:
+        time.sleep(0.005)
+    stop2.set()
+    t2.join(timeout=5)
+    assert eng2.events[:4] == ["submit"] * 4, eng2.events
+
+
 def test_server_continuous_mode(cfg_params):
     """Concurrent HTTP requests share the continuous decode loop."""
     import json

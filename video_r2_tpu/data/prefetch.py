@@ -80,5 +80,21 @@ class PrefetchLoader:
             raise batch
         return batch
 
+    def poll(self):
+        """Non-blocking __next__: the next in-order batch if it is already
+        prepared, else None (StopIteration when exhausted). Lets a consumer
+        that has other work (e.g. a decode step) admit input only when ready
+        instead of stalling on host preprocessing."""
+        with self._cv:
+            if self._total is not None and self._next_emit >= self._total:
+                raise StopIteration
+            if self._next_emit not in self._pending:
+                return None
+            batch = self._pending.pop(self._next_emit)
+            self._next_emit += 1
+        if isinstance(batch, Exception):
+            raise batch
+        return batch
+
     def close(self):
         self._stop.set()

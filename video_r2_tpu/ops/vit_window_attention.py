@@ -1,0 +1,104 @@
+"""Fused ViT window attention (Pallas TPU).
+
+The ViT's windowed layers attend within fixed 64-slot windows
+(models/vision.py physically padded layout). The XLA formulation
+(`_window_attention`) lowers to ~15k tiny batched matmuls per layer
+(nw x nh of [64,hd]@[hd,64]) plus HBM round-trips for the fp32 scores —
+measured ~18 ms/layer at the 128-frame eval shape, ~180x the FLOP cost
+(scripts/profile_vit_layer.py).
+
+This kernel processes one SLAB of `block_windows` consecutive windows per
+grid program, all heads per program, in HEAD-MAJOR layout ([nh, S, hd] —
+the caller's XLA transpose fuses into the rotary epilogue; an in-kernel
+transpose would be a Mosaic relayout on every block, measured to eat the
+entire win). Scores are one [nh, BQ, hd] x [nh, BQ, hd] -> [nh, BQ, BQ]
+batched MXU matmul with a static block-diagonal window mask from iota;
+they never touch HBM. Operands stay bf16 into the MXU (f32 accumulate),
+probabilities are cast back to the operand dtype for the AV matmul exactly
+like the XLA path.
+
+Reference role: the ViT window attention the reference gets from
+FlashAttention-2 varlen with cu_seqlens (modeling_qwen2_5_vl.py windowed
+layers) — here the windows are physical, so the mask is static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e30
+
+
+def _win_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, wp: int,
+                scale: float, head_chunk: int):
+    q = q_ref[...]                              # [nh, BQ, hd]
+    k = k_ref[...]
+    v = v_ref[...]
+    nh, bq = q.shape[0], q.shape[1]
+    vmask = valid_ref[0, :] > 0.5               # [BQ]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0) // wp
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1) // wp
+    allowed = (rows == cols) & vmask[None, :]
+
+    # heads processed in chunks so the f32 score block stays VMEM-sized
+    # even for large slabs (s is [hc, BQ, BQ] f32)
+    outs = []
+    for h0 in range(0, nh, head_chunk):
+        qh = q[h0:h0 + head_chunk]
+        kh = k[h0:h0 + head_chunk]
+        vh = v[h0:h0 + head_chunk]
+        # [hc, BQ, BQ] — contract hd, batch over heads (bf16 MXU, f32 acc)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(allowed[None], s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        # [hc, BQ, hd] — contract keys; probs in operand dtype (XLA parity)
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        outs.append(o / jnp.maximum(l, 1e-30))
+    o = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wp", "block_windows", "head_chunk",
+                                    "interpret"))
+def window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     valid: jax.Array, wp: int = 64, block_windows: int = 4,
+                     head_chunk: int = 8, interpret: bool = False) -> jax.Array:
+    """q/k/v [S, nh, hd] grouped in `wp`-slot windows; valid [S] bool.
+
+    S must be a multiple of wp * block_windows (plan_vision_layout pads the
+    layout to 4-window slabs). Fully-invalid windows emit garbage rows that
+    no downstream gather reads."""
+    S, nh, hd = q.shape
+    bq = wp * block_windows
+    if S % bq:
+        raise ValueError(f"S={S} not a multiple of slab {bq}")
+    vmask = valid.astype(jnp.float32).reshape(1, S)
+    qt = q.transpose(1, 0, 2)                   # [nh, S, hd]
+    kt = k.transpose(1, 0, 2)
+    vt = v.transpose(1, 0, 2)
+    kernel = functools.partial(_win_kernel, wp=wp, scale=hd ** -0.5,
+                               head_chunk=min(head_chunk, nh))
+    out = pl.pallas_call(
+        kernel,
+        grid=(S // bq,),
+        in_specs=[
+            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
+            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
+            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nh, S, hd), q.dtype),
+        interpret=interpret,
+    )(qt, kt, vt, vmask)
+    return out.transpose(1, 0, 2)

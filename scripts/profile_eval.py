@@ -64,11 +64,15 @@ instances = [
     for i in range(N)
 ]
 
-for mode in ("batch", "paged"):
+for mode, extra in (("batch", {}), ("paged", {}),
+                    ("batch", {"window_divisible": True,
+                               "vit_act_quant": "int8"}),
+                    ("paged", {"window_divisible": True,
+                               "vit_act_quant": "int8"})):
     backend = EngineBackend(
         params, cfg, ByteTokenizer(), max_num_frames=NFRAMES,
         batch_size=BATCH, act_quant="int8", kv_quant="int8",
-        engine_mode=mode, engine_max_len=4096)
+        engine_mode=mode, engine_max_len=4096, **extra)
     # warm-up: compile prefill/decode/ViT at the eval shapes
     t0 = time.time()
     backend.generate_until(instances[:BATCH])
@@ -76,7 +80,7 @@ for mode in ("batch", "paged"):
     t0 = time.time()
     outs = backend.generate_until(instances)
     wall = time.time() - t0
-    print(f"mode={mode}: N={N} wall={wall:.1f}s "
+    print(f"mode={mode} {extra}: N={N} wall={wall:.1f}s "
           f"-> {N / wall:.2f} samples/sec (warm-up pass {warm:.1f}s)",
           flush=True)
     assert len(outs) == N

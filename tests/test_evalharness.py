@@ -298,3 +298,28 @@ def test_videommmu_question_types():
     # options rendered into the prompt
     text = task.config.doc_to_text(docs[0])
     assert "A. first" in text and "B. second" in text
+
+
+def test_load_docs_from_disk_snapshot(tmp_path):
+    """dataset_path pointing at a `datasets.save_to_disk` directory loads
+    offline (both Dataset and DatasetDict snapshots)."""
+    import datasets as hfds
+
+    from video_r2_tpu.evalharness.api import TaskConfig, load_docs
+
+    rows = [{"question": f"q{i}", "answer": "a"} for i in range(3)]
+
+    def cfg(path):
+        return TaskConfig(
+            task="t", doc_to_visual=lambda d: [], doc_to_text=lambda d: d["question"],
+            doc_to_target=lambda d: d["answer"],
+            process_results=lambda d, r: {}, metrics=[],
+            dataset_path=str(path), test_split="test")
+
+    d1 = tmp_path / "flat"
+    hfds.Dataset.from_list(rows).save_to_disk(str(d1))
+    assert load_docs(cfg(d1)) == rows
+
+    d2 = tmp_path / "dict"
+    hfds.DatasetDict({"test": hfds.Dataset.from_list(rows)}).save_to_disk(str(d2))
+    assert load_docs(cfg(d2)) == rows

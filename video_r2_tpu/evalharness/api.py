@@ -90,7 +90,11 @@ class Task:
 
 
 def load_docs(cfg: TaskConfig) -> list[dict]:
-    """Local JSON/JSONL path, else HF datasets (offline-gated)."""
+    """Local JSON/JSONL path, a `datasets.save_to_disk` directory, else an
+    HF hub dataset (dataset_path/name/split — the lmms-eval task.py:673
+    machinery; hub access requires egress)."""
+    import os
+
     p = cfg.dataset_path
     if p is None:
         raise ValueError(f"task {cfg.task}: no dataset_path and no docs given")
@@ -100,6 +104,13 @@ def load_docs(cfg: TaskConfig) -> list[dict]:
         return [json.loads(l) for l in open(p) if l.strip()]
     import datasets
 
+    if os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "dataset_info.json"))
+            or os.path.exists(os.path.join(p, "dataset_dict.json"))):
+        ds = datasets.load_from_disk(p)  # offline snapshot
+        if isinstance(ds, datasets.DatasetDict):
+            ds = ds[cfg.test_split]
+        return list(ds)
     ds = datasets.load_dataset(p, cfg.dataset_name, split=cfg.test_split)
     return list(ds)
 

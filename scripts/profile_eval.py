@@ -72,7 +72,7 @@ for mode, extra in (("batch", {}), ("paged", {}),
     backend = EngineBackend(
         params, cfg, ByteTokenizer(), max_num_frames=NFRAMES,
         batch_size=BATCH, act_quant="int8", kv_quant="int8",
-        engine_mode=mode, engine_max_len=4096, **extra)
+        attn_impl="flash", engine_mode=mode, engine_max_len=4096, **extra)
     # warm-up: compile prefill/decode/ViT at the eval shapes
     t0 = time.time()
     backend.generate_until(instances[:BATCH])

@@ -221,3 +221,82 @@ def test_vit_forward_auto_selects_xla_off_tpu(rng):
     out_auto = vit_forward(params, v, patches, layout)
     out_xla = vit_forward(params, v, patches, layout, attn_impl="xla")
     np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_xla))
+
+
+def _plan_vision_layout_loop_reference(grid_thws, cfg):
+    """The original per-slot Python-loop planner (pre-vectorization), kept
+    here as the behavioral spec for plan_vision_layout."""
+    m = cfg.spatial_merge_size
+    ws_units = cfg.window_size // m // cfg.patch_size
+    unit = cfg.spatial_merge_unit
+    wp = ws_units * ws_units * unit
+    patch_gather, pos_hw, out_unit_gather = [], [], []
+    full_groups = []
+    pad_off = real_off = 0
+    for (t, h, w) in grid_thws:
+        lh, lw = h // m, w // m
+        nwh = -(-lh // ws_units)
+        nww = -(-lw // ws_units)
+        group_len = nwh * nww * wp
+        video_units = lh * lw
+        unit_slot = np.full((t * video_units,), -1, dtype=np.int64)
+        for ti in range(t):
+            full_groups.append((pad_off + ti * group_len, group_len))
+        for ti in range(t):
+            for wh in range(nwh):
+                for ww in range(nww):
+                    for iuh in range(ws_units):
+                        for iuw in range(ws_units):
+                            uh = wh * ws_units + iuh
+                            uw = ww * ws_units + iuw
+                            slot_unit = (pad_off // unit) + (
+                                ((ti * nwh + wh) * nww + ww) * ws_units * ws_units
+                                + iuh * ws_units + iuw)
+                            if uh < lh and uw < lw:
+                                orig_unit = (ti * lh + uh) * lw + uw
+                                unit_slot[orig_unit] = slot_unit
+                                for j in range(unit):
+                                    dh, dw = j // m, j % m
+                                    patch_gather.append(real_off + orig_unit * unit + j)
+                                    pos_hw.append((uh * m + dh, uw * m + dw))
+                            else:
+                                for j in range(unit):
+                                    patch_gather.append(-1)
+                                    pos_hw.append((0, 0))
+        out_unit_gather.append(unit_slot)
+        pad_off += t * group_len
+        real_off += t * video_units * unit
+    slab = 4 * wp
+    short = (-len(patch_gather)) % slab
+    patch_gather.extend([-1] * short)
+    pos_hw.extend([(0, 0)] * short)
+    patch_gather = np.asarray(patch_gather, dtype=np.int32)
+    pos_hw = np.asarray(pos_hw, dtype=np.int32)
+    lmax = max(l for _, l in full_groups)
+    full_gather = np.full((len(full_groups), lmax), -1, dtype=np.int32)
+    for gi, (start, length) in enumerate(full_groups):
+        full_gather[gi, :length] = np.arange(start, start + length, dtype=np.int32)
+    return (patch_gather, pos_hw, patch_gather >= 0, full_gather,
+            np.concatenate(out_unit_gather).astype(np.int32), real_off, wp)
+
+
+@pytest.mark.parametrize("grids", [
+    [(2, 8, 8)],                      # exact windows
+    [(2, 6, 10)],                     # ragged both dims
+    [(1, 2, 2)],                      # single window, tiny
+    [(2, 6, 10), (4, 10, 6), (2, 8, 8)],   # multi-video batch
+])
+def test_plan_vision_layout_matches_loop_reference(grids):
+    from video_r2_tpu.models.config import tiny_test_config
+    from video_r2_tpu.models.vision import plan_vision_layout
+
+    cfg = tiny_test_config().vision
+    got = plan_vision_layout(grids, cfg)
+    (pg, pos, valid, fg, oug, real, wp) = _plan_vision_layout_loop_reference(
+        grids, cfg)
+    np.testing.assert_array_equal(got.patch_gather, pg)
+    np.testing.assert_array_equal(got.pos_hw, pos)
+    np.testing.assert_array_equal(got.valid, valid)
+    np.testing.assert_array_equal(got.full_gather, fg)
+    np.testing.assert_array_equal(got.out_unit_gather, oug)
+    assert got.seq_len_real == real and got.window_patches == wp

@@ -26,7 +26,7 @@ against HF logits in tests/test_model_golden.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -61,14 +61,22 @@ def plan_vision_layout(grid_thws: list[tuple[int, int, int]], cfg: VisionConfig)
     """Host planner: padded-window patch layout + full-attention grouping.
 
     Mirrors get_window_index / rot_pos_emb semantics of the HF ViT but keeps
-    pad slots physical so every window is a fixed 64-row block.
-    """
+    pad slots physical so every window is a fixed 64-row block. Cached per
+    grid tuple (eval batches repeat shapes) and fully vectorized — the
+    original per-slot Python loop cost ~seconds per eval batch on one host
+    core (368k slots at B=16 x 16 frames), which serialized with device
+    compute."""
+    return _plan_vision_layout_cached(tuple(map(tuple, grid_thws)), cfg)
+
+
+@lru_cache(maxsize=64)
+def _plan_vision_layout_cached(grid_thws, cfg: VisionConfig) -> VisionLayout:
     m = cfg.spatial_merge_size
     ws_units = cfg.window_size // m // cfg.patch_size  # 4 for 112/2/14
     unit = cfg.spatial_merge_unit                       # 4 patches per unit
     wp = ws_units * ws_units * unit                     # 64 patches per window
 
-    patch_gather, pos_hw, out_unit_gather = [], [], []
+    pg_parts, pos_parts, oug_parts = [], [], []
     full_groups: list[tuple[int, int]] = []  # (start, len) in padded patch rows
     pad_off = 0    # running offset in padded patch rows
     real_off = 0   # running offset in real patch rows
@@ -79,54 +87,75 @@ def plan_vision_layout(grid_thws: list[tuple[int, int, int]], cfg: VisionConfig)
         nww = -(-lw // ws_units)
         group_len = nwh * nww * wp                 # padded patches per t-group
         video_units = lh * lw                      # real units per t-group
-        unit_slot = np.full((t * video_units,), -1, dtype=np.int64)
 
         for ti in range(t):
             full_groups.append((pad_off + ti * group_len, group_len))
-        # enumerate padded slots in window order
+
+        # one t-group's slots in window order, vectorized over
+        # (wh, ww, iuh, iuw, j); then tiled over t with per-t offsets
+        wh = np.arange(nwh)[:, None, None, None]
+        ww = np.arange(nww)[None, :, None, None]
+        iuh = np.arange(ws_units)[None, None, :, None]
+        iuw = np.arange(ws_units)[None, None, None, :]
+        full = (nwh, nww, ws_units, ws_units)
+        uh = np.broadcast_to(wh * ws_units + iuh, full)  # [nwh,nww,ws,ws]
+        uw = np.broadcast_to(ww * ws_units + iuw, full)
+        valid_u = (uh < lh) & (uw < lw)
+        orig_unit = uh * lw + uw                         # per-t, sans ti*lh*lw
+        j = np.arange(unit)
+        dh, dw = j // m, j % m
+        # positions are t-independent
+        pos_t = np.stack([(uh[..., None] * m + dh),
+                          (uw[..., None] * m + dw)], axis=-1)  # [...,unit,2]
+        pos_t = np.where(valid_u[..., None, None], pos_t, 0)
+        pos_t = pos_t.reshape(-1, 2).astype(np.int32)
+        # patch_gather per t: real_off + (ti*video_units + orig_unit)*unit + j
+        base_t = (orig_unit[..., None] * unit + j).reshape(-1)  # [group_len]
+        valid_flat = np.repeat(valid_u.reshape(-1), unit)
+        ti_idx = np.arange(t)[:, None]
+        pg = np.where(valid_flat[None, :],
+                      real_off + ti_idx * (video_units * unit) + base_t[None, :],
+                      -1).astype(np.int32)               # [t, group_len]
+        pg_parts.append(pg.reshape(-1))
+        pos_parts.append(np.tile(pos_t, (t, 1)))
+
+        # inverse map: padded unit slot per original merge unit
+        slot_unit_t = (pad_off // unit) + (
+            ((wh * nww + ww) * ws_units + iuh) * ws_units + iuw)  # per-t base
+        flat_slot = slot_unit_t.reshape(-1)               # [units per group]
+        flat_orig = orig_unit.reshape(-1)
+        sel = valid_u.reshape(-1)
+        unit_slot = np.full((t, video_units), -1, dtype=np.int64)
+        units_per_group = nwh * nww * ws_units * ws_units
         for ti in range(t):
-            for wh in range(nwh):
-                for ww in range(nww):
-                    for iuh in range(ws_units):
-                        for iuw in range(ws_units):
-                            uh = wh * ws_units + iuh
-                            uw = ww * ws_units + iuw
-                            slot_unit = (pad_off // unit) + (
-                                ((ti * nwh + wh) * nww + ww) * ws_units * ws_units
-                                + iuh * ws_units + iuw
-                            )
-                            if uh < lh and uw < lw:
-                                orig_unit = (ti * lh + uh) * lw + uw
-                                unit_slot[orig_unit] = slot_unit
-                                for j in range(unit):
-                                    dh, dw = j // m, j % m
-                                    patch_gather.append(real_off + orig_unit * unit + j)
-                                    pos_hw.append((uh * m + dh, uw * m + dw))
-                            else:
-                                for j in range(unit):
-                                    patch_gather.append(-1)
-                                    pos_hw.append((0, 0))
-        out_unit_gather.append(unit_slot)
+            unit_slot[ti, flat_orig[sel]] = flat_slot[sel] + ti * units_per_group
+        oug_parts.append(unit_slot.reshape(-1))
+
         pad_off += t * group_len
         real_off += t * video_units * unit
 
+    patch_gather = np.concatenate(pg_parts) if pg_parts else np.zeros(0, np.int32)
+    pos_hw = (np.concatenate(pos_parts) if pos_parts
+              else np.zeros((0, 2), np.int32))
     # Round the padded sequence up to a whole number of 4-window slabs so the
     # fused window-attention kernel (ops/vit_window_attention.py) can use
     # 256-row MXU tiles with no edge blocks. Trailing slots are whole invalid
     # windows; no gather ever points at them.
     slab = 4 * wp
     short = (-len(patch_gather)) % slab
-    patch_gather.extend([-1] * short)
-    pos_hw.extend([(0, 0)] * short)
+    if short:
+        patch_gather = np.concatenate(
+            [patch_gather, np.full(short, -1, np.int32)])
+        pos_hw = np.concatenate([pos_hw, np.zeros((short, 2), np.int32)])
 
-    patch_gather = np.asarray(patch_gather, dtype=np.int32)
-    pos_hw = np.asarray(pos_hw, dtype=np.int32)
+    patch_gather = patch_gather.astype(np.int32)
+    pos_hw = pos_hw.astype(np.int32)
     valid = patch_gather >= 0
     lmax = max(l for _, l in full_groups)
     full_gather = np.full((len(full_groups), lmax), -1, dtype=np.int32)
     for gi, (start, length) in enumerate(full_groups):
         full_gather[gi, :length] = np.arange(start, start + length, dtype=np.int32)
-    out_unit_gather = np.concatenate(out_unit_gather).astype(np.int32)
+    out_unit_gather = np.concatenate(oug_parts).astype(np.int32)
     assert (out_unit_gather >= 0).all()
     return VisionLayout(patch_gather, pos_hw, valid, full_gather,
                         out_unit_gather, real_off, wp)

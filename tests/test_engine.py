@@ -240,3 +240,41 @@ def test_kv_quant_and_chunked_prefill(hf_and_params, rng):
     np.testing.assert_array_equal(r_fp.sequences[:, 0], r_q.sequences[:, 0])
     np.testing.assert_allclose(r_fp.logprobs[:, 0], r_q.logprobs[:, 0],
                                atol=2e-3)
+
+
+def test_multimodal_chunked_prefill_matches_unchunked(hf_and_params, rng):
+    """prefill_chunk with vision embeds: each chunk takes its rows' slice of
+    the concatenated embeds — must match the unchunked path token-for-token
+    (the eval backend's B=16 multimodal batches rely on this to fit HBM)."""
+    _, cfg, params = hf_and_params
+    grid = (2, 4, 4)
+    B, T = 4, 6
+    rows, embs, lens = [], [], []
+    for b in range(B):
+        ids_b = video_token_sequence(cfg, grid, prefix=[5 + b, 6],
+                                     suffix=[7, 8 + b])[0]
+        patches = rng.normal(
+            size=(32, cfg.vision.patch_input_dim)).astype(np.float32)
+        layout = plan_vision_layout([grid], cfg.vision)
+        embs.append(np.asarray(
+            vit_forward(params["visual"], cfg.vision, patches, layout)))
+        rows.append(ids_b)
+        lens.append(len(ids_b))
+    S = max(lens)
+    ids = np.full((B, S), cfg.pad_token_id, np.int64)
+    for b, r in enumerate(rows):
+        ids[b, :len(r)] = r
+    vemb = np.concatenate(embs)
+    mask = (np.arange(S)[None, :] < np.asarray(lens)[:, None]).astype(np.int64)
+    pos, deltas = get_rope_index(ids, cfg, video_grid_thw=np.array([grid] * B),
+                                 second_per_grid_ts=np.ones(B),
+                                 attention_mask=mask)
+    sp = SamplingParams(max_new_tokens=T, pad_token_id=cfg.pad_token_id,
+                        eos_token_ids=())
+    kw = dict(position_ids=pos, rope_deltas=deltas[:, 0],
+              vision_embeds=vemb, vision_token_id=cfg.video_token_id)
+    full = generate(params, cfg, ids, np.asarray(lens), sp, **kw)
+    chunked = generate(params, cfg, ids, np.asarray(lens), sp,
+                       prefill_chunk=2, **kw)
+    np.testing.assert_array_equal(full.sequences, chunked.sequences)
+    np.testing.assert_allclose(full.logprobs, chunked.logprobs, atol=1e-5)

@@ -281,38 +281,47 @@ def generate(
         max_cache = S + sp.max_new_tokens
         layout, s_pad = "seq", None
 
-    def run_prefill(ids_c, pos_c, len_c):
+    def run_prefill(ids_c, pos_c, len_c, embeds_c=None):
         return prefill(
             params, cfg, jnp.asarray(ids_c), jnp.asarray(pos_c),
             jnp.asarray(len_c), max_cache,
-            vision_embeds=vision_embeds, vision_token_id=vision_token_id,
+            vision_embeds=embeds_c, vision_token_id=vision_token_id,
             attn_impl=attn_impl, act_quant=act_quant, mesh=mesh,
             cache_layout=layout, kv_quant=kv_quant)
 
     if prefill_chunk and B > prefill_chunk:
-        # batch-chunked prefill: B=256 prompt MLP intermediates OOM one chip,
-        # so fill the full-batch cache chunk by chunk — each chunk cache is
-        # written into the (donated, in-place) big cache immediately, keeping
-        # the transient footprint to one chunk instead of a full second cache.
-        # (Vision embeds index into the whole batch's token stream — the
-        # chunked path is text-only for now.)
-        assert vision_embeds is None, "prefill_chunk requires text-only input"
+        # batch-chunked prefill: full-batch prompt MLP intermediates OOM one
+        # chip (B=256 text at S=256; B=16 multimodal at S~1.5k), so fill the
+        # full-batch cache chunk by chunk — each chunk cache is written into
+        # the (donated, in-place) big cache immediately, keeping the
+        # transient footprint to one chunk instead of a full second cache.
+        # Vision embeds are concatenated in batch order, so each chunk takes
+        # the slice covering its rows' vision-pad tokens.
         assert B % prefill_chunk == 0, (B, prefill_chunk)
         if kv_quant == "int8":
             cache = QuantKVCache.init(cfg.text, B, max_cache)
         else:
             dt = params["model"]["embed_tokens"]["embedding"].dtype
             cache = KVCache.init(cfg.text, B, max_cache, dt)
+        emb_off = None
+        if vision_embeds is not None:
+            vtok = (cfg.video_token_id if vision_token_id is None
+                    else vision_token_id)
+            counts = (np.asarray(input_ids) == vtok).sum(axis=1)
+            emb_off = np.concatenate([[0], np.cumsum(counts)])
         lg_parts = []
         for s in range(0, B, prefill_chunk):
             e = s + prefill_chunk
+            emb_c = (None if emb_off is None
+                     else vision_embeds[int(emb_off[s]):int(emb_off[e])])
             lg, c = run_prefill(input_ids[s:e], position_ids[:, s:e],
-                                np.asarray(lengths)[s:e])
+                                np.asarray(lengths)[s:e], emb_c)
             lg_parts.append(lg)
             cache = _cache_batch_write(cache, c, s)
         logits = jnp.concatenate(lg_parts, axis=0)
     else:
-        logits, cache = run_prefill(input_ids, position_ids, lengths)
+        logits, cache = run_prefill(input_ids, position_ids, lengths,
+                                    vision_embeds)
     if decode_act_quant == "auto":
         decode_act_quant = "int8" if (act_quant == "int8" and B >= 192) else None
     toks, logps, gen_len, _ = decode(

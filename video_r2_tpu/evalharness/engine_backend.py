@@ -26,7 +26,8 @@ class EngineBackend:
                  system_prompt="You are a helpful assistant.",
                  attn_impl="xla", act_quant=None, kv_quant=None, seed=0,
                  engine_mode="batch", engine_max_len=None, page_size=128,
-                 window_divisible=False, vit_act_quant=None):
+                 window_divisible=False, vit_act_quant=None,
+                 prefill_rows="auto"):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -56,6 +57,11 @@ class EngineBackend:
         # snap_to_window). Changes input resolution inside the same pixel
         # budget -> off by default for reference-exact preprocessing.
         self.window_divisible = window_divisible
+        # batch-chunked prefill: "auto" picks the largest row-chunk whose
+        # token count stays under ~8k (full-batch multimodal prefill OOMs a
+        # single 16 GB chip at B=16 x ~1.5k-token prompts — the MLP
+        # intermediates are [B*S, 18944])
+        self.prefill_rows = prefill_rows
         self._cont = None
 
     def _video_ele(self, visual) -> dict:
@@ -177,12 +183,22 @@ class EngineBackend:
             attention_mask=mask)
         embeds = None
         if grids:
-            patches = np.concatenate(
-                [f.patches for _, feats in prepared for f in feats])
-            layout = plan_vision_layout(grids, self.cfg.vision)
-            embeds = vit_forward(self.params["visual"], self.cfg.vision,
-                                 jnp.asarray(patches), layout,
-                                 act_quant=self.vit_act_quant)
+            # ViT per SAMPLE, not one batch-wide concatenated call: the
+            # batch-size call's activation peak (plus the decoder executables
+            # resident in HBM) OOMs a 16 GB chip at B=16 x 16 frames, and
+            # per-sample shapes reuse one compiled executable across the
+            # whole eval instead of compiling per batch-combination.
+            embs = []
+            for _, feats in prepared:
+                if not feats:
+                    continue
+                patches = np.concatenate([f.patches for f in feats])
+                layout = plan_vision_layout([f.grid_thw for f in feats],
+                                            self.cfg.vision)
+                embs.append(vit_forward(self.params["visual"], self.cfg.vision,
+                                        jnp.asarray(patches), layout,
+                                        act_quant=self.vit_act_quant))
+            embeds = jnp.concatenate(embs)
         temp = float(gen_kwargs.get("temperature", 0.0))
         sp = SamplingParams(
             do_sample=gen_kwargs.get("do_sample", temp > 0),
@@ -193,12 +209,19 @@ class EngineBackend:
             eos_token_ids=(self.cfg.eos_token_id,),
             pad_token_id=self.cfg.pad_token_id)
         self.seed += 1
+        B, S = packed.input_ids.shape
+        pc = self.prefill_rows
+        if pc == "auto":
+            pc = next((d for d in range(B, 0, -1)
+                       if B % d == 0 and d * S <= 8192), 1)
+        pc = pc if pc and pc < B else None
         res = generate(self.params, self.cfg, packed.input_ids, packed.lengths,
                        sp, position_ids=pos, rope_deltas=deltas[:, 0],
                        vision_embeds=embeds,
                        vision_token_id=self.cfg.video_token_id,
                        seed=self.seed, attn_impl=self.attn_impl,
-                       act_quant=self.act_quant, kv_quant=self.kv_quant)
+                       act_quant=self.act_quant, kv_quant=self.kv_quant,
+                       prefill_chunk=pc)
         out = {}
         for row, idx in enumerate(indices):
             ids = res.sequences[row][: res.lengths[row]]

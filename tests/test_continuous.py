@@ -438,3 +438,42 @@ def test_overlong_prompt_truncates_not_crashes(cfg_params, rng):
     sp = SamplingParams(max_new_tokens=4, pad_token_id=cfg.pad_token_id)
     ref = generate(params, cfg, tail, np.asarray([room]), sp)
     assert done[0][1] == list(ref.sequences[0][:4])
+
+
+@pytest.mark.parametrize("engine_kind", ["contiguous", "paged"])
+def test_multistep_window_matches_single_step(cfg_params, rng, engine_kind):
+    """step(steps=8) must produce the same finished sequences as repeated
+    single steps (greedy), including EOS-mid-window discard and slot reuse."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    prompts = [list(rng.integers(2, 400, size=L)) for L in (5, 9, 7, 6)]
+    eos = tuple(range(0, 512, 3))  # a third of the vocab: EOS mid-window
+
+    def build():
+        sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=eos)
+        if engine_kind == "paged":
+            return PagedContinuousEngine(params, cfg, num_slots=2, max_len=64,
+                                         sp=sp, prompt_buckets=(16,),
+                                         page_size=16)
+        return ContinuousEngine(params, cfg, num_slots=2, max_len=64, sp=sp,
+                                prompt_buckets=(16,))
+
+    results = {}
+    for steps in (1, 8):
+        eng = build()
+        out = {}
+        todo = list(enumerate(prompts))[::-1]
+        rid_to_i = {}
+        while todo or eng.num_active:
+            while todo:
+                i, p = todo[-1]
+                rid = eng.submit(p, max_new_tokens=12)
+                if rid is None:
+                    break
+                todo.pop()
+                rid_to_i[rid] = i
+            for rid, toks in eng.step(steps=steps):
+                out[rid_to_i[rid]] = toks
+        results[steps] = [out[i] for i in range(len(prompts))]
+    assert results[1] == results[8]

@@ -69,8 +69,7 @@ def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
     return logits.astype(jnp.float32), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(1,))
-def _decode_step(params, cache: KVCache, cfg, sp: SamplingParams,
+def _decode_body(params, cache: KVCache, cfg, sp: SamplingParams,
                  last_logits, cur_len, pos_base, active, samp, rng):
     """One token for every slot. Inactive slots are masked no-ops. `samp` is
     the per-slot (temperature, top_p, top_k, do_sample) request sampling state.
@@ -92,6 +91,34 @@ def _decode_step(params, cache: KVCache, cfg, sp: SamplingParams,
     next_logits = lm_head(params, cfg, hidden[:, 0]).astype(jnp.float32)
     new_len = jnp.where(active, cur_len + 1, cur_len)
     return tok, next_logits, cache, new_len
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(1,))
+def _decode_step(params, cache: KVCache, cfg, sp: SamplingParams,
+                 last_logits, cur_len, pos_base, active, samp, rng):
+    return _decode_body(params, cache, cfg, sp, last_logits, cur_len,
+                        pos_base, active, samp, rng)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps"),
+                   donate_argnums=(1,))
+def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
+                  last_logits, cur_len, pos_base, active, samp, rng,
+                  n_steps: int):
+    """`n_steps` decode steps in ONE dispatch (lax.scan) — amortizes host
+    dispatch latency and per-step glue over a window of tokens (vLLM-style
+    multi-step scheduling). Tokens past a slot's EOS are discarded by the
+    host; the window is clamped by the caller so writes stay in bounds."""
+    def body(carry, key):
+        logits, cache, cur = carry
+        tok, logits, cache, cur = _decode_body(
+            params, cache, cfg, sp, logits, cur, pos_base, active, samp, key)
+        return (logits, cache, cur), tok
+
+    keys = jax.random.split(rng, n_steps)
+    (logits, cache, cur), toks = jax.lax.scan(
+        body, (last_logits, cache, cur_len), keys)
+    return toks, logits, cache, cur
 
 
 @dataclass
@@ -210,30 +237,48 @@ class ContinuousEngine:
     def num_active(self) -> int:
         return sum(r is not None for r in self.slot_req)
 
-    def step(self) -> list[tuple[int, list[int]]]:
-        """One decode step for all active slots; returns finished
-        (rid, tokens) pairs."""
+    def step(self, steps: int = 1) -> list[tuple[int, list[int]]]:
+        """Decode a WINDOW of up to `steps` tokens for all active slots in
+        one dispatch; returns finished (rid, tokens) pairs.
+
+        steps=1 is the latency-optimal serving default. Larger windows
+        (multi-step scheduling) amortize dispatch latency + per-step host
+        glue for throughput workloads (eval, batch rollouts); tokens a slot
+        generates past its EOS/budget inside the window are discarded. The
+        window is clamped to a power of two that fits every active slot's
+        remaining room (bounds recompiles to log2 window sizes).."""
         if self.num_active == 0:
             return []
         active = np.asarray([r is not None for r in self.slot_req])
+        start_len = self.cur_len.copy()
+        room = int(min(self.max_len - 1 - self.cur_len[s]
+                       for s in range(self.num_slots) if active[s]))
+        w = 1
+        while w * 2 <= min(steps, max(room, 1)):
+            w *= 2
         self._rng, sub = jax.random.split(self._rng)
-        tok, new_len = self._decode_all(active, sub)
-        tok = np.asarray(tok)
+        toks, new_len = self._decode_all(active, sub, w)
+        toks = np.asarray(toks)                   # [w, N]
         self.cur_len = np.array(new_len)  # writable copy (jax views are RO)
 
         finished = []
-        for slot, req in enumerate(self.slot_req):
-            if req is None:
-                continue
-            t = int(tok[slot])
-            req.tokens.append(t)
-            self.budget[slot] -= 1
-            hit_eos = t in self.sp.eos_token_ids
-            out_of_room = self.cur_len[slot] >= self.max_len - 1
-            if hit_eos or self.budget[slot] <= 0 or out_of_room:
-                finished.append((req.rid, list(req.tokens)))
-                if req.done_cb:
-                    req.done_cb(req.rid, list(req.tokens))
+        done = [False] * self.num_slots
+        for si in range(toks.shape[0]):
+            for slot, req in enumerate(self.slot_req):
+                if req is None or done[slot]:
+                    continue
+                t = int(toks[si, slot])
+                req.tokens.append(t)
+                self.budget[slot] -= 1
+                hit_eos = t in self.sp.eos_token_ids
+                out_of_room = start_len[slot] + si + 1 >= self.max_len - 1
+                if hit_eos or self.budget[slot] <= 0 or out_of_room:
+                    finished.append((req.rid, list(req.tokens)))
+                    if req.done_cb:
+                        req.done_cb(req.rid, list(req.tokens))
+                    done[slot] = True
+        for slot, d in enumerate(done):
+            if d:
                 self.slot_req[slot] = None
                 self._release_slot(slot)
         return finished
@@ -255,12 +300,18 @@ class ContinuousEngine:
         return (jnp.asarray(self.slot_temp), jnp.asarray(self.slot_top_p),
                 jnp.asarray(self.slot_top_k), jnp.asarray(self.slot_do_sample))
 
-    def _decode_all(self, active, rng):
-        tok, self.last_logits, self.cache, new_len = _decode_step(
+    def _decode_all(self, active, rng, steps: int = 1):
+        if steps == 1:
+            tok, self.last_logits, self.cache, new_len = _decode_step(
+                self.params, self.cache, self.cfg, self.sp, self.last_logits,
+                jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+                jnp.asarray(active), self._samp_arrays(), rng)
+            return tok[None], new_len
+        toks, self.last_logits, self.cache, new_len = _decode_multi(
             self.params, self.cache, self.cfg, self.sp, self.last_logits,
             jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
-            jnp.asarray(active), self._samp_arrays(), rng)
-        return tok, new_len
+            jnp.asarray(active), self._samp_arrays(), rng, steps)
+        return toks, new_len
 
     def _release_slot(self, slot: int) -> None:
         pass
@@ -307,10 +358,7 @@ def _prefill_into_pages(params, k_pages, v_pages, cfg, pids, ids,
     return logits.astype(jnp.float32), k_pages, v_pages
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "sp", "page_size", "interpret"),
-                   donate_argnums=(1, 2))
-def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
+def _paged_decode_body(params, k_pages, v_pages, cfg, sp: SamplingParams,
                        last_logits, cur_len, pos_base, active, page_tables,
                        trash_page, samp, rng, page_size: int = 128,
                        interpret: bool = False):
@@ -366,6 +414,44 @@ def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
     next_logits = lm_head(params, cfg, x[:, 0]).astype(jnp.float32)
     new_len = jnp.where(active, cur_len + 1, cur_len)
     return tok, next_logits, k_pages, v_pages, new_len
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "sp", "page_size", "interpret"),
+                   donate_argnums=(1, 2))
+def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
+                       last_logits, cur_len, pos_base, active, page_tables,
+                       trash_page, samp, rng, page_size: int = 128,
+                       interpret: bool = False):
+    return _paged_decode_body(params, k_pages, v_pages, cfg, sp, last_logits,
+                              cur_len, pos_base, active, page_tables,
+                              trash_page, samp, rng, page_size=page_size,
+                              interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "sp", "page_size", "interpret",
+                                    "n_steps"),
+                   donate_argnums=(1, 2))
+def _paged_decode_multi(params, k_pages, v_pages, cfg, sp: SamplingParams,
+                        last_logits, cur_len, pos_base, active, page_tables,
+                        trash_page, samp, rng, page_size: int = 128,
+                        interpret: bool = False, n_steps: int = 8):
+    """Windowed paged decode: `n_steps` tokens per dispatch. The caller
+    pre-allocates pages for the whole window (ensure_capacity) so the fixed
+    page_tables cover every write."""
+    def body(carry, key):
+        logits, kp, vp, cur = carry
+        tok, logits, kp, vp, cur = _paged_decode_body(
+            params, kp, vp, cfg, sp, logits, cur, pos_base, active,
+            page_tables, trash_page, samp, key, page_size=page_size,
+            interpret=interpret)
+        return (logits, kp, vp, cur), tok
+
+    keys = jax.random.split(rng, n_steps)
+    (logits, k_pages, v_pages, cur), toks = jax.lax.scan(
+        body, (last_logits, k_pages, v_pages, cur_len), keys)
+    return toks, logits, k_pages, v_pages, cur
 
 
 class PagedContinuousEngine(ContinuousEngine):
@@ -424,21 +510,30 @@ class PagedContinuousEngine(ContinuousEngine):
         pc.lengths[slot] = true_len
         return logits
 
-    def _decode_all(self, active, rng):
+    def _decode_all(self, active, rng, steps: int = 1):
         pc = self.pcache
         pc.lengths[:] = self.cur_len
         for slot, is_active in enumerate(active):
             if is_active:
-                pc.ensure_capacity(slot, 1)
+                pc.ensure_capacity(slot, steps)
         tables = np.where(pc.page_tables >= 0, pc.page_tables,
                           self.trash_page).astype(np.int32)
-        tok, self.last_logits, pc.k, pc.v, new_len = _paged_decode_step(
+        if steps == 1:
+            tok, self.last_logits, pc.k, pc.v, new_len = _paged_decode_step(
+                self.params, pc.k, pc.v, self.cfg, self.sp, self.last_logits,
+                jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+                jnp.asarray(active), jnp.asarray(tables),
+                jnp.int32(self.trash_page), self._samp_arrays(), rng,
+                page_size=self._page_size, interpret=self._interpret)
+            return tok[None], new_len
+        toks, self.last_logits, pc.k, pc.v, new_len = _paged_decode_multi(
             self.params, pc.k, pc.v, self.cfg, self.sp, self.last_logits,
             jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
             jnp.asarray(active), jnp.asarray(tables),
             jnp.int32(self.trash_page), self._samp_arrays(), rng,
-            page_size=self._page_size, interpret=self._interpret)
-        return tok, new_len
+            page_size=self._page_size, interpret=self._interpret,
+            n_steps=steps)
+        return toks, new_len
 
     def _release_slot(self, slot: int) -> None:
         self.pcache.release(slot)

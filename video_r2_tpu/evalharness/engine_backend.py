@@ -27,7 +27,7 @@ class EngineBackend:
                  attn_impl="xla", act_quant=None, kv_quant=None, seed=0,
                  engine_mode="batch", engine_max_len=None, page_size=128,
                  window_divisible=False, vit_act_quant=None,
-                 prefill_rows="auto"):
+                 prefill_rows="auto", decode_steps=8):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -62,6 +62,9 @@ class EngineBackend:
         # single 16 GB chip at B=16 x ~1.5k-token prompts — the MLP
         # intermediates are [B*S, 18944])
         self.prefill_rows = prefill_rows
+        # paged mode: decode-tokens per dispatch (multi-step scheduling);
+        # eval has no inter-token latency requirement, so window freely
+        self.decode_steps = decode_steps
         self._cont = None
 
     def _video_ele(self, visual) -> dict:
@@ -320,7 +323,7 @@ class EngineBackend:
                 pass
             eng = self._cont
             if eng is not None and eng.num_active:
-                for rid, toks in eng.step():
+                for rid, toks in eng.step(steps=self.decode_steps):
                     out[rid_to_idx[rid]] = self.tok.decode(
                         toks, skip_special_tokens=True)
                     done += 1

@@ -334,7 +334,9 @@ class GRPORunner:
                 pending.pop()
                 rid_to_b[rid] = bi
             if eng.num_active:
-                for rid, toks in eng.step():
+                # multi-step window: rollouts are throughput-bound, and the
+                # per-dispatch host latency dominates single-step decoding
+                for rid, toks in eng.step(steps=8):
                     out_tokens[rid_to_b[rid]] = toks
         completion_ids = np.full((B, C), self.cfg.pad_token_id, np.int64)
         lengths = np.zeros((B,), np.int64)

@@ -190,3 +190,39 @@ def test_host_backend_matches_device(rng):
     host2 = dp.preprocess_frames_np(frames2, 56, 84, backend="host")[0]
     device2 = dp.preprocess_frames_np(frames2, 56, 84, backend="device")[0]
     np.testing.assert_allclose(host2, device2, rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_seek_read_matches_sequential(tmp_path):
+    """Long sparsely-sampled videos take the seek path; frames must match
+    the sequential pass exactly (same indices, same pixels)."""
+    import cv2
+
+    from video_r2_tpu.video import reader as rd
+
+    path = str(tmp_path / "long.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (64, 48))
+    for i in range(1500):
+        vw.write(np.full((48, 64, 3), i % 256, np.uint8))
+    vw.release()
+
+    # 8 frames over 1500 -> avg gap ~188 > 100 -> seek path
+    ele = {"video": path, "nframes": 8}
+    dec = rd.read_video_cv2(ele, fps_max_frames=128,
+                            video_total_pixels=128000 * 28 * 28)
+    assert dec.frames.shape[0] == 8
+
+    seq = rd._read_frames_seek(path, sorted(set(dec.geometry.frame_indices)))
+    assert seq  # seek path worked for this codec
+    # sequential oracle
+    cap = cv2.VideoCapture(path)
+    i, want, ref = 0, set(dec.geometry.frame_indices), {}
+    while i <= max(want):
+        ok = cap.grab()
+        assert ok
+        if i in want:
+            ok, f = cap.retrieve()
+            ref[i] = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        i += 1
+    cap.release()
+    for j, idx in enumerate(dec.geometry.frame_indices):
+        np.testing.assert_array_equal(dec.frames[j], ref[idx])

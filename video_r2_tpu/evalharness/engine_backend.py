@@ -44,7 +44,9 @@ class EngineBackend:
         self.vit_act_quant = vit_act_quant
         self.kv_quant = kv_quant    # "int8": quantized KV cache (2x batch headroom)
         self.seed = seed
-        self.vcfg = VideoPreprocessConfig()
+        # fp16 patches halve the host->device transfer; the tower computes
+        # in bf16 (7-bit mantissa), so fp16 (10-bit) rounds away nothing
+        self.vcfg = VideoPreprocessConfig(patch_dtype="float16")
         # "paged": run requests through PagedContinuousEngine (continuous
         # batching over the paged KV pool) instead of static batches — short
         # answers free their slot immediately, so mixed-length eval batches

@@ -52,9 +52,35 @@ def probe_video_cv2(path: str) -> tuple[int, float]:
         cap.release()
 
 
+def _read_frames_seek(path, wanted: list[int]) -> dict[int, "np.ndarray"]:
+    """Seek-based sparse read (ascending indices). Returns {} on any failed
+    seek/read so the caller can fall back to the sequential pass — cv2 seek
+    accuracy varies by codec/container."""
+    import cv2
+
+    frames: dict[int, np.ndarray] = {}
+    cap = cv2.VideoCapture(path)
+    try:
+        for idx in wanted:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(idx))
+            ok, frame = cap.read()
+            if not ok:
+                return {}
+            frames[idx] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
+    return frames
+
+
 def read_video_cv2(ele: dict, fps_max_frames: int, video_total_pixels: int) -> DecodedVideo:
-    """Decode with OpenCV, sampling only planned indices (sequential grab/retrieve
-    — cv2 seeks are unreliable across codecs, and one pass is cheapest)."""
+    """Decode with OpenCV, sampling only planned indices.
+
+    Short/densely-sampled clips use one sequential grab/retrieve pass (cv2
+    seeks are unreliable across codecs, and one pass is cheapest). LONG
+    videos sampled sparsely (benchmark videos run minutes; 128 samples of an
+    18k-frame clip leave wide gaps; measured 3x at gap 70) use per-index seeks — cost scales
+    with samples x GOP instead of total frames — and fall back to the
+    sequential pass if any seek fails."""
     import cv2
 
     path = _strip_file_uri(ele["video"])
@@ -63,22 +89,26 @@ def read_video_cv2(ele: dict, fps_max_frames: int, video_total_pixels: int) -> D
 
     wanted = set(plan.frame_indices)
     frames: dict[int, np.ndarray] = {}
-    cap = cv2.VideoCapture(path)
-    try:
-        last_wanted = max(wanted)
-        i = 0
-        while i <= last_wanted:
-            ok = cap.grab()
-            if not ok:
-                break
-            if i in wanted:
-                ok, frame = cap.retrieve()
+    last_wanted = max(wanted)
+    avg_gap = (last_wanted + 1) / max(len(wanted), 1)
+    if avg_gap > 50:
+        frames = _read_frames_seek(path, sorted(wanted))
+    if not frames:
+        cap = cv2.VideoCapture(path)
+        try:
+            i = 0
+            while i <= last_wanted:
+                ok = cap.grab()
                 if not ok:
                     break
-                frames[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            i += 1
-    finally:
-        cap.release()
+                if i in wanted:
+                    ok, frame = cap.retrieve()
+                    if not ok:
+                        break
+                    frames[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                i += 1
+        finally:
+            cap.release()
 
     # Per-index fetch honoring duplicates in the plan; pad missing with last good.
     out = []

@@ -222,3 +222,53 @@ def test_sharded_checkpoint_roundtrip(tmp_path, rng):
     # restored state continues training
     state2, m = step(restored, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_server_sse_streaming(cfg_params):
+    """stream=true returns OpenAI chat.completion.chunk SSE frames whose
+    concatenated deltas equal the non-streamed completion."""
+    import json
+    import urllib.request
+
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine, serve
+
+    cfg, params = cfg_params
+    engine = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=6,
+                        continuous=True, num_slots=2, max_len=64)
+    server = serve(engine, host="127.0.0.1", port=0, background=True)
+    port = server.server_address[1]
+    body = {"messages": [{"role": "user", "content": "hello"}],
+            "max_tokens": 6}
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            plain = json.loads(r.read())["choices"][0]["message"]["content"]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({**body, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        deltas, saw_done, finish = [], False, None
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                data = line[len("data: "):]
+                if data == "[DONE]":
+                    saw_done = True
+                    break
+                obj = json.loads(data)
+                assert obj["object"] == "chat.completion.chunk"
+                ch = obj["choices"][0]
+                deltas.append(ch["delta"].get("content", ""))
+                finish = ch["finish_reason"] or finish
+        assert saw_done and finish == "stop"
+        assert "".join(deltas) == plain
+    finally:
+        server.shutdown()
+        engine.shutdown()

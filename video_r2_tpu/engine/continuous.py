@@ -131,6 +131,7 @@ class _Request:
     done_cb: Optional[Callable] = None
     tokens: list = field(default_factory=list)
     sp: Optional[SamplingParams] = None   # per-request sampling override
+    tok_cb: Optional[Callable] = None     # streaming: called per (rid, token)
 
 
 class ContinuousEngine:
@@ -174,7 +175,8 @@ class ContinuousEngine:
                done_cb: Callable | None = None,
                sp: SamplingParams | None = None,
                vision_embeds=None, video_grid_thw=None,
-               second_per_grid_ts=None) -> Optional[int]:
+               second_per_grid_ts=None,
+               tok_cb: Callable | None = None) -> Optional[int]:
         """Admit into a free slot; returns request id or None (pool full).
 
         Multimodal requests pass precomputed merged ViT outputs as
@@ -216,7 +218,7 @@ class ContinuousEngine:
         rid = self._next_rid
         self._next_rid += 1
         req = _Request(rid, padded, pos, int(deltas[0, 0]) + bucket - true_len,
-                       max_new_tokens, done_cb, sp=sp)
+                       max_new_tokens, done_cb, sp=sp, tok_cb=tok_cb)
         logits = self._prefill_slot(slot, padded, pos, true_len,
                                     max_new_tokens, vision_embeds=embeds)
         self.last_logits = self.last_logits.at[slot].set(logits)
@@ -269,6 +271,8 @@ class ContinuousEngine:
                     continue
                 t = int(toks[si, slot])
                 req.tokens.append(t)
+                if req.tok_cb:
+                    req.tok_cb(req.rid, t)
                 self.budget[slot] -= 1
                 hit_eos = t in self.sp.eos_token_ids
                 out_of_room = start_len[slot] + si + 1 >= self.max_len - 1
@@ -562,8 +566,9 @@ def _run_loop_impl(engine, request_queue: "queue.Queue",
                 break
             prompt_ids, mnt, cb = item[:3]
             sp = item[3] if len(item) > 3 else None
+            tok_cb = item[4] if len(item) > 4 else None
             try:
-                engine.submit(prompt_ids, mnt, cb, sp=sp)
+                engine.submit(prompt_ids, mnt, cb, sp=sp, tok_cb=tok_cb)
             except Exception:  # one bad request must not kill the loop
                 if cb:
                     cb(-1, [])

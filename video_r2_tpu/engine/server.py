@@ -75,6 +75,43 @@ class ChatEngine:
             self._stop.set()
             self._thread.join(timeout=10)
 
+    def chat_stream(self, messages: list[dict], temperature: float = 0.0,
+                    top_p: float = 1.0, top_k: int = 0,
+                    max_tokens: int | None = None):
+        """Yield text deltas as tokens arrive (OpenAI stream=true).
+
+        Continuous mode streams per decoded token (window granularity);
+        non-continuous mode falls back to one final chunk."""
+        if self._queue is None:
+            yield self.chat(messages, temperature, top_p, top_k, max_tokens)
+            return
+        import queue as qm
+
+        text = render_messages(messages, add_generation_prompt=True,
+                               default_system=None)
+        ids = self.tok.encode(text)
+        mnt = max_tokens or self.max_new_tokens
+        sp = SamplingParams(
+            do_sample=temperature > 0, temperature=max(temperature, 1e-6),
+            top_p=top_p, top_k=top_k, max_new_tokens=mnt,
+            eos_token_ids=(self.cfg.eos_token_id,),
+            pad_token_id=self.cfg.pad_token_id)
+        q: qm.Queue = qm.Queue()
+        self._queue.put((ids, mnt, lambda rid, toks: q.put(None), sp,
+                         lambda rid, t: q.put(t)))
+        toks: list[int] = []
+        emitted = ""
+        while True:
+            t = q.get()
+            if t is None:
+                break
+            toks.append(t)
+            cur = self.tok.decode(toks, skip_special_tokens=True)
+            if cur.startswith(emitted) and len(cur) > len(emitted):
+                delta = cur[len(emitted):]
+                emitted = cur
+                yield delta
+
     def chat(self, messages: list[dict], temperature: float = 0.0,
              top_p: float = 1.0, top_k: int = 0,
              max_tokens: int | None = None) -> str:
@@ -127,6 +164,38 @@ def make_handler(engine: ChatEngine):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_stream(self, req):
+            """OpenAI SSE streaming: data:-framed chat.completion.chunk
+            deltas, terminated by data: [DONE] (the vLLM serving contract
+            judge clients expect)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+            model = req.get("model", engine.model_name)
+
+            def chunk(delta: dict, finish=None):
+                payload = {"id": rid, "object": "chat.completion.chunk",
+                           "created": int(time.time()), "model": model,
+                           "choices": [{"index": 0, "delta": delta,
+                                        "finish_reason": finish}]}
+                self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+                self.wfile.flush()
+
+            chunk({"role": "assistant", "content": ""})
+            for delta in engine.chat_stream(
+                    req["messages"],
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    top_k=int(req.get("top_k", 0)),
+                    max_tokens=req.get("max_tokens")):
+                chunk({"content": delta})
+            chunk({}, finish="stop")
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
         def do_GET(self):
             if self.path == "/v1/models":
                 self._send(200, {"object": "list", "data": [
@@ -143,6 +212,9 @@ def make_handler(engine: ChatEngine):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
+                if req.get("stream"):
+                    self._send_stream(req)
+                    return
                 content = engine.chat(
                     req["messages"],
                     temperature=float(req.get("temperature", 0.0)),

@@ -477,3 +477,76 @@ def test_multistep_window_matches_single_step(cfg_params, rng, engine_kind):
                 out[rid_to_i[rid]] = toks
         results[steps] = [out[i] for i in range(len(prompts))]
     assert results[1] == results[8]
+
+
+@pytest.mark.parametrize("engine_kind", ["contiguous", "paged"])
+def test_fork_prefix_sharing_parity(cfg_params, rng, engine_kind):
+    """fork() clones a prefilled request (paged: shared prompt pages + CoW
+    partial page); greedy forks must decode token-for-token what a fresh
+    submit of the same prompt decodes."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    prompt = list(rng.integers(2, 400, size=9))  # 9 % 16 != 0 -> CoW path
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def build():
+        if engine_kind == "paged":
+            return PagedContinuousEngine(params, cfg, num_slots=3, max_len=64,
+                                         sp=sp, prompt_buckets=(16,),
+                                         page_size=16)
+        return ContinuousEngine(params, cfg, num_slots=3, max_len=64, sp=sp,
+                                prompt_buckets=(16,))
+
+    # reference: plain submit
+    eng = build()
+    rid = eng.submit(prompt, max_new_tokens=6)
+    ref = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            ref[r] = t
+
+    eng = build()
+    if engine_kind == "paged":
+        free0 = len(eng.pcache.free_pages)
+    rid = eng.submit(prompt, max_new_tokens=6)
+    forks = eng.fork(rid, n=2)
+    assert len(forks) == 2
+    out = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            out[r] = t
+    assert out[rid] == ref[rid if rid in ref else list(ref)[0]]
+    for f in forks:
+        assert out[f] == out[rid]
+    if engine_kind == "paged":
+        # all pages (shared + CoW copies) returned to the pool
+        assert len(eng.pcache.free_pages) == free0
+        assert (eng.pcache.refcount == 0).all()
+
+
+def test_fork_refcount_holds_pages(cfg_params, rng):
+    """A shared prompt page stays allocated until the LAST sharer releases."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+    eng = PagedContinuousEngine(params, cfg, num_slots=2, max_len=64, sp=sp,
+                                prompt_buckets=(16,), page_size=16)
+    free0 = len(eng.pcache.free_pages)
+    rid = eng.submit(list(rng.integers(2, 400, size=9)), max_new_tokens=3)
+    (frid,) = eng.fork(rid, n=1)
+    done = {}
+    # run the original to completion with a short budget while the fork
+    # keeps going (give the fork a longer budget by bumping its slot budget)
+    fslot = next(i for i, r in enumerate(eng.slot_req)
+                 if r is not None and r.rid == frid)
+    eng.budget[fslot] = 10
+    eng.slot_req[fslot].max_new_tokens = 10
+    while eng.num_active:
+        for r, t in eng.step():
+            done[r] = t
+        if rid in done and frid not in done:
+            # source released; fork still alive -> shared pages still held
+            assert len(eng.pcache.free_pages) < free0
+    assert len(eng.pcache.free_pages) == free0

@@ -121,6 +121,20 @@ def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
     return toks, logits, cache, cur
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _copy_page(k_pages, v_pages, src, dst):
+    """Copy one page's KV across the whole layer stack (CoW for the shared
+    partial last page of a forked prompt)."""
+    return (k_pages.at[:, :, dst].set(k_pages[:, :, src]),
+            v_pages.at[:, :, dst].set(v_pages[:, :, src]))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_slot_kv(cache: KVCache, src, dst):
+    return KVCache(cache.k.at[:, dst].set(cache.k[:, src]),
+                   cache.v.at[:, dst].set(cache.v[:, src]))
+
+
 @dataclass
 class _Request:
     rid: int
@@ -239,6 +253,44 @@ class ContinuousEngine:
     def num_active(self) -> int:
         return sum(r is not None for r in self.slot_req)
 
+    def fork(self, rid: int, n: int = 1) -> list[int]:
+        """Clone a just-prefilled request into up to `n` free slots, reusing
+        its prompt KV (vLLM prefix sharing: the paged engine SHARES the
+        prompt pages with copy-on-write on the partial last page; the
+        contiguous engine copies the slot rows). Repeated sampling (GRPO's
+        G rollouts per prompt) prefills once per prompt instead of G times.
+        Only valid before the source decodes its first token."""
+        src = next((i for i, r in enumerate(self.slot_req)
+                    if r is not None and r.rid == rid), None)
+        if src is None:
+            raise ValueError(f"unknown or finished request {rid}")
+        req = self.slot_req[src]
+        if req.tokens:
+            raise ValueError("fork requires an un-decoded source request")
+        out = []
+        for _ in range(n):
+            slot = next((i for i, r in enumerate(self.slot_req)
+                         if r is None), None)
+            if slot is None:
+                break
+            self._fork_kv(src, slot)
+            nrid = self._next_rid
+            self._next_rid += 1
+            self.slot_req[slot] = _Request(
+                nrid, req.prompt_ids, req.position_ids, req.rope_delta,
+                req.max_new_tokens, None, sp=req.sp)
+            self.last_logits = self.last_logits.at[slot].set(
+                self.last_logits[src])
+            self.cur_len[slot] = self.cur_len[src]
+            self.pos_base[slot] = self.pos_base[src]
+            self.budget[slot] = self.budget[src]
+            self.slot_temp[slot] = self.slot_temp[src]
+            self.slot_top_p[slot] = self.slot_top_p[src]
+            self.slot_top_k[slot] = self.slot_top_k[src]
+            self.slot_do_sample[slot] = self.slot_do_sample[src]
+            out.append(nrid)
+        return out
+
     def step(self, steps: int = 1) -> list[tuple[int, list[int]]]:
         """Decode a WINDOW of up to `steps` tokens for all active slots in
         one dispatch; returns finished (rid, tokens) pairs.
@@ -319,6 +371,9 @@ class ContinuousEngine:
 
     def _release_slot(self, slot: int) -> None:
         pass
+
+    def _fork_kv(self, src: int, dst: int) -> None:
+        self.cache = _copy_slot_kv(self.cache, jnp.int32(src), jnp.int32(dst))
 
     # -- threaded server loop ---------------------------------------------
     def run_loop(self, request_queue: "queue.Queue", stop: threading.Event,
@@ -541,6 +596,16 @@ class PagedContinuousEngine(ContinuousEngine):
 
     def _release_slot(self, slot: int) -> None:
         self.pcache.release(slot)
+
+    def _fork_kv(self, src: int, dst: int) -> None:
+        pc = self.pcache
+        cow = pc.share_prefix(src, dst,
+                              cow_last=(self.cur_len[src] % self._page_size
+                                        != 0))
+        if cow is not None:
+            old, new = cow
+            pc.k, pc.v = _copy_page(pc.k, pc.v, jnp.int32(old),
+                                    jnp.int32(new))
 
 
 def _run_loop_impl(engine, request_queue: "queue.Queue",

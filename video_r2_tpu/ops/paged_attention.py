@@ -261,6 +261,8 @@ class PagedKVCache:
     page_tables: np.ndarray      # [B, max_pages] int32, -1 = unallocated
     lengths: np.ndarray          # [B]
     free_pages: list[int]
+    refcount: np.ndarray = None  # [N_pages] int32: sharers per page (prefix
+                                 # sharing — vLLM block refcounting)
 
     @classmethod
     def create(cls, num_layers: int, num_pages: int, page_size: int,
@@ -273,21 +275,49 @@ class PagedKVCache:
             page_tables=np.full((batch, max_pages), -1, np.int32),
             lengths=np.zeros((batch,), np.int32),
             free_pages=list(range(num_pages - 1, -1, -1)),
+            refcount=np.zeros((num_pages,), np.int32),
         )
+
+    def _alloc(self) -> int:
+        if not self.free_pages:
+            raise RuntimeError("paged KV cache out of pages")
+        p = self.free_pages.pop()
+        self.refcount[p] = 1
+        return p
 
     def ensure_capacity(self, seq: int, new_tokens: int) -> None:
         """Allocate pages so sequence `seq` can hold `lengths[seq]+new_tokens`."""
         need = -(-(int(self.lengths[seq]) + new_tokens) // self.page_size)
         have = int((self.page_tables[seq] >= 0).sum())
         for slot in range(have, need):
-            if not self.free_pages:
-                raise RuntimeError("paged KV cache out of pages")
-            self.page_tables[seq, slot] = self.free_pages.pop()
+            self.page_tables[seq, slot] = self._alloc()
+
+    def share_prefix(self, src: int, dst: int, cow_last: bool) -> int | None:
+        """Point `dst` at `src`'s pages (refcount++). If cow_last, the last
+        used page gets a private copy slot for dst (the next decode token
+        writes into it) — returns (old_pid, new_pid) info via the new pid so
+        the caller can issue the device copy; None when no CoW needed."""
+        used = int((self.page_tables[src] >= 0).sum())
+        self.page_tables[dst] = self.page_tables[src]
+        for p in self.page_tables[src][:used]:
+            self.refcount[int(p)] += 1
+        self.lengths[dst] = self.lengths[src]
+        if not cow_last or used == 0:
+            return None
+        old = int(self.page_tables[dst, used - 1])
+        new = self._alloc()
+        self.refcount[old] -= 1
+        self.page_tables[dst, used - 1] = new
+        return (old, new)
 
     def release(self, seq: int) -> None:
         for p in self.page_tables[seq]:
+            p = int(p)
             if p >= 0:
-                self.free_pages.append(int(p))
+                self.refcount[p] -= 1
+                if self.refcount[p] <= 0:
+                    self.refcount[p] = 0
+                    self.free_pages.append(p)
         self.page_tables[seq] = -1
         self.lengths[seq] = 0
 

@@ -333,6 +333,15 @@ class GRPORunner:
                     break
                 pending.pop()
                 rid_to_b[rid] = bi
+                # the group's other rollouts share this prompt — FORK them
+                # off the fresh prefill (prefix-shared pages + CoW): one
+                # prefill per prompt instead of per rollout
+                sibs = [x for x in reversed(pending) if x // G == bi // G]
+                if sibs:
+                    for frid in eng.fork(rid, n=len(sibs)):
+                        sb = sibs.pop(0)
+                        pending.remove(sb)
+                        rid_to_b[frid] = sb
             if eng.num_active:
                 # multi-step window: rollouts are throughput-bound, and the
                 # per-dispatch host latency dominates single-step decoding

@@ -55,7 +55,7 @@ samples = [{
 
 for backend in ("batch", "paged"):
     gcfg = GRPOConfig(num_generations=G, max_completion_length=C,
-                      temperature=1.0, rollout_backend=backend)
+                      temperature=1.0, rollout_backend=backend, beta=0.0)
     runner = GRPORunner(params, cfg, gcfg, ByteTokenizer(),
                         reward_funcs=[lambda completions, **kw:
                                       [0.0] * len(completions)],

@@ -193,3 +193,40 @@ def test_7b_fsdp_sharding_lowers():
     text = lowered.as_text()
     assert "num_partitions = 8" in text
     assert "sharding" in text
+
+
+def test_72b_fsdp_tp_sharding_lowers():
+    """The 72B preset (the reference's judge-scale tier: an 80B-class model
+    served TP>1, serve_qwen3.sh:13) must shard cleanly and lower a sharded
+    GENERATE prefill over an 8-device fsdp x tp mesh — abstract only, no
+    params materialized."""
+    import jax
+
+    from video_r2_tpu.engine.generate import prefill
+    from video_r2_tpu.models.config import qwen25vl_72b
+    from video_r2_tpu.models.loader import init_params
+    from video_r2_tpu.parallel import MeshConfig, make_mesh, param_shardings
+
+    cfg = qwen25vl_72b()
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=2, tp=4))
+    shapes = jax.eval_shape(lambda: init_params(cfg, method="zeros",
+                                                dtype="bfloat16"))
+    shardings = param_shardings(shapes, mesh)
+    q_spec = shardings["model"]["layers"]["attn"]["q"]["kernel"].spec
+    assert q_spec == jax.sharding.PartitionSpec(None, "fsdp", "tp")
+
+    def with_sharding(shape_tree, sharding_tree):
+        return jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            shape_tree, sharding_tree)
+
+    sharded_params = with_sharding(shapes, shardings)
+    B, S = 2, 512
+    ids = jax.ShapeDtypeStruct((B, S), jnp.int32)
+    pos = jax.ShapeDtypeStruct((3, B, S), jnp.int32)
+    lens = jax.ShapeDtypeStruct((B,), jnp.int32)
+    lowered = jax.jit(
+        lambda p, i, po, l: prefill(p, cfg, i, po, l, S + 64, mesh=mesh),
+    ).lower(sharded_params, ids, pos, lens)  # raises on spec errors
+    text = lowered.as_text()
+    assert "num_partitions = 8" in text

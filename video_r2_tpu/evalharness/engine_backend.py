@@ -292,7 +292,9 @@ class EngineBackend:
             if not ready:
                 return False
             (ids, feats), idx = ready[0]
-            needed = len(ids) + mnt + 1
+            # +decode-window margin so the multi-step window never clamps
+            # (clamping recompiles a decode variant per window size)
+            needed = len(ids) + mnt + 1 + 2 * self.decode_steps
             eng = self._cont
             if eng is None or needed > eng.max_len:
                 if eng is not None and eng.num_active:

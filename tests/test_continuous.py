@@ -550,3 +550,52 @@ def test_fork_refcount_holds_pages(cfg_params, rng):
             # source released; fork still alive -> shared pages still held
             assert len(eng.pcache.free_pages) < free0
     assert len(eng.pcache.free_pages) == free0
+
+
+def test_fork_shared_full_pages_survive_source_release(cfg_params, rng):
+    """Regression (code review): prefill pages must be refcounted — with a
+    multi-page prompt, the source finishing FIRST must not free the shared
+    prompt pages under the still-decoding fork, nor double-free them."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    prompt = list(rng.integers(2, 400, size=24))  # spans 2 pages of 16
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def build():
+        return PagedContinuousEngine(params, cfg, num_slots=3, max_len=96,
+                                     sp=sp, prompt_buckets=(32,),
+                                     page_size=16)
+
+    # reference: un-forked decode of the same prompt for 12 tokens
+    eng = build()
+    rid = eng.submit(prompt, max_new_tokens=12)
+    ref = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            ref[r] = t
+
+    eng = build()
+    free0 = len(eng.pcache.free_pages)
+    src = eng.submit(prompt, max_new_tokens=2)   # source finishes early
+    (frk,) = eng.fork(src, n=1)
+    fslot = next(i for i, r in enumerate(eng.slot_req)
+                 if r is not None and r.rid == frk)
+    eng.budget[fslot] = 12                        # fork keeps decoding
+    eng.slot_req[fslot].max_new_tokens = 12
+    out = {}
+    while eng.num_active:
+        for r, t in eng.step(steps=1):
+            out[r] = t
+        if src in out and frk not in out:
+            # after the source released, admit a NEW prompt — before the
+            # refcount fix this stole + overwrote the shared prompt pages
+            eng.submit(list(rng.integers(2, 400, size=24)), max_new_tokens=2)
+    assert out[frk] == ref[next(iter(ref))]
+    # no double-free: pool returns exactly to baseline
+    while eng.num_active:
+        for r, t in eng.step():
+            out[r] = t
+    assert len(eng.pcache.free_pages) == free0
+    assert (eng.pcache.refcount == 0).all()
+    assert len(set(eng.pcache.free_pages)) == len(eng.pcache.free_pages)

@@ -278,3 +278,34 @@ def test_multimodal_chunked_prefill_matches_unchunked(hf_and_params, rng):
                        prefill_chunk=2, **kw)
     np.testing.assert_array_equal(full.sequences, chunked.sequences)
     np.testing.assert_allclose(full.logprobs, chunked.logprobs, atol=1e-5)
+
+
+def test_chunked_prefill_mixed_text_and_vision_rows(hf_and_params, rng):
+    """Regression (code review): a prefill chunk containing no vision tokens
+    must pass None embeds (a 0-row gather source fails at trace time)."""
+    _, cfg, params = hf_and_params
+    grid = (2, 4, 4)
+    vid_ids = video_token_sequence(cfg, grid, prefix=[5, 6], suffix=[7, 8])[0]
+    txt_ids = list(rng.integers(2, 400, size=len(vid_ids)))
+    rows = [txt_ids, txt_ids, list(vid_ids), list(vid_ids)]
+    S = max(len(r) for r in rows)
+    B = len(rows)
+    ids = np.full((B, S), cfg.pad_token_id, np.int64)
+    for b, r in enumerate(rows):
+        ids[b, :len(r)] = r
+    lens = np.asarray([len(r) for r in rows])
+    patches = rng.normal(size=(32, cfg.vision.patch_input_dim)).astype(np.float32)
+    layout = plan_vision_layout([grid], cfg.vision)
+    emb = np.asarray(vit_forward(params["visual"], cfg.vision, patches, layout))
+    vemb = np.concatenate([emb, emb])
+    mask = (np.arange(S)[None, :] < lens[:, None]).astype(np.int64)
+    pos, deltas = get_rope_index(ids, cfg, video_grid_thw=np.array([grid] * 2),
+                                 second_per_grid_ts=np.ones(2),
+                                 attention_mask=mask)
+    sp = SamplingParams(max_new_tokens=4, pad_token_id=cfg.pad_token_id,
+                        eos_token_ids=())
+    kw = dict(position_ids=pos, rope_deltas=deltas[:, 0], vision_embeds=vemb,
+              vision_token_id=cfg.video_token_id)
+    full = generate(params, cfg, ids, lens, sp, **kw)
+    chunked = generate(params, cfg, ids, lens, sp, prefill_chunk=2, **kw)
+    np.testing.assert_array_equal(full.sequences, chunked.sequences)

@@ -554,7 +554,7 @@ class PagedContinuousEngine(ContinuousEngine):
         np_used = -(-true_len // ps)
         if len(pc.free_pages) < np_all:
             raise RuntimeError("paged KV cache out of pages")
-        pids = [pc.free_pages.pop() for _ in range(np_all)]
+        pids = [pc._alloc() for _ in range(np_all)]  # refcount=1 each
         logits, pc.k, pc.v = _prefill_into_pages(
             self.params, pc.k, pc.v, self.cfg,
             jnp.asarray(pids, jnp.int32), jnp.asarray(padded),
@@ -565,6 +565,7 @@ class PagedContinuousEngine(ContinuousEngine):
         pc.page_tables[slot] = -1
         pc.page_tables[slot, :np_used] = pids[:np_used]
         for p in pids[np_used:]:
+            pc.refcount[p] = 0
             pc.free_pages.append(p)
         pc.lengths[slot] = true_len
         return logits

@@ -312,8 +312,11 @@ def generate(
         lg_parts = []
         for s in range(0, B, prefill_chunk):
             e = s + prefill_chunk
-            emb_c = (None if emb_off is None
-                     else vision_embeds[int(emb_off[s]):int(emb_off[e])])
+            emb_c = None
+            if emb_off is not None and emb_off[e] > emb_off[s]:
+                # a chunk with no vision tokens must pass None — a 0-row
+                # gather source fails at trace time
+                emb_c = vision_embeds[int(emb_off[s]):int(emb_off[e])]
             lg, c = run_prefill(input_ids[s:e], position_ids[:, s:e],
                                 np.asarray(lengths)[s:e], emb_c)
             lg_parts.append(lg)

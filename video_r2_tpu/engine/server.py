@@ -101,16 +101,22 @@ class ChatEngine:
                          lambda rid, t: q.put(t)))
         toks: list[int] = []
         emitted = ""
+        cur = ""
         while True:
             t = q.get()
             if t is None:
                 break
             toks.append(t)
             cur = self.tok.decode(toks, skip_special_tokens=True)
+            if cur.endswith("\ufffd"):
+                continue  # mid-UTF-8 token boundary: hold until complete
             if cur.startswith(emitted) and len(cur) > len(emitted):
                 delta = cur[len(emitted):]
                 emitted = cur
                 yield delta
+        # flush whatever a trailing hold-back (or non-monotonic decode) left
+        if cur != emitted:
+            yield cur[len(emitted):] if cur.startswith(emitted) else cur
 
     def chat(self, messages: list[dict], temperature: float = 0.0,
              top_p: float = 1.0, top_k: int = 0,

@@ -115,11 +115,13 @@ class EngineBackend:
                     import cv2
 
                     cap = cv2.VideoCapture(visual)
-                    nf = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-                    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-                    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-                    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-                    cap.release()
+                    try:
+                        nf = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                    finally:
+                        cap.release()
                 else:
                     arr = np.asarray(visual)
                     nf, h, w = int(arr.shape[0]), int(arr.shape[-3]), int(arr.shape[-2])

@@ -305,7 +305,7 @@ def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
     if attn_impl == "auto":
         attn_impl = ("kernel"
                      if jax.default_backend() == "tpu"
-                     and layout.s_pad % (2 * layout.window_patches) == 0
+                     and layout.s_pad % (4 * layout.window_patches) == 0
                      else "xla")
     return _vit_forward_jit(
         params, cfg, patches,

@@ -54,8 +54,10 @@ def probe_video_cv2(path: str) -> tuple[int, float]:
 
 def _read_frames_seek(path, wanted: list[int]) -> dict[int, "np.ndarray"]:
     """Seek-based sparse read (ascending indices). Returns {} on any failed
-    seek/read so the caller can fall back to the sequential pass — cv2 seek
-    accuracy varies by codec/container."""
+    OR inaccurate seek so the caller falls back to the sequential pass — some
+    codec/container backends snap CAP_PROP_POS_FRAMES to the nearest
+    keyframe, which would silently feed different frames than the
+    reference's exact-index sampling."""
     import cv2
 
     frames: dict[int, np.ndarray] = {}
@@ -63,6 +65,9 @@ def _read_frames_seek(path, wanted: list[int]) -> dict[int, "np.ndarray"]:
     try:
         for idx in wanted:
             cap.set(cv2.CAP_PROP_POS_FRAMES, int(idx))
+            landed = cap.get(cv2.CAP_PROP_POS_FRAMES)
+            if int(landed) != int(idx):
+                return {}  # backend snapped elsewhere: not frame-accurate
             ok, frame = cap.read()
             if not ok:
                 return {}

@@ -323,3 +323,20 @@ def test_load_docs_from_disk_snapshot(tmp_path):
     d2 = tmp_path / "dict"
     hfds.DatasetDict({"test": hfds.Dataset.from_list(rows)}).save_to_disk(str(d2))
     assert load_docs(cfg(d2)) == rows
+
+
+def test_vas_dry_run_plan(tmp_path):
+    """--dry_run parity (evaluate_vas.py:235,340-347): full execution plan
+    (files, row counts, skip status) without contacting the judge."""
+    from video_r2_tpu.evalharness.vas import run_vas_on_file
+
+    class ExplodingJudge:
+        def chat(self, *a, **k):
+            raise AssertionError("dry run must not call the judge")
+
+    sp = tmp_path / "samples_mvbench.jsonl"
+    sp.write_text('{"doc_id": 0, "resps": [["<answer>A</answer>"]]}\n' * 3)
+    plan = run_vas_on_file(sp, ExplodingJudge(), tmp_path / "vas",
+                           bench="samples_mvbench", dry_run=True)
+    assert plan["dry_run"] and plan["rows"] == 3 and not plan["skip"]
+    assert not (tmp_path / "vas").exists()  # nothing written

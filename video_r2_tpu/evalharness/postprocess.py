@@ -117,13 +117,15 @@ def run_all_tac(predictions_dir: str | Path, judge: JudgeClient,
 
 
 def run_all_vas(predictions_dir: str | Path, judge: JudgeClient,
-                out_root: str | Path) -> dict:
+                out_root: str | Path, dry_run: bool = False) -> dict:
     out_root = Path(out_root)
     summaries: dict[str, dict] = {}
     for bench, files in discover_sample_files(predictions_dir).items():
         for f in files:
             summaries.setdefault(bench, {})[f.stem] = run_vas_on_file(
-                f, judge, out_root / bench, bench=f.stem)
+                f, judge, out_root / bench, bench=f.stem, dry_run=dry_run)
+    if dry_run:  # plan only: no outputs written, judge never contacted
+        return summaries
     out_root.mkdir(parents=True, exist_ok=True)
     with open(out_root / "vas_summaries.json", "w") as fp:
         json.dump(summaries, fp, indent=2)

@@ -101,8 +101,16 @@ def summarize_vas(samples: list[VASSample]) -> dict:
 
 
 def run_vas_on_file(samples_path: str | Path, judge: JudgeClient,
-                    out_dir: str | Path, bench: str = "bench") -> dict:
+                    out_dir: str | Path, bench: str = "bench",
+                    dry_run: bool = False) -> dict:
     out_dir = Path(out_dir)
+    if dry_run:  # execution plan without touching the judge
+        # (evaluate_vas.py --dry_run, :235,340-347)
+        n = sum(1 for l in open(samples_path) if l.strip())
+        per_sample = out_dir / f"per_sample_{bench}.jsonl"
+        return {"dry_run": True, "bench": bench, "file": str(samples_path),
+                "rows": n, "out": str(per_sample),
+                "skip": per_sample.exists()}
     out_dir.mkdir(parents=True, exist_ok=True)
     per_sample = out_dir / f"per_sample_{bench}.jsonl"
     if per_sample.exists():  # skip-if-done (evaluate_vas.py:268-273)

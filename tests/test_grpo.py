@@ -340,3 +340,29 @@ def test_grpo_image_prompt(rng, tmp_path):
     state = GRPOTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     state, m = runner.train_cycle(state, [sample])
     assert np.isfinite(m["loss"])
+
+
+def test_all_nan_reward_warning(rng, caplog):
+    """Rows every reward function declined to score warn loudly
+    (grpo_trainer.py:894-903 parity)."""
+    import logging
+
+    from video_r2_tpu.engine import ByteTokenizer
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    gcfg = GRPOConfig(num_generations=2, beta=0.0, max_completion_length=4,
+                      max_prompt_length=64, temperature=1.0)
+    runner = GRPORunner(
+        params, cfg, gcfg, ByteTokenizer(),
+        reward_funcs=[lambda completions, **kw: [None] * len(completions)],
+        reward_func_names=["declines"], step_fn=None)
+    samples = [{"prompt": [{"role": "user", "content": "hi"}],
+                "assistant": "x"}]
+    with caplog.at_level(logging.WARNING):
+        runner.rollout_and_score(samples)
+    assert any("All reward functions returned None" in r.message
+               for r in caplog.records)

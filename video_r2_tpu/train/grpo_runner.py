@@ -211,6 +211,18 @@ class GRPORunner:
                 out = fn(completions=completions, **reward_kwargs)
             rewards_per_func[:, i] = [np.nan if r is None else r for r in out]
 
+        # all-NaN reward warning (grpo_trainer.py:894-903): a row no reward
+        # function scored contributes 0 via nansum — surface it loudly
+        all_nan = np.isnan(rewards_per_func).all(axis=1)
+        if all_nan.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "All reward functions returned None for %d/%d completions "
+                "(rows %s) — they contribute zero reward",
+                int(all_nan.sum()), len(all_nan),
+                np.nonzero(all_nan)[0][:8].tolist())
+
         rewards = combine_rewards(rewards_per_func, self.reward_func_names,
                                   self.gcfg)
         advantages = compute_advantages(rewards, rewards_per_func,

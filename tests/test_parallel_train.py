@@ -230,3 +230,28 @@ def test_72b_fsdp_tp_sharding_lowers():
     ).lower(sharded_params, ids, pos, lens)  # raises on spec errors
     text = lowered.as_text()
     assert "num_partitions = 8" in text
+
+
+def test_grpo_shard_batch_divisibility_error():
+    """Uneven rollout batches raise a clear error instead of an opaque
+    device_put sharding failure (grpo_trainer.py:523-552 parity)."""
+    import pytest as _pytest
+
+    from video_r2_tpu.models import tiny_test_config
+    from video_r2_tpu.parallel import MeshConfig, make_mesh
+    from video_r2_tpu.train import make_grpo_step
+    from video_r2_tpu.train.grpo import GRPOConfig
+    from video_r2_tpu.train.optim import OptimConfig, make_optimizer
+
+    cfg = tiny_test_config()
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    from video_r2_tpu.models import init_params
+    params = init_params(cfg, dtype="float32")
+    opt = make_optimizer(OptimConfig(total_steps=4), params)
+    step = make_grpo_step(cfg, GRPOConfig(num_generations=3), opt,
+                          donate=False, mesh=mesh)
+    bad = {"prompt_completion_ids": np.zeros((6, 8), np.int32)}  # 6 % 4 != 0
+    with _pytest.raises(ValueError, match="divisible by dp\\*fsdp"):
+        step.shard_batch(bad)
+    ok = {"prompt_completion_ids": np.zeros((8, 8), np.int32)}
+    step.shard_batch(ok)  # divisible: no error

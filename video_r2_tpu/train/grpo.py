@@ -271,6 +271,21 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
     from ..parallel.sharding import batch_sharding, replicated
 
     def shard_batch(batch):
+        # batch-divisibility validation (grpo_trainer.py:523-552 parity):
+        # the B*G rollout rows must split evenly over the data axes, else
+        # device_put fails with an opaque sharding error
+        n_data = 1
+        for ax in ("dp", "fsdp"):
+            if ax in mesh.shape:
+                n_data *= mesh.shape[ax]
+        rows = next((np.asarray(v).shape[0] for k, v in batch.items()
+                     if v is not None and k not in ("position_ids",
+                                                    "video_embeds")), None)
+        if rows is not None and rows % n_data:
+            raise ValueError(
+                f"rollout batch of {rows} rows (prompts x num_generations) "
+                f"must be divisible by dp*fsdp={n_data}; adjust the prompt "
+                f"batch or num_generations")
         out = {}
         for k, v in batch.items():
             if v is None:

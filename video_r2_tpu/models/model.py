@@ -74,13 +74,21 @@ def embed_inputs(
     image_patches: jax.Array | None = None,
     image_layout: VisionLayout | None = None,
 ) -> jax.Array:
-    """Token embeddings with vision features merged into pad slots."""
+    """Token embeddings with vision features merged into pad slots.
+
+    This is the TRAINING/loss embed path (SFT differentiates through the
+    ViT) — it pins the XLA window-attention impl: the fused Pallas window
+    kernel has no custom VJP, so "auto" would fail under jax.grad on TPU.
+    Inference callers (eval backend, engine prefill) call vit_forward
+    directly and get the kernel via "auto"."""
     h = params["model"]["embed_tokens"]["embedding"][input_ids]
     if video_patches is not None:
-        vemb = vit_forward(params["visual"], cfg.vision, video_patches, video_layout)
+        vemb = vit_forward(params["visual"], cfg.vision, video_patches,
+                           video_layout, attn_impl="xla")
         h = merge_vision_embeddings(input_ids, h, vemb, cfg.video_token_id)
     if image_patches is not None:
-        iemb = vit_forward(params["visual"], cfg.vision, image_patches, image_layout)
+        iemb = vit_forward(params["visual"], cfg.vision, image_patches,
+                           image_layout, attn_impl="xla")
         h = merge_vision_embeddings(input_ids, h, iemb, cfg.image_token_id)
     return h
 

@@ -101,3 +101,20 @@ def test_run_eval_app_smoke(tmp_path, rng):
     task = get_task("mvbench_think", dataset_path=str(docs_path))
     assert len(task.docs) == 1
     assert task.config.post_prompt  # think variant
+
+
+def test_eval_config_cli_overrides():
+    """Every eval-backend knob is addressable as --eval.field (the
+    reference's --model_args string, run_all.sh:31, as typed flags)."""
+    from video_r2_tpu.config import parse_config
+
+    app = parse_config([
+        "--eval.max_num_frames", "32", "--eval.engine_mode", "paged",
+        "--eval.act_quant", "int8", "--eval.window_divisible", "true",
+        "--eval.decode_steps", "16", "--eval.fps", "2.0"])
+    assert app.eval.max_num_frames == 32
+    assert app.eval.engine_mode == "paged"
+    assert app.eval.act_quant == "int8"
+    assert app.eval.window_divisible is True
+    assert app.eval.decode_steps == 16
+    assert app.eval.fps == 2.0

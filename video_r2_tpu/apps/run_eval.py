@@ -40,7 +40,17 @@ def main(argv=None):
 
     tasks = [get_task(name, dataset_path=docs_arg)
              for name in tasks_arg.split(",")]
-    model = EngineModel(params, cfg, tok, attn_impl=attn_impl(app))
+    ev = app.eval
+    model = EngineModel(
+        params, cfg, tok, attn_impl=attn_impl(app),
+        max_num_frames=ev.max_num_frames, max_pixels=ev.max_pixels,
+        min_pixels=ev.min_pixels, fps=ev.fps or None,
+        batch_size=ev.batch_size, system_prompt=ev.system_prompt,
+        engine_mode=ev.engine_mode,
+        engine_max_len=ev.engine_max_len or None,
+        act_quant=ev.act_quant or None, kv_quant=ev.kv_quant or None,
+        vit_act_quant=ev.vit_act_quant or None,
+        window_divisible=ev.window_divisible, decode_steps=ev.decode_steps)
     out = evaluate(model, tasks, limit=limit, output_dir=app.run.output_dir,
                    cache_dir=f"{app.run.output_dir}/cache")  # resumable
     for name, res in out["results"].items():

@@ -52,8 +52,29 @@ class RunConfig:
 
 
 @dataclass(frozen=True)
+class EvalConfig:
+    """Eval-harness backend options (the reference's --model_args string,
+    run_all.sh:31, as first-class flags)."""
+
+    max_num_frames: int = 128         # FPS_MAX_FRAMES
+    max_pixels: int = 151200
+    min_pixels: int = 100352
+    fps: float = 0.0                  # 0 = qwen_vl_utils default sampling
+    batch_size: int = 8
+    system_prompt: str = "You are a helpful assistant."
+    engine_mode: str = "batch"        # "batch" | "paged" (continuous)
+    engine_max_len: int = 0           # 0 = size from the longest prompt
+    act_quant: str = ""               # "int8": W8A8 prefill
+    kv_quant: str = ""                # "int8": int8 KV cache
+    vit_act_quant: str = ""           # "int8": W8A8 ViT (activation shift)
+    window_divisible: bool = False    # ViT-window resize bucketing
+    decode_steps: int = 8             # paged: tokens per decode dispatch
+
+
+@dataclass(frozen=True)
 class AppConfig:
     run: RunConfig = field(default_factory=RunConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
     data: DataConfig = field(default_factory=DataConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     sft: SFTConfig = field(default_factory=SFTConfig)

@@ -44,7 +44,8 @@ class EngineModel(LMM):
                  fps: float | None = None, batch_size: int = 8,
                  system_prompt: str = "You are a helpful assistant.",
                  attn_impl: str = "xla", seed: int = 0,
-                 engine_mode: str = "batch", engine_max_len: int | None = None):
+                 engine_mode: str = "batch", engine_max_len: int | None = None,
+                 **backend_kwargs):
         from .engine_backend import EngineBackend
 
         self.backend = EngineBackend(
@@ -52,7 +53,7 @@ class EngineModel(LMM):
             max_pixels=max_pixels, min_pixels=min_pixels, fps=fps,
             batch_size=batch_size, system_prompt=system_prompt,
             attn_impl=attn_impl, seed=seed, engine_mode=engine_mode,
-            engine_max_len=engine_max_len)
+            engine_max_len=engine_max_len, **backend_kwargs)
 
     def generate_until(self, instances: list[Instance]) -> list[str]:
         return self.backend.generate_until(instances)

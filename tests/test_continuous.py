@@ -218,7 +218,7 @@ def test_run_loop_admission_budget():
             self.remaining = {}
             self._next = 0
 
-        def submit(self, prompt_ids, mnt, cb=None, sp=None):
+        def submit(self, prompt_ids, mnt, cb=None, sp=None, tok_cb=None):
             self.events.append("submit")
             self.num_active += 1
             self.remaining[self._next] = 2  # finish after 2 steps

@@ -7,7 +7,7 @@ batch and paged engine modes. Host preprocessing pipelines with device
 compute via PrefetchLoader, so the phase breakdown reports wall time plus
 cumulative per-phase device/host timers.
 
-Usage: python scripts/profile_vit.py [n_samples]
+Usage: python scripts/profile_eval.py [n_samples]
 """
 import os
 import sys
@@ -66,9 +66,11 @@ instances = [
 
 for mode, extra in (("batch", {}), ("paged", {}),
                     ("batch", {"window_divisible": True,
-                               "vit_act_quant": "int8"}),
+                               "vit_act_quant": "int8",
+                               "patch_dtype": "float16"}),
                     ("paged", {"window_divisible": True,
-                               "vit_act_quant": "int8"})):
+                               "vit_act_quant": "int8",
+                               "patch_dtype": "float16"})):
     backend = EngineBackend(
         params, cfg, ByteTokenizer(), max_num_frames=NFRAMES,
         batch_size=BATCH, act_quant="int8", kv_quant="int8",

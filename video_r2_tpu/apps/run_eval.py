@@ -50,7 +50,8 @@ def main(argv=None):
         engine_max_len=ev.engine_max_len or None,
         act_quant=ev.act_quant or None, kv_quant=ev.kv_quant or None,
         vit_act_quant=ev.vit_act_quant or None,
-        window_divisible=ev.window_divisible, decode_steps=ev.decode_steps)
+        window_divisible=ev.window_divisible, decode_steps=ev.decode_steps,
+        patch_dtype=ev.patch_dtype)
     out = evaluate(model, tasks, limit=limit, output_dir=app.run.output_dir,
                    cache_dir=f"{app.run.output_dir}/cache")  # resumable
     for name, res in out["results"].items():

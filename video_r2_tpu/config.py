@@ -68,6 +68,7 @@ class EvalConfig:
     kv_quant: str = ""                # "int8": int8 KV cache
     vit_act_quant: str = ""           # "int8": W8A8 ViT (activation shift)
     window_divisible: bool = False    # ViT-window resize bucketing
+    patch_dtype: str = "float32"      # "float16": half the patch transfer
     decode_steps: int = 8             # paged: tokens per decode dispatch
 
 

@@ -22,6 +22,10 @@ class PrefetchLoader:
                  make_batch: Callable[[Sequence[int]], object],
                  num_workers: int = 2, prefetch: int = 2):
         self._make_batch = make_batch
+        # `prefetch` bounds COMPLETED batches ahead of the consumer, not just
+        # queued jobs — without it a fast host fills _pending with the whole
+        # dataset's prepared arrays while the device lags
+        self._max_ahead = max(prefetch, 1)
         self._jobs: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         self._stop = threading.Event()
         self._total: int | None = None
@@ -55,6 +59,12 @@ class PrefetchLoader:
             if job is None:
                 return
             seq, idx = job
+            with self._cv:  # backpressure: stay <= prefetch ahead
+                while (seq >= self._next_emit + self._max_ahead
+                       and not self._stop.is_set()):
+                    self._cv.wait(timeout=0.1)
+            if self._stop.is_set():
+                return
             try:
                 batch = self._make_batch(idx)
             except Exception as e:  # surface errors to the consumer
@@ -74,6 +84,7 @@ class PrefetchLoader:
                 if self._next_emit in self._pending:
                     batch = self._pending.pop(self._next_emit)
                     self._next_emit += 1
+                    self._cv.notify_all()  # wake backpressured workers
                     break
                 self._cv.wait(timeout=0.1)
         if isinstance(batch, Exception):
@@ -92,6 +103,7 @@ class PrefetchLoader:
                 return None
             batch = self._pending.pop(self._next_emit)
             self._next_emit += 1
+            self._cv.notify_all()  # wake backpressured workers
         if isinstance(batch, Exception):
             raise batch
         return batch

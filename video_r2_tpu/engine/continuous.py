@@ -326,7 +326,7 @@ class ContinuousEngine:
                 if req.tok_cb:
                     req.tok_cb(req.rid, t)
                 self.budget[slot] -= 1
-                hit_eos = t in self.sp.eos_token_ids
+                hit_eos = t in (req.sp or self.sp).eos_token_ids
                 out_of_room = start_len[slot] + si + 1 >= self.max_len - 1
                 if hit_eos or self.budget[slot] <= 0 or out_of_room:
                     finished.append((req.rid, list(req.tokens)))
@@ -635,10 +635,10 @@ def _run_loop_impl(engine, request_queue: "queue.Queue",
             tok_cb = item[4] if len(item) > 4 else None
             try:
                 engine.submit(prompt_ids, mnt, cb, sp=sp, tok_cb=tok_cb)
+                admitted += 1  # only successful admissions consume budget
             except Exception:  # one bad request must not kill the loop
                 if cb:
                     cb(-1, [])
-            admitted += 1
         if engine.num_active:
             engine.step()
         elif not admitted:

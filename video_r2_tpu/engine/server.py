@@ -114,9 +114,11 @@ class ChatEngine:
                 delta = cur[len(emitted):]
                 emitted = cur
                 yield delta
-        # flush whatever a trailing hold-back (or non-monotonic decode) left
-        if cur != emitted:
-            yield cur[len(emitted):] if cur.startswith(emitted) else cur
+        # flush whatever a trailing hold-back left; if decode went
+        # non-monotonic there is no unsent suffix to recover — emitting the
+        # full text would duplicate what the client already rendered
+        if cur != emitted and cur.startswith(emitted):
+            yield cur[len(emitted):]
 
     def chat(self, messages: list[dict], temperature: float = 0.0,
              top_p: float = 1.0, top_k: int = 0,

@@ -27,7 +27,8 @@ class EngineBackend:
                  attn_impl="xla", act_quant=None, kv_quant=None, seed=0,
                  engine_mode="batch", engine_max_len=None, page_size=128,
                  window_divisible=False, vit_act_quant=None,
-                 prefill_rows="auto", decode_steps=8):
+                 prefill_rows="auto", decode_steps=8,
+                 patch_dtype="float32"):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -44,9 +45,12 @@ class EngineBackend:
         self.vit_act_quant = vit_act_quant
         self.kv_quant = kv_quant    # "int8": quantized KV cache (2x batch headroom)
         self.seed = seed
-        # fp16 patches halve the host->device transfer; the tower computes
-        # in bf16 (7-bit mantissa), so fp16 (10-bit) rounds away nothing
-        self.vcfg = VideoPreprocessConfig(patch_dtype="float16")
+        # patch_dtype="float16" halves the host->device patch transfer at
+        # the cost of rounding tower inputs to a 10-bit mantissa before the
+        # (f32-promoted) patch-embed matmul — a small numerics shift, so
+        # like window_divisible it is OPT-IN; the default stays
+        # reference-exact f32
+        self.vcfg = VideoPreprocessConfig(patch_dtype=patch_dtype)
         # "paged": run requests through PagedContinuousEngine (continuous
         # batching over the paged KV pool) instead of static batches — short
         # answers free their slot immediately, so mixed-length eval batches
@@ -301,7 +305,13 @@ class EngineBackend:
             if eng is None or needed > eng.max_len:
                 if eng is not None and eng.num_active:
                     return False  # grow the pool only once drained
-                self._cont = None  # free the old pool before allocating
+                # grow GEOMETRICALLY: ascending-cost admission would
+                # otherwise rebuild (drain + reallocate + recompile the
+                # paged executables) at every page-boundary crossing
+                if eng is not None:
+                    needed = max(needed, 2 * eng.max_len)
+                eng = None  # drop every alias BEFORE allocating the new
+                self._cont = None  # pool so the old one actually frees
                 eng = self._get_cont_engine(needed)
             embeds = grids = spg = None
             if feats:
@@ -323,7 +333,9 @@ class EngineBackend:
             return True
 
         done = 0
+        eng = None
         while done < n:
+            eng = None  # no stale alias across a possible engine rebuild
             pull_available()
             while admit_one():
                 pass

@@ -599,3 +599,27 @@ def test_fork_shared_full_pages_survive_source_release(cfg_params, rng):
     assert len(eng.pcache.free_pages) == free0
     assert (eng.pcache.refcount == 0).all()
     assert len(set(eng.pcache.free_pages)) == len(eng.pcache.free_pages)
+
+
+def test_per_request_eos_override(cfg_params, rng):
+    """A request's own SamplingParams.eos_token_ids governs its stopping,
+    not the engine-level default (review fix)."""
+    cfg, params = cfg_params
+    # engine default: NO eos; request: half the vocab is eos
+    eng = ContinuousEngine(params, cfg, num_slots=1, max_len=64,
+                           sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                             eos_token_ids=()),
+                           prompt_buckets=(16,))
+    req_sp = SamplingParams(pad_token_id=cfg.pad_token_id,
+                            eos_token_ids=tuple(range(0, 512, 2)))
+    rid = eng.submit(list(rng.integers(2, 400, size=6)), max_new_tokens=20,
+                     sp=req_sp)
+    out = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            out[r] = t
+    toks = out[rid]
+    if len(toks) < 20:
+        assert toks[-1] % 2 == 0  # stopped on the REQUEST's eos set
+    for t in toks[:-1]:
+        assert t % 2 == 1  # no earlier token was a request-eos

@@ -340,3 +340,16 @@ def test_vas_dry_run_plan(tmp_path):
                            bench="samples_mvbench", dry_run=True)
     assert plan["dry_run"] and plan["rows"] == 3 and not plan["skip"]
     assert not (tmp_path / "vas").exists()  # nothing written
+
+
+def test_generate_until_stop_strings():
+    """gen_kwargs['until'] trims responses at stop strings; '\\n\\n' is
+    ignored as a stopper (qwen2_5_vl.py:216-217,342-344 parity)."""
+    from video_r2_tpu.evalharness.engine_backend import EngineBackend
+
+    f = EngineBackend._apply_until
+    assert f("answer STOP rest", {"until": ["STOP"]}) == "answer "
+    assert f("answer STOP rest", {"until": "STOP"}) == "answer "
+    assert f("a\n\nb", {"until": ["\n\n"]}) == "a\n\nb"  # dropped stopper
+    assert f("keep all", {}) == "keep all"
+    assert f("x<|im_end|>y", {"until": ["<|im_end|>", ""]}) == "x"

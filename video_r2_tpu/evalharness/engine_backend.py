@@ -102,6 +102,18 @@ class EngineBackend:
         ids = self.tok.encode(text)
         return ids, feats
 
+    @staticmethod
+    def _apply_until(text: str, gen_kwargs: dict) -> str:
+        """Trim at the task's stop strings (qwen2_5_vl.py:208-217,342-344:
+        '\n\n' is dropped as a stopper to avoid truncating reasoning)."""
+        until = gen_kwargs.get("until", [])
+        if isinstance(until, str):
+            until = [until]
+        for term in until:
+            if term and term != "\n\n":
+                text = text.split(term)[0]
+        return text
+
     def _estimate_cost(self, inst: Instance) -> tuple[int, int]:
         """Header-only (no decode) video-token estimate for shape-sorting.
 
@@ -236,7 +248,8 @@ class EngineBackend:
         out = {}
         for row, idx in enumerate(indices):
             ids = res.sequences[row][: res.lengths[row]]
-            out[idx] = self.tok.decode(ids, skip_special_tokens=True)
+            out[idx] = self._apply_until(
+                self.tok.decode(ids, skip_special_tokens=True), gen_kwargs)
         return out
 
     # -- continuous-batching path (vLLM-role eval backend, VERDICT r1 #6) ----
@@ -342,8 +355,9 @@ class EngineBackend:
             eng = self._cont
             if eng is not None and eng.num_active:
                 for rid, toks in eng.step(steps=self.decode_steps):
-                    out[rid_to_idx[rid]] = self.tok.decode(
-                        toks, skip_special_tokens=True)
+                    out[rid_to_idx[rid]] = self._apply_until(
+                        self.tok.decode(toks, skip_special_tokens=True),
+                        gen_kwargs)
                     done += 1
             elif not ready and pulled < n:
                 # idle and nothing prepared: block on the next instance

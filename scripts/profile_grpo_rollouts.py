@@ -53,9 +53,10 @@ samples = [{
     "assistant": "a moving pattern",
 } for i in range(NP)]
 
-for backend in ("batch", "paged"):
+for backend, steps in (("batch", 8), ("paged", 8), ("paged", 32)):
     gcfg = GRPOConfig(num_generations=G, max_completion_length=C,
-                      temperature=1.0, rollout_backend=backend, beta=0.0)
+                      temperature=1.0, rollout_backend=backend, beta=0.0,
+                      rollout_decode_steps=steps)
     runner = GRPORunner(params, cfg, gcfg, ByteTokenizer(),
                         reward_funcs=[lambda completions, **kw:
                                       [0.0] * len(completions)],
@@ -70,6 +71,6 @@ for backend in ("batch", "paged"):
         runner.rollout_and_score(samples)
     dt = time.time() - t0
     per_hr = n_cycles * NP * G / dt * 3600
-    print(f"backend={backend}: {dt/n_cycles:.1f}s/cycle ({NP}x{G} rollouts "
+    print(f"backend={backend} steps={steps}: {dt/n_cycles:.1f}s/cycle ({NP}x{G} rollouts "
           f"x {C} tok) -> {per_hr:.0f} rollouts/hr (warm-up {warm:.0f}s)",
           flush=True)

@@ -63,6 +63,9 @@ class GRPOConfig:
     # generate; "paged" = continuous batching over the paged KV pool, so
     # rollouts that hit EOS early free their slot for the next request
     rollout_backend: str = "batch"
+    # paged backend: decode tokens per dispatch (multi-step window) —
+    # rollouts are throughput-bound, so window freely
+    rollout_decode_steps: int = 8
 
 
 # ---------------------------------------------------------------------------

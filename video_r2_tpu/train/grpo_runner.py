@@ -360,7 +360,7 @@ class GRPORunner:
             if eng.num_active:
                 # multi-step window: rollouts are throughput-bound, and the
                 # per-dispatch host latency dominates single-step decoding
-                for rid, toks in eng.step(steps=8):
+                for rid, toks in eng.step(steps=self.gcfg.rollout_decode_steps):
                     out_tokens[rid_to_b[rid]] = toks
         completion_ids = np.full((B, C), self.cfg.pad_token_id, np.int64)
         lengths = np.zeros((B,), np.int64)

@@ -110,17 +110,23 @@ def _paged_decode_kernel_stacked(lengths_ref, tables_ref, layer_ref, q_ref,
                                   v_scratch.at[slot], sem.at[slot, 1]),
         )
 
+    # 3-deep DMA pipeline: 32 KB page copies are latency-bound, so keep two
+    # pages in flight ahead of the one being reduced
     for c in dma(0, 0):
         c.start()
 
+    @pl.when(n_pages > 1)
+    def _():
+        for c in dma(1, 1):
+            c.start()
+
     def body(p, carry):
         acc, m_i, l_i = carry
-        slot = p % 2
-        nxt = (p + 1) % 2
+        slot = p % 3
 
-        @pl.when(p + 1 < n_pages)
+        @pl.when(p + 2 < n_pages)
         def _():
-            for c in dma(nxt, p + 1):
+            for c in dma((p + 2) % 3, p + 2):
                 c.start()
 
         for c in dma(slot, p):
@@ -186,9 +192,9 @@ def paged_decode_attention_stacked(
             out_specs=pl.BlockSpec((1, 1, g, hd),
                                    lambda b, h, L, T, lyr: (b, h, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, page_size, hd), k_pages.dtype),
-                pltpu.VMEM((2, page_size, hd), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((3, page_size, hd), k_pages.dtype),
+                pltpu.VMEM((3, page_size, hd), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((3, 2)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, kh, g, hd), q.dtype),

@@ -94,3 +94,29 @@ def test_generate_until_groups_by_gen_kwargs():
         mnts = {instances[i].gen_kwargs["max_new_tokens"] for i in indices}
         assert len(mnts) == 1, "mixed gen_kwargs in one batch"
         assert kwargs["max_new_tokens"] in mnts
+
+
+def test_engine_model_eval_image_visual(rng, tmp_path):
+    """Single-image visuals (PIL/[H,W,C] arrays) ride the video path as
+    1-frame clips — the reference eval serves image benchmarks through the
+    same adapter (qwen2_5_vl.py image branch)."""
+    from PIL import Image
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    docs = [{
+        "video": Image.fromarray(
+            rng.integers(0, 256, size=(56, 56, 3), dtype=np.uint8)),
+        "question": f"What is shown {i}?",
+        "candidates": ["a cat", "a dog"],
+        "answer": "a dog",
+    } for i in range(2)]
+    task = get_task("mvbench_think", docs=docs)
+    task.config.generation_kwargs["max_new_tokens"] = 6
+    model = EngineModel(params, cfg, ByteTokenizer(), max_num_frames=4,
+                        max_pixels=56 * 56, batch_size=2)
+    out = evaluate(model, [task], output_dir=tmp_path)
+    assert out["results"]["mvbench_think"]["samples"] == 2

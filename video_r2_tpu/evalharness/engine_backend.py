@@ -78,7 +78,13 @@ class EngineBackend:
         if isinstance(visual, str):
             ele["video"] = visual
         else:
-            ele["video"] = np.asarray(visual)
+            arr = np.asarray(visual)       # PIL.Image converts here too
+            if arr.ndim == 3:
+                # single image -> one temporal group (frame duplicated to
+                # FRAME_FACTOR, grid t=1 — the same 1-frame-clip convention
+                # GRPO prompts and _fetch_video_from_images use)
+                arr = np.stack([arr, arr])
+            ele["video"] = arr
             ele["video_fps"] = 1.0
         if self.fps is not None:
             ele["fps"] = self.fps

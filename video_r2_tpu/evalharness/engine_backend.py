@@ -146,7 +146,8 @@ class EngineBackend:
                         cap.release()
                 else:
                     arr = np.asarray(visual)
-                    nf, h, w = int(arr.shape[0]), int(arr.shape[-3]), int(arr.shape[-2])
+                    nf = 2 if arr.ndim == 3 else int(arr.shape[0])
+                    h, w = int(arr.shape[-3]), int(arr.shape[-2])
                     fps = float(ele.get("video_fps", 1.0))
                 geo = plan_video_geometry(ele, total_frames=max(nf, 2),
                                           video_fps=fps, native_height=h,

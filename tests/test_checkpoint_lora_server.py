@@ -272,3 +272,33 @@ def test_server_sse_streaming(cfg_params):
     finally:
         server.shutdown()
         engine.shutdown()
+
+
+def test_server_paged_continuous_mode(cfg_params):
+    """ChatEngine(engine_kind='paged') serves over the paged KV pool."""
+    import json
+    import urllib.request
+
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+    from video_r2_tpu.engine.server import ChatEngine, serve
+
+    cfg, params = cfg_params
+    engine = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=4,
+                        continuous=True, engine_kind="paged", num_slots=2,
+                        max_len=64, page_size=16)
+    assert isinstance(engine._cont, PagedContinuousEngine)
+    server = serve(engine, host="127.0.0.1", port=0, background=True)
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                             "max_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())["choices"][0]["message"]["content"]
+        assert isinstance(out, str)
+    finally:
+        server.shutdown()
+        engine.shutdown()

@@ -24,12 +24,21 @@ def main(argv=None):
     setup_logging()
     argv = list(sys.argv[1:] if argv is None else argv)
     port = 8000
+    continuous = False
+    engine_kind = "slots"
     rest = []
     i = 0
     while i < len(argv):
         if argv[i] == "--port":
             port = int(argv[i + 1])
             i += 2
+        elif argv[i] == "--continuous":
+            continuous = True
+            i += 1
+        elif argv[i] == "--paged":
+            continuous = True
+            engine_kind = "paged"
+            i += 1
         else:
             rest.append(argv[i])
             i += 1
@@ -39,7 +48,8 @@ def main(argv=None):
     # --run.tp 4 serves tensor-parallel (the 80B-judge deployment shape,
     # serve_qwen3.sh:13): params shard at engine construction
     mesh = build_mesh(app)
-    engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app), mesh=mesh)
+    engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app), mesh=mesh,
+                        continuous=continuous, engine_kind=engine_kind)
     logger.info("serving OpenAI-compatible API on :%d%s", port,
                 f" (mesh {dict(mesh.shape)})" if mesh is not None else "")
     serve(engine, port=port)

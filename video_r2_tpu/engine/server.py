@@ -34,7 +34,8 @@ class ChatEngine:
                  max_new_tokens: int = 1024, attn_impl: str = "xla",
                  act_quant: str | None = None,
                  continuous: bool = False, num_slots: int = 8,
-                 max_len: int = 4096, mesh=None):
+                 max_len: int = 4096, mesh=None, engine_kind: str = "slots",
+                 page_size: int = 128):
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
         # parallel.sharding rules; the KV cache shards on heads over "tp".
@@ -56,13 +57,18 @@ class ChatEngine:
         if continuous:
             import queue as queue_mod
 
-            from .continuous import ContinuousEngine
+            from .continuous import ContinuousEngine, PagedContinuousEngine
 
-            self._cont = ContinuousEngine(
+            # engine_kind="paged": serve over the paged KV pool (no
+            # per-slot max-length reservation — the vLLM serving core)
+            eng_cls = (PagedContinuousEngine if engine_kind == "paged"
+                       else ContinuousEngine)
+            kw = {"page_size": page_size} if engine_kind == "paged" else {}
+            self._cont = eng_cls(
                 params, cfg, num_slots=num_slots, max_len=max_len,
                 sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),
                                   pad_token_id=cfg.pad_token_id),
-                attn_impl=attn_impl)
+                attn_impl=attn_impl, **kw)
             self._queue = queue_mod.Queue()
             self._stop = threading.Event()
             self._thread = threading.Thread(

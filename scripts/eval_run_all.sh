@@ -12,5 +12,8 @@ for task in mvbench videomme tempcompass mlvu longvideobench videomathqa \
     --run.checkpoint "$MODEL_CKPT" \
     --run.output_dir "$OUTPUT/$task" \
     --tasks "${task}_think" \
-    --docs "$DOCS_DIR/$task.json"
+    --docs "$DOCS_DIR/$task.json" \
+    --eval.max_num_frames "${FPS_MAX_FRAMES:-128}" \
+    --eval.batch_size "${EVAL_BATCH:-8}" \
+    ${EVAL_EXTRA:-}
 done

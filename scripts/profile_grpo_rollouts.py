@@ -71,6 +71,7 @@ for backend, steps in (("batch", 8), ("paged", 8), ("paged", 32)):
         runner.rollout_and_score(samples)
     dt = time.time() - t0
     per_hr = n_cycles * NP * G / dt * 3600
-    print(f"backend={backend} steps={steps}: {dt/n_cycles:.1f}s/cycle ({NP}x{G} rollouts "
+    tag = backend if backend == "batch" else f"{backend} steps={steps}"
+    print(f"backend={tag}: {dt/n_cycles:.1f}s/cycle ({NP}x{G} rollouts "
           f"x {C} tok) -> {per_hr:.0f} rollouts/hr (warm-up {warm:.0f}s)",
           flush=True)

@@ -120,3 +120,27 @@ def test_engine_model_eval_image_visual(rng, tmp_path):
                         max_pixels=56 * 56, batch_size=2)
     out = evaluate(model, [task], output_dir=tmp_path)
     assert out["results"]["mvbench_think"]["samples"] == 2
+
+
+def test_engine_model_eval_grayscale_and_rgba_visuals(rng, tmp_path):
+    """Non-RGB image visuals (grayscale/RGBA) normalize to RGB instead of
+    crashing the reader or mismatching the patch-embed width."""
+    from PIL import Image
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    gray = Image.fromarray(
+        rng.integers(0, 256, size=(56, 56), dtype=np.uint8), mode="L")
+    rgba = Image.fromarray(
+        rng.integers(0, 256, size=(56, 56, 4), dtype=np.uint8), mode="RGBA")
+    docs = [{"video": v, "question": f"Q{i}?", "candidates": ["a", "b"],
+             "answer": "a"} for i, v in enumerate([gray, rgba])]
+    task = get_task("mvbench_think", docs=docs)
+    task.config.generation_kwargs["max_new_tokens"] = 4
+    model = EngineModel(params, cfg, ByteTokenizer(), max_num_frames=4,
+                        max_pixels=56 * 56, batch_size=2)
+    out = evaluate(model, [task], output_dir=tmp_path)
+    assert out["results"]["mvbench_think"]["samples"] == 2

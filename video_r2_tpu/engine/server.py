@@ -54,6 +54,10 @@ class ChatEngine:
         self._lock = threading.Lock()
         self._seed = 0
         self._queue = None
+        if engine_kind != "slots" and not continuous:
+            raise ValueError(
+                f"engine_kind={engine_kind!r} requires continuous=True "
+                "(non-continuous mode serializes whole generate() calls)")
         if continuous:
             import queue as queue_mod
 

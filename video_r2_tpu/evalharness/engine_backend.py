@@ -78,7 +78,17 @@ class EngineBackend:
         if isinstance(visual, str):
             ele["video"] = visual
         else:
-            arr = np.asarray(visual)       # PIL.Image converts here too
+            arr = np.asarray(visual)
+            if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] != 3):
+                # grayscale/palette/RGBA images: normalize to RGB the same
+                # way the image path does (video/api.to_rgb)
+                from PIL import Image
+
+                from ..video.api import to_rgb
+
+                arr = np.asarray(to_rgb(
+                    visual if isinstance(visual, Image.Image)
+                    else Image.fromarray(arr)))
             if arr.ndim == 3:
                 # single image -> one temporal group (frame duplicated to
                 # FRAME_FACTOR, grid t=1 — the same 1-frame-clip convention

@@ -301,10 +301,11 @@ class GRPORunner:
     def _get_rollout_engine(self, max_prompt: int, num_requests: int):
         from ..engine.continuous import PagedContinuousEngine
 
-        # +16 decode-window margin: without it the multi-step window size
-        # clamps (8 -> 4 -> 2 -> 1) as slots near max_len, recompiling a
+        # decode-window margin: without it the multi-step window size
+        # clamps (w -> w/2 -> ...) as slots near max_len, recompiling a
         # decode variant per size mid-rollout
-        need = max_prompt + self.gcfg.max_completion_length + 1 + 16
+        need = (max_prompt + self.gcfg.max_completion_length + 1
+                + 2 * self.gcfg.rollout_decode_steps)
         page = 128
         need = -(-need // page) * page
         if self._rollout_eng is not None and self._rollout_eng.max_len >= need:

@@ -300,3 +300,25 @@ def test_plan_vision_layout_matches_loop_reference(grids):
     np.testing.assert_array_equal(got.full_gather, fg)
     np.testing.assert_array_equal(got.out_unit_gather, oug)
     assert got.seq_len_real == real and got.window_patches == wp
+
+
+def test_vit_full_attention_flash_matches_xla(rng):
+    """Full-attention groups through the flash kernel (segment masking,
+    interpret) must match the chunked dense XLA path on valid rows."""
+    from video_r2_tpu.models.vision import _full_attention
+
+    S, nh, hd = 256, 4, 80
+    q = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    valid = np.ones(S, bool)
+    valid[100:128] = False          # pad slots inside a group
+    valid = jnp.asarray(valid)
+    # two groups of 128 rows
+    fg = np.stack([np.arange(0, 128), np.arange(128, 256)]).astype(np.int32)
+    ref = _full_attention(q, k, v, valid, fg, hd ** -0.5)
+    out = _full_attention(q, k, v, valid, fg, hd ** -0.5, impl="kernel",
+                          interpret=True)
+    vm = np.asarray(valid)
+    np.testing.assert_allclose(np.asarray(out)[vm], np.asarray(ref)[vm],
+                               rtol=2e-5, atol=2e-5)

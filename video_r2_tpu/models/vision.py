@@ -189,18 +189,31 @@ def _window_attention(q, k, v, valid, wp: int, scale: float):
     return out.reshape(s, nh, hd)
 
 
-def _full_attention(q, k, v, valid, full_gather, scale: float):
+def _full_attention(q, k, v, valid, full_gather, scale: float,
+                    impl: str = "xla", interpret: bool = False):
     """Gather contiguous frame-group runs into [G, Lmax] and attend densely.
 
-    Groups run sequentially (lax.map) so peak memory is one group's
-    [nh, Lmax, Lmax] score block, not G of them — at the 128-frame eval
-    config that is ~75 MB instead of ~5 GB. Each group is still a full-width
-    MXU matmul, so throughput is unaffected."""
+    impl="xla": groups run through a chunked lax.map so peak memory is a few
+    groups' [nh, Lmax, Lmax] score blocks, not G of them — at the 128-frame
+    eval config that is ~75 MB/group instead of ~5 GB total.
+    impl="kernel": one batched flash call over [G, Lmax] with segment-id
+    masking (pad slots excluded) — scores never touch HBM."""
     s, nh, hd = q.shape
     g_idx = jnp.asarray(full_gather)
     safe = jnp.maximum(g_idx, 0)
     gmask = (g_idx >= 0) & valid[safe]
     qg, kg, vg = (x[safe] for x in (q, k, v))       # [G, Lmax, nh, hd]
+
+    if impl == "kernel":
+        from ..ops.flash import flash_attention
+
+        seg = jnp.where(gmask, 1, -2).astype(jnp.int32)
+        out = flash_attention(qg, kg, vg, causal=False, segment_ids=seg,
+                              interpret=interpret)  # [G, Lmax, nh, hd]
+        flat_idx = jnp.where(g_idx >= 0, g_idx, s).reshape(-1)
+        buf = jnp.zeros((s + 1, nh, hd), dtype=out.dtype)
+        buf = buf.at[flat_idx].set(out.reshape(-1, nh, hd), mode="drop")
+        return buf[:s]
 
     def per_group(args):
         qq, kk, vv, mm = args
@@ -251,7 +264,8 @@ def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfi
             return _window_attention(*a, wp, scale)
     attn = jax.lax.cond(
         use_full,
-        lambda a: _full_attention(a[0], a[1], a[2], a[3], full_gather, scale),
+        lambda a: _full_attention(a[0], a[1], a[2], a[3], full_gather, scale,
+                                  impl=attn_impl),
         window_branch,
         (q, k, v, valid))
     x = x + linear(p["attn"]["proj"], attn.reshape(s, nh * hd), act_quant)

@@ -123,3 +123,28 @@ def test_prefetch_loader_order_and_errors():
         for x in loader:
             got.append(x)
     assert got == [0, 1]
+
+
+def test_prefetch_backpressure_bounds_completed_batches():
+    """Workers stall at `prefetch` completed batches ahead of the consumer —
+    a fast host must not stage the whole dataset's arrays (review fix)."""
+    import threading
+    import time
+
+    from video_r2_tpu.data.prefetch import PrefetchLoader
+
+    peak = [0]
+    lock = threading.Lock()
+
+    def make(idx):
+        return idx[0]
+
+    loader = PrefetchLoader(([i] for i in range(100)), make,
+                            num_workers=4, prefetch=3)
+    time.sleep(0.5)  # give workers time to run far ahead if unbounded
+    with loader._cv:
+        staged = len(loader._pending)
+    assert staged <= 3 + 4, staged  # bound + at most one in-flight per worker
+    out = [next(loader) for _ in range(100)]
+    assert out == list(range(100))
+    loader.close()

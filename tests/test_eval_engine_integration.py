@@ -144,3 +144,42 @@ def test_engine_model_eval_grayscale_and_rgba_visuals(rng, tmp_path):
                         max_pixels=56 * 56, batch_size=2)
     out = evaluate(model, [task], output_dir=tmp_path)
     assert out["results"]["mvbench_think"]["samples"] == 2
+
+
+def test_paged_engine_geometric_growth(rng):
+    """When the continuous eval engine must grow, it (a) waits for the pool
+    to drain, (b) grows geometrically (>= 2x) so ascending-cost admission
+    doesn't rebuild at every page-boundary crossing (review fix)."""
+    from video_r2_tpu.evalharness.engine_backend import EngineBackend
+    from video_r2_tpu.models import init_params, tiny_test_config
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    backend = EngineBackend(params, cfg, ByteTokenizer(), batch_size=2,
+                            engine_mode="paged", page_size=16)
+    from video_r2_tpu.evalharness.api import Instance
+
+    # ascending prompt lengths spanning several 16-token pages
+    instances = [Instance(doc_id=i, doc={}, text="x" * n, visuals=[],
+                          gen_kwargs={"max_new_tokens": 4,
+                                      "temperature": 0.0})
+                 for i, n in enumerate([8, 40, 90, 200])]
+    max_lens = []
+    orig = backend._get_cont_engine
+
+    def spy(needed):
+        eng = orig(needed)
+        if not max_lens or eng.max_len != max_lens[-1]:
+            max_lens.append(eng.max_len)
+        return eng
+
+    backend._get_cont_engine = spy
+    outs = backend.generate_until(instances)
+    assert len(outs) == 4
+    # growth is geometric: each rebuild at least doubles
+    for a, b in zip(max_lens, max_lens[1:]):
+        assert b >= 2 * a, max_lens
+    assert len(max_lens) <= 3, max_lens

@@ -623,3 +623,37 @@ def test_per_request_eos_override(cfg_params, rng):
         assert toks[-1] % 2 == 0  # stopped on the REQUEST's eos set
     for t in toks[:-1]:
         assert t % 2 == 1  # no earlier token was a request-eos
+
+
+def test_submit_batch_matches_sequential(cfg_params, rng):
+    """Batched admission prefill (one dispatch per same-bucket group) must
+    produce the same greedy tokens as sequential submit()."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    prompts = [list(rng.integers(2, 400, size=L)) for L in (5, 9, 7, 12)]
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def build():
+        return PagedContinuousEngine(params, cfg, num_slots=4, max_len=64,
+                                     sp=sp, prompt_buckets=(16,),
+                                     page_size=16)
+
+    eng = build()
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    ref = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            ref[r] = t
+    ref_tokens = [ref[r] for r in rids]
+
+    eng = build()
+    free0 = len(eng.pcache.free_pages)
+    rids = eng.submit_batch([(p, 6) for p in prompts])
+    assert all(r is not None for r in rids)
+    out = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            out[r] = t
+    assert [out[r] for r in rids] == ref_tokens
+    assert len(eng.pcache.free_pages) == free0  # pages all returned

@@ -476,6 +476,40 @@ def _paged_decode_body(params, k_pages, v_pages, cfg, sp: SamplingParams,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("cfg", "attn_impl", "page_size"),
+                   donate_argnums=(1, 2))
+def _prefill_into_pages_batch(params, k_pages, v_pages, cfg, pids, ids,
+                              position_ids, lengths,
+                              attn_impl: str = "xla", page_size: int = 128):
+    """Batched admission prefill: K same-bucket TEXT prompts in one dispatch
+    (an idle engine admitting a burst otherwise pays K serial prefill
+    dispatches). ids [K, bucket]; pids [K, bucket/page_size]; lengths [K]."""
+    h = params["model"]["embed_tokens"]["embedding"][ids]
+    cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
+    K, S = ids.shape
+    tmp = KVCache.init(cfg.text, K, S, k_pages.dtype)
+    i = jnp.arange(S)[:, None]
+    j = jnp.arange(S)[None, :]
+    allowed = (j <= i)[None] & (j[None] < lengths[:, None, None])
+    bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
+    hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
+                                  bias, cache=tmp, cache_position=0,
+                                  attn_impl=attn_impl, kv_lengths=lengths,
+                                  causal=True, cache_fill=True)
+    L, _, _, kh, hd = tmp.k.shape
+    npb = S // page_size
+    kk = (tmp.k.reshape(L, K, npb, page_size, kh, hd)
+          .transpose(0, 4, 1, 2, 3, 5).reshape(L, kh, K * npb, page_size, hd))
+    vv = (tmp.v.reshape(L, K, npb, page_size, kh, hd)
+          .transpose(0, 4, 1, 2, 3, 5).reshape(L, kh, K * npb, page_size, hd))
+    flat = pids.reshape(-1)
+    k_pages = k_pages.at[:, :, flat].set(kk)
+    v_pages = v_pages.at[:, :, flat].set(vv)
+    logits = lm_head(params, cfg, hidden[jnp.arange(K), lengths - 1])
+    return logits.astype(jnp.float32), k_pages, v_pages
+
+
+@functools.partial(jax.jit,
                    static_argnames=("cfg", "sp", "page_size", "interpret"),
                    donate_argnums=(1, 2))
 def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
@@ -595,6 +629,85 @@ class PagedContinuousEngine(ContinuousEngine):
             n_steps=steps)
         return toks, new_len
 
+    def submit_batch(self, items: list) -> list:
+        """Admit a BURST of text requests, prefilling same-bucket groups in
+        one dispatch each (an idle pool admitting K prompts otherwise pays K
+        serial prefill dispatches). items: (prompt_ids, max_new_tokens[,
+        done_cb[, sp[, tok_cb]]]) tuples. Returns rids (None = no slot)."""
+        rids: list = [None] * len(items)
+        groups: dict[int, list] = {}
+        for n, it in enumerate(items):
+            prompt_ids, mnt = it[0], it[1]
+            cb = it[2] if len(it) > 2 else None
+            spr = it[3] if len(it) > 3 else None
+            tok_cb = it[4] if len(it) > 4 else None
+            ids = np.asarray(prompt_ids, np.int32)
+            room = max(self.max_len - mnt - 1, 8)
+            if ids.shape[0] > room:
+                ids = ids[-room:]
+            bucket = next((b for b in self.prompt_buckets
+                           if b >= ids.shape[0]), self.max_len)
+            groups.setdefault(bucket, []).append(
+                (n, ids, mnt, cb, spr, tok_cb))
+
+        pc = self.pcache
+        ps = self._page_size
+        for bucket, rows in groups.items():
+            while rows:
+                free = [i for i, r in enumerate(self.slot_req) if r is None]
+                if not free:
+                    break
+                chunk, rows = rows[:len(free)], rows[len(free):]
+                K = len(chunk)
+                padded = np.full((K, bucket), self.cfg.pad_token_id, np.int32)
+                lens = np.zeros(K, np.int32)
+                for r, (_, ids, *_r) in enumerate(chunk):
+                    padded[r, :ids.shape[0]] = ids
+                    lens[r] = ids.shape[0]
+                mask = (np.arange(bucket)[None, :]
+                        < lens[:, None]).astype(np.int64)
+                pos, deltas = get_rope_index(padded, self.cfg,
+                                             attention_mask=mask)
+                np_all = bucket // ps
+                if len(pc.free_pages) < K * np_all:
+                    raise RuntimeError("paged KV cache out of pages")
+                pids = np.zeros((K, np_all), np.int32)
+                for r in range(K):
+                    for c in range(np_all):
+                        pids[r, c] = pc._alloc()
+                logits, pc.k, pc.v = _prefill_into_pages_batch(
+                    self.params, pc.k, pc.v, self.cfg, jnp.asarray(pids),
+                    jnp.asarray(padded), jnp.asarray(pos), jnp.asarray(lens),
+                    attn_impl=self.attn_impl, page_size=ps)
+                for r, (n, ids, mnt, cb, spr, tok_cb) in enumerate(chunk):
+                    slot = free[r]
+                    true_len = int(lens[r])
+                    np_used = -(-true_len // ps)
+                    pc.page_tables[slot] = -1
+                    pc.page_tables[slot, :np_used] = pids[r, :np_used]
+                    for pg in pids[r, np_used:]:
+                        pc.refcount[int(pg)] = 0
+                        pc.free_pages.append(int(pg))
+                    pc.lengths[slot] = true_len
+                    rid = self._next_rid
+                    self._next_rid += 1
+                    req = _Request(rid, padded[r:r + 1], pos[:, r:r + 1],
+                                   int(deltas[r, 0]) + bucket - true_len,
+                                   mnt, cb, sp=spr, tok_cb=tok_cb)
+                    self.slot_req[slot] = req
+                    self.last_logits = self.last_logits.at[slot].set(
+                        logits[r])
+                    self.cur_len[slot] = true_len
+                    self.pos_base[slot] = req.rope_delta
+                    self.budget[slot] = mnt
+                    rsp = spr or self.sp
+                    self.slot_temp[slot] = max(rsp.temperature, 1e-6)
+                    self.slot_top_p[slot] = rsp.top_p
+                    self.slot_top_k[slot] = rsp.top_k
+                    self.slot_do_sample[slot] = rsp.do_sample
+                    rids[n] = rid
+        return rids
+
     def _release_slot(self, slot: int) -> None:
         self.pcache.release(slot)
 
@@ -625,6 +738,34 @@ def _run_loop_impl(engine, request_queue: "queue.Queue",
     while not stop.is_set():
         admitted = 0
         budget = engine.num_slots if engine.num_active == 0 else admit_per_step
+        if (engine.num_active == 0 and hasattr(engine, "submit_batch")
+                and request_queue.qsize() > 1):
+            # idle burst: prefill same-bucket groups in one dispatch each
+            burst = []
+            while len(burst) < engine.num_slots:
+                try:
+                    burst.append(request_queue.get_nowait())
+                except queue.Empty:
+                    break
+            if burst:
+                try:
+                    rids = engine.submit_batch(burst)
+                    admitted = sum(r is not None for r in rids)
+                    for it, rid in zip(burst, rids):
+                        if rid is None and len(it) > 2 and it[2]:
+                            it[2](-1, [])  # dropped: pool full mid-burst
+                except Exception:
+                    for it in burst:  # fall back to per-item admission
+                        try:
+                            engine.submit(it[0], it[1],
+                                          it[2] if len(it) > 2 else None,
+                                          sp=it[3] if len(it) > 3 else None,
+                                          tok_cb=(it[4] if len(it) > 4
+                                                  else None))
+                            admitted += 1
+                        except Exception:
+                            if len(it) > 2 and it[2]:
+                                it[2](-1, [])
         while engine.num_active < engine.num_slots and admitted < budget:
             try:
                 item = request_queue.get_nowait()

@@ -659,8 +659,14 @@ class PagedContinuousEngine(ContinuousEngine):
                     break
                 chunk, rows = rows[:len(free)], rows[len(free):]
                 K = len(chunk)
-                padded = np.full((K, bucket), self.cfg.pad_token_id, np.int32)
-                lens = np.zeros(K, np.int32)
+                # pad K to a power of two (trash-page dummy rows): the jit
+                # keys on [K, bucket], and an unpadded K would compile per
+                # distinct burst size
+                Kp = 1
+                while Kp < K:
+                    Kp *= 2
+                padded = np.full((Kp, bucket), self.cfg.pad_token_id, np.int32)
+                lens = np.ones(Kp, np.int32)
                 for r, (_, ids, *_r) in enumerate(chunk):
                     padded[r, :ids.shape[0]] = ids
                     lens[r] = ids.shape[0]
@@ -670,15 +676,27 @@ class PagedContinuousEngine(ContinuousEngine):
                                              attention_mask=mask)
                 np_all = bucket // ps
                 if len(pc.free_pages) < K * np_all:
-                    raise RuntimeError("paged KV cache out of pages")
-                pids = np.zeros((K, np_all), np.int32)
+                    return rids  # no room for this chunk; partial result
+                pids = np.full((Kp, np_all), self.trash_page, np.int32)
                 for r in range(K):
                     for c in range(np_all):
                         pids[r, c] = pc._alloc()
-                logits, pc.k, pc.v = _prefill_into_pages_batch(
-                    self.params, pc.k, pc.v, self.cfg, jnp.asarray(pids),
-                    jnp.asarray(padded), jnp.asarray(pos), jnp.asarray(lens),
-                    attn_impl=self.attn_impl, page_size=ps)
+                try:
+                    logits, pc.k, pc.v = _prefill_into_pages_batch(
+                        self.params, pc.k, pc.v, self.cfg, jnp.asarray(pids),
+                        jnp.asarray(padded), jnp.asarray(pos),
+                        jnp.asarray(lens), attn_impl=self.attn_impl,
+                        page_size=ps)
+                except Exception:
+                    # unwind this chunk's pages (no slot references them yet)
+                    # and return the PARTIAL result — earlier chunks are
+                    # already committed to slots, so raising here would lose
+                    # their rids and invite double-admission by the caller
+                    for r in range(K):
+                        for pg in pids[r]:
+                            pc.refcount[int(pg)] = 0
+                            pc.free_pages.append(int(pg))
+                    return rids
                 for r, (n, ids, mnt, cb, spr, tok_cb) in enumerate(chunk):
                     slot = free[r]
                     true_len = int(lens[r])
@@ -695,8 +713,6 @@ class PagedContinuousEngine(ContinuousEngine):
                                    int(deltas[r, 0]) + bucket - true_len,
                                    mnt, cb, sp=spr, tok_cb=tok_cb)
                     self.slot_req[slot] = req
-                    self.last_logits = self.last_logits.at[slot].set(
-                        logits[r])
                     self.cur_len[slot] = true_len
                     self.pos_base[slot] = req.rope_delta
                     self.budget[slot] = mnt
@@ -706,6 +722,10 @@ class PagedContinuousEngine(ContinuousEngine):
                     self.slot_top_k[slot] = rsp.top_k
                     self.slot_do_sample[slot] = rsp.do_sample
                     rids[n] = rid
+                # one batched scatter (K serial .at[slot].set dispatches
+                # would each copy the [slots, V] array)
+                self.last_logits = self.last_logits.at[
+                    jnp.asarray(free[:K])].set(logits[:K])
         return rids
 
     def _release_slot(self, slot: int) -> None:
@@ -748,24 +768,13 @@ def _run_loop_impl(engine, request_queue: "queue.Queue",
                 except queue.Empty:
                     break
             if burst:
-                try:
-                    rids = engine.submit_batch(burst)
-                    admitted = sum(r is not None for r in rids)
-                    for it, rid in zip(burst, rids):
-                        if rid is None and len(it) > 2 and it[2]:
-                            it[2](-1, [])  # dropped: pool full mid-burst
-                except Exception:
-                    for it in burst:  # fall back to per-item admission
-                        try:
-                            engine.submit(it[0], it[1],
-                                          it[2] if len(it) > 2 else None,
-                                          sp=it[3] if len(it) > 3 else None,
-                                          tok_cb=(it[4] if len(it) > 4
-                                                  else None))
-                            admitted += 1
-                        except Exception:
-                            if len(it) > 2 and it[2]:
-                                it[2](-1, [])
+                # submit_batch never raises mid-way: it unwinds a failing
+                # chunk and returns the partial rids
+                rids = engine.submit_batch(burst)
+                admitted = sum(r is not None for r in rids)
+                for it, rid in zip(burst, rids):
+                    if rid is None:
+                        request_queue.put(it)  # retry when slots free up
         while engine.num_active < engine.num_slots and admitted < budget:
             try:
                 item = request_queue.get_nowait()

@@ -207,6 +207,8 @@ def _full_attention(q, k, v, valid, full_gather, scale: float,
     if impl == "kernel":
         from ..ops.flash import flash_attention
 
+        # flash applies its own hd**-0.5 internally
+        assert abs(scale - hd ** -0.5) < 1e-12, scale
         seg = jnp.where(gmask, 1, -2).astype(jnp.int32)
         out = flash_attention(qg, kg, vg, causal=False, segment_ids=seg,
                               interpret=interpret)  # [G, Lmax, nh, hd]

@@ -89,6 +89,35 @@ def test_tac_messages_verbatim():
                 == ref_msgs[1]["content"]
 
 
+def test_tac_numeric_extraction_prompts_verbatim():
+    """The NA-lens numeric extraction messages match the reference's
+    build_extraction_message_numeric (tac/vsibench.py:168-179), rendered from
+    its AST (the module itself imports vllm so it can't be imported here)."""
+    from video_r2_tpu.evalharness import tac
+
+    tree = ast.parse(open(REF / "eval/scripts/tac/vsibench.py").read())
+    fn = next(n for n in ast.walk(tree)
+              if isinstance(n, ast.FunctionDef)
+              and n.name == "build_extraction_message_numeric")
+    assigns = {t.id: a.value for a in ast.walk(fn)
+               if isinstance(a, ast.Assign)
+               for t in a.targets if isinstance(t, ast.Name)}
+
+    def render(node, subs):
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+            return render(node.left, subs) + render(node.right, subs)
+        return subs[ast.unparse(node)]
+
+    assert tac.NUMERIC_EXTRACT_SYSTEM == render(assigns["sys_prompt"], {})
+    for payload in ("the count is 7", "", "  3.5 meters  "):
+        sub = payload.strip() if payload else ""
+        ref_user = render(assigns["user"],
+                          {"payload_text.strip() if payload_text else ''": sub})
+        assert tac.numeric_extract_user(payload) == ref_user
+
+
 def test_tar_consistency_prompt_verbatim():
     """The consistency auditor messages match reward_funcs.py:117-134: build
     them through our templates and compare with the reference's inline

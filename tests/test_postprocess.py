@@ -39,18 +39,37 @@ def _write_samples(path, rows):
 
 
 def test_dispatcher_and_summaries(tmp_path):
-    rows = [{"doc_id": 0, "accuracy": 1, "input": "Q",
-             "filtered_resps": ["<think>so B</think><answer>B</answer>"],
-             "target": "B", "doc": {}}]
-    _write_samples(tmp_path / "preds" / "samples_mvbench_think.jsonl", rows)
-    _write_samples(tmp_path / "preds" / "samples_vsibench_think.jsonl", rows)
+    mvb_rows = [{"doc_id": 0, "accuracy": 1, "input": "Q",
+                 "filtered_resps": ["<think>so B</think><answer>B</answer>"],
+                 "target": "B", "doc": {}}]
+    vsi_rows = [
+        # NA type -> numeric/MRA lens
+        {"doc_id": 0, "accuracy": 1.0,
+         "filtered_resps": ["<think>about 4 meters</think><answer>4</answer>"],
+         "doc": {"question_type": "object_abs_distance", "ground_truth": 4.0}},
+        # MCA type -> letter lens
+        {"doc_id": 1, "accuracy": 1,
+         "filtered_resps": ["<think>so B</think><answer>B</answer>"],
+         "doc": {"question_type": "route_planning", "answer": "B",
+                 "options": ["A. left", "B. right"]}},
+    ]
+    _write_samples(tmp_path / "preds" / "samples_mvbench_think.jsonl", mvb_rows)
+    _write_samples(tmp_path / "preds" / "samples_vsibench_think.jsonl", vsi_rows)
     found = discover_sample_files(tmp_path / "preds")
     assert set(found) == {"mvbench", "vsibench"}
 
-    judge = StaticJudge(["B", "B"] * 10)
+    # per-row order: answer-parse then think-extract
+    judge = StaticJudge(["B", "B",     # mvbench (mcq)
+                         "4", "4",     # vsibench NA row (numeric)
+                         "B", "B"])    # vsibench MCA row (mcq)
     summaries = run_all_tac(tmp_path / "preds", judge, tmp_path / "tac")
     assert "mvbench" in summaries and "vsibench" in summaries
     assert (tmp_path / "tac" / "all_summaries.json").exists()
+    # mvbench runs in pooled directory mode
+    assert summaries["mvbench"]["__directory__"]["num_samples"] == 1
+    vsi = summaries["vsibench"]["samples_vsibench_think"]
+    assert vsi["modes"] == {"mra": 1, "mcq": 1}
+    assert vsi["answer_accuracy"] == 1.0  # exact number -> full MRA; B == B
 
     tree = summarize_tac_tree(tmp_path / "tac")
     assert any("consistency_score" in v for v in tree.values())
@@ -144,6 +163,100 @@ def test_ablations(rng):
     ele = out["prompt"][0]["content"][0]
     assert ele["type"] == "image"
     assert np.array_equal(ele["image"], frames[0])
+
+
+def test_tac_open_form_numeric_lens():
+    """NA rows score by parsed value through MRA, not letter equality
+    (tac/vsibench.py:138-157,387-396)."""
+    from video_r2_tpu.evalharness.postprocess import get_mode_for_bench
+    from video_r2_tpu.evalharness.tac import (
+        NUMERIC_EXTRACT_SYSTEM,
+        evaluate_tac_samples,
+    )
+
+    rows = [{"doc_id": 0, "accuracy": 0.9,
+             "filtered_resps": ["<think>roughly 3.7m</think><answer>3.7 meters</answer>"],
+             "doc": {"question_type": "object_counting", "ground_truth": "4"}}]
+    judge = StaticJudge(["3.7", "3.7"])
+    results, summary = evaluate_tac_samples(
+        rows, judge, get_options=lambda r: None,
+        get_gt_letter=lambda r: (_ for _ in ()).throw(AssertionError("mcq lens used")),
+        get_mode=get_mode_for_bench("vsibench"))
+    # err = 0.3/4 = 0.075 -> passes 9 of the 10 confidence bands
+    assert results[0].mode == "mra"
+    assert results[0].answer_score == pytest.approx(0.9)
+    assert results[0].thinking_score == pytest.approx(0.9)
+    assert not results[0].answer_correct          # outside the 5% band
+    assert summary["answer_accuracy"] == pytest.approx(0.9)
+    # the judge got the reference's numeric extraction prompt, not the MCQ one
+    assert judge.calls[0][0] == NUMERIC_EXTRACT_SYSTEM
+
+
+def test_tac_mmvu_open_mode():
+    from video_r2_tpu.evalharness.postprocess import get_mode_for_bench
+    from video_r2_tpu.evalharness.tac import evaluate_tac_samples
+
+    mode = get_mode_for_bench("mmvu")
+    mcq_row = {"doc": {"question_type": "multiple-choice",
+                       "choices": {"A": "x", "B": "y"}}}
+    open_row = {"doc_id": 1, "accuracy": 1,
+                "filtered_resps": ["<think>compute 9.81*2</think><answer>19.62 J</answer>"],
+                "doc": {"question_type": "open-ended", "answer": "19.62"}}
+    assert mode(mcq_row) == "mcq" and mode(open_row) == "open"
+
+    judge = StaticJudge(["19.62", "the energy is 19.62"])
+    results, summary = evaluate_tac_samples(
+        [open_row], judge, get_options=lambda r: None,
+        get_gt_letter=lambda r: "", get_mode=mode)
+    assert results[0].answer_correct and results[0].thinking_correct
+    assert summary["answer_accuracy"] == 1.0
+
+    # numeric equality is at two decimals; text falls back to normalized match
+    from video_r2_tpu.evalharness.tac import compare_open_ended
+    assert compare_open_ended("19.6201", "19.62")
+    assert compare_open_ended("The Mitochondria", "mitochondria")
+    assert not compare_open_ended("20.5", "19.62")
+
+
+def test_tac_mcq_lens_raises_on_numeric_gt():
+    """A numeric GT reaching the MCQ letter lens fails loudly instead of
+    scoring '4' as a plausible letter (VERDICT r2 Weak #2)."""
+    from video_r2_tpu.evalharness.postprocess import default_get_gt_letter
+
+    row = {"doc_id": 7, "doc": {"question_type": "object_counting",
+                                "ground_truth": "42"}}
+    with pytest.raises(ValueError, match="non-letter ground truth"):
+        default_get_gt_letter(row)
+
+
+def test_mvbench_pooled_directory_mode(tmp_path):
+    """20-shard mvbench pools into ONE summary whose sample count is the sum
+    of the shards (tac/_run_all_benchmarks.py:56-59,207-232;
+    evaluate_vas.py:274-293)."""
+    from video_r2_tpu.evalharness.postprocess import run_all_vas
+
+    for i, shard in enumerate(["action_count", "scene_transition"]):
+        _write_samples(
+            tmp_path / "preds" / f"samples_mvbench_{shard}.jsonl",
+            [{"doc_id": j, "accuracy": 1, "input": "Q",
+              "filtered_resps": ["<think>so A</think><answer>A</answer>"],
+              "doc": {"candidates": ["x", "y"], "answer": "x"}}
+             for j in range(i + 1)])
+
+    judge = StaticJudge("A")
+    summaries = run_all_tac(tmp_path / "preds", judge, tmp_path / "tac")
+    pooled = summaries["mvbench"]["__directory__"]
+    assert pooled["num_samples"] == 3
+    assert sum(pooled["shards"].values()) == 3
+    assert (tmp_path / "tac" / "mvbench" / "summary.json").exists()
+    # one pooled per_sample.jsonl, not one per shard
+    assert len(list((tmp_path / "tac" / "mvbench").glob("*.jsonl"))) == 1
+
+    vjudge = StaticJudge('{"score": 6, "rationale": "ok"}')
+    vsum = run_all_vas(tmp_path / "preds", vjudge, tmp_path / "vas")
+    pooled_vas = vsum["mvbench"]["__directory__"]
+    assert pooled_vas["num_samples"] == 3
+    assert sum(pooled_vas["shards"].values()) == 3
 
 
 def test_default_tac_extractors():

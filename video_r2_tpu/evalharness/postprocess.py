@@ -20,8 +20,8 @@ from pathlib import Path
 from typing import Optional
 
 from ..rewards.judge import JudgeClient
-from .tac import consistency_metrics, run_tac_on_file
-from .vas import run_vas_on_file
+from .tac import consistency_metrics, run_tac_on_file, run_tac_on_rows
+from .vas import run_vas_on_file, run_vas_on_rows_files
 
 BENCH_PATTERNS = [
     # order matters: longest/most specific first (video_mmmu before mmvu)
@@ -78,7 +78,12 @@ def default_get_options(row: dict):
 
 def default_get_gt_letter(row: dict) -> str:
     """GT option letter from the doc: letter answers pass through, option-text
-    answers resolve against the option list."""
+    answers resolve against the option list.
+
+    Raises on non-letter GT that resolves to no option: an MCQ lens fed an
+    open-form row (e.g. numeric GT "42") must fail loudly, not silently score
+    letter "4" — route such benchmarks through ``get_mode`` instead
+    (tac/vsibench.py NA types, tac/mmvu.py open-ended)."""
     doc = row.get("doc", {})
     answer = str(doc.get("answer", doc.get("ground_truth",
                                            row.get("target", ""))))
@@ -92,7 +97,35 @@ def default_get_gt_letter(row: dict) -> str:
     for i, opt in enumerate(options):
         if str(opt).strip().lower() == answer.strip().lower():
             return chr(ord("A") + i)
-    return answer[:1].upper()
+    raise ValueError(
+        f"non-letter ground truth {answer!r} on an MCQ-lens TAC row "
+        f"(doc_id={row.get('doc_id')}); open-form benchmarks must be routed "
+        "via get_mode ('mra'/'open'), see get_mode_for_bench()")
+
+
+def _vsibench_mode(row: dict) -> str:
+    """vsibench: NA question types get the numeric/MRA lens; MCA get letters;
+    unknown types fall back to numeric, as the reference does
+    (tac/vsibench.py:319-335)."""
+    from .tasks.benchmarks import VSI_MCA_TYPES
+
+    qtype = (row.get("doc", {}) or {}).get("question_type", "")
+    return "mcq" if qtype in VSI_MCA_TYPES else "mra"
+
+
+def _mmvu_mode(row: dict) -> str:
+    """mmvu: multiple-choice if declared or choices present, else open-ended
+    (tac/mmvu.py:144-150)."""
+    doc = row.get("doc", {}) or {}
+    qtype = str(doc.get("question_type", "")).lower()
+    if qtype == "multiple-choice" or doc.get("choices"):
+        return "mcq"
+    return "open"
+
+
+def get_mode_for_bench(bench: str):
+    """Per-benchmark TAC mode router (None = all-MCQ benchmark)."""
+    return {"vsibench": _vsibench_mode, "mmvu": _mmvu_mode}.get(bench)
 
 
 def run_all_tac(predictions_dir: str | Path, judge: JudgeClient,
@@ -101,14 +134,28 @@ def run_all_tac(predictions_dir: str | Path, judge: JudgeClient,
                 get_gt_letter=default_get_gt_letter,
                 ) -> dict:
     """TAC over every discovered benchmark file; skip-if-done per file;
-    consolidated all_summaries.json."""
+    consolidated all_summaries.json. mvbench's 20 shard files are pooled
+    into ONE directory-mode evaluation (tac/_run_all_benchmarks.py:56-59,
+    207-232) with per-shard counts recorded alongside the pooled summary."""
     out_root = Path(out_root)
     all_summaries: dict[str, dict] = {}
     for bench, files in discover_sample_files(predictions_dir).items():
+        mode_fn = get_mode_for_bench(bench)
+        if bench == "mvbench":
+            rows, per_shard = [], {}
+            for f in files:
+                shard_rows = [json.loads(l) for l in open(f) if l.strip()]
+                per_shard[f.stem] = len(shard_rows)
+                rows.extend(shard_rows)
+            summary = run_tac_on_rows(
+                rows, judge, get_options, get_gt_letter, out_root / bench,
+                get_mode=mode_fn, extra_summary={"shards": per_shard})
+            all_summaries[bench] = {"__directory__": summary}
+            continue
         for f in files:
             out_dir = out_root / bench / f.stem
             summary = run_tac_on_file(f, judge, get_options, get_gt_letter,
-                                      out_dir)
+                                      out_dir, get_mode=mode_fn)
             all_summaries.setdefault(bench, {})[f.stem] = summary
     out_root.mkdir(parents=True, exist_ok=True)
     with open(out_root / "all_summaries.json", "w") as fp:
@@ -118,9 +165,16 @@ def run_all_tac(predictions_dir: str | Path, judge: JudgeClient,
 
 def run_all_vas(predictions_dir: str | Path, judge: JudgeClient,
                 out_root: str | Path, dry_run: bool = False) -> dict:
+    """VAS over discovered benchmarks; mvbench shards concatenate into one
+    pooled evaluation (evaluate_vas.py:274-293)."""
     out_root = Path(out_root)
     summaries: dict[str, dict] = {}
     for bench, files in discover_sample_files(predictions_dir).items():
+        if bench == "mvbench" and len(files) > 1:
+            summaries[bench] = {"__directory__": run_vas_on_rows_files(
+                files, judge, out_root / bench, bench=bench,
+                dry_run=dry_run)}
+            continue
         for f in files:
             summaries.setdefault(bench, {})[f.stem] = run_vas_on_file(
                 f, judge, out_root / bench, bench=f.stem, dry_run=dry_run)

@@ -66,6 +66,94 @@ _OPEN_OUTPUT_FORMAT = (
     "- Output must be a single line with no extra characters.\n"
 )
 
+# Numeric (NA) extraction prompts — byte-identical to the reference's
+# build_extraction_message_numeric (eval/scripts/tac/vsibench.py:168-179).
+NUMERIC_EXTRACT_SYSTEM = (
+    "You are a careful extractor. Based ONLY on the provided content, "
+    "return the final numeric answer with no extra words."
+)
+
+
+def numeric_extract_user(payload_text: str) -> str:
+    return (
+        "Text to parse:\n" + (payload_text.strip() if payload_text else "") + "\n\n"
+        "Return ONLY the number (digits, optional decimal) on a single line."
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-form parsing & scoring (tac/vsibench.py:36-163, tac/mmvu.py:107-162)
+# ---------------------------------------------------------------------------
+
+# Numeric token with optional commas/decimal/sign/currency (vsibench.py:36-38)
+RE_NUMBER = re.compile(
+    r"[-+]?[\$€£]?\s*(?:\d{1,3}(?:,\d{3})+|\d+)(?:\.\d+)?(?:[eE][-+]?\d+)?\s*%?"
+)
+
+
+def parse_number(text: Optional[str]) -> Optional[float]:
+    """First numeric token in free text -> float (vsibench.py:83-98)."""
+    if not text:
+        return None
+    m = RE_NUMBER.search(text)
+    if not m:
+        return None
+    t = (m.group(0).replace(",", "").replace("$", "").replace("€", "")
+         .replace("£", "").strip())
+    if t.endswith("%"):
+        t = t[:-1].strip()
+    try:
+        return float(t)
+    except Exception:
+        return None
+
+
+def safe_float(x) -> Optional[float]:
+    try:
+        return float(x)
+    except Exception:
+        return parse_number(str(x)) if x is not None else None
+
+
+def tac_mean_relative_accuracy(pred: Optional[float], target: Optional[float],
+                               start: float = 0.5, end: float = 0.95,
+                               interval: float = 0.05) -> float:
+    """Proportion of c in [start,end] s.t. |pred-target|/|target| <= 1-c
+    (vsibench.py:138-157 — NOTE a slightly different confidence grid from the
+    harness-side MRA in tasks/common.py, kept faithful to each source)."""
+    if pred is None or target is None or target == 0:
+        return 0.0
+    c_vals = []
+    c = start
+    while c <= end + 1e-9:
+        c_vals.append(c)
+        c += interval
+    err = abs(pred - target) / abs(target)
+    return sum(1 for c in c_vals if err <= (1.0 - c)) / len(c_vals)
+
+
+def mra_bool_at_5pct(pred: Optional[float], target: Optional[float]) -> bool:
+    """Booleanize MRA at the tightest 5% band (vsibench.py:159-163)."""
+    if pred is None or target is None or target == 0:
+        return False
+    return abs(pred - target) / abs(target) <= 0.05
+
+
+def _normalize_text(s: str) -> str:
+    return re.sub(r"\s+", " ", re.sub(r"[\W_]+", " ", str(s).lower())).strip()
+
+
+def compare_open_ended(pred: str, gt: str) -> bool:
+    """mmvu open-ended comparison: numeric equality rounded to two decimals,
+    else lenient normalized substring/equality (tac/mmvu.py:121-162)."""
+    pa, pb = safe_float(pred), safe_float(gt)
+    if pa is not None and pb is not None and round(pa, 2) == round(pb, 2):
+        return True
+    p, g = _normalize_text(pred or ""), _normalize_text(gt or "")
+    if not p or not g:
+        return False
+    return p == g or p in g or g in p
+
 
 def answer_parse_user(options: Optional[list[str]], content: str,
                       is_mcq: bool = True) -> str:
@@ -113,54 +201,128 @@ class TACSampleResult:
     lmms_correct: bool
     answer_correct: bool
     thinking_correct: bool
-    answer_letter: str
+    answer_letter: str        # parsed prediction (letter / number / text)
     thinking_letter: str
-    gt_letter: str
+    gt_letter: str            # GT (letter for mcq; raw string otherwise)
+    mode: str = "mcq"         # "mcq" | "mra" | "open"
+    lmms_score: float = 0.0   # type-appropriate score in [0,1]
+    answer_score: float = 0.0
+    thinking_score: float = 0.0
+
+
+def default_get_gt_raw(row: dict) -> str:
+    """Raw GT string for open-form rows (vsibench.py:267-268, mmvu.py:353)."""
+    doc = row.get("doc", {}) or {}
+    gt = doc.get("answer", doc.get("ground_truth", row.get("target", "")))
+    return str(gt) if gt is not None else ""
 
 
 def evaluate_tac_samples(
     rows: list[dict],
     judge: JudgeClient,
     get_options,          # row -> list[str] | None
-    get_gt_letter,        # row -> str
+    get_gt_letter,        # row -> str (mcq rows only)
     is_mcq: bool = True,
+    get_mode=None,        # row -> "mcq" | "mra" | "open" (overrides is_mcq)
+    get_gt_raw=default_get_gt_raw,  # row -> str (non-mcq rows)
 ) -> tuple[list[TACSampleResult], dict]:
-    """rows: harness per-sample JSONL dicts (resps/filtered_resps contract)."""
+    """rows: harness per-sample JSONL dicts (resps/filtered_resps contract).
+
+    Three modes, routed per row (reference: type-aware tac/vsibench.py,
+    tac/mmvu.py; plain-MCQ scripts for the rest):
+      mcq  — judge-parse a letter from <answer>/<think>, exact letter match.
+      mra  — judge-extract a number, score by mean relative accuracy
+             (vsibench NA types); booleanized at the 5% band for correlation.
+      open — judge-parse minimal text, numeric-eq-at-2-decimals or lenient
+             normalized text match (mmvu open-ended).
+    """
     results = []
     for row in rows:
+        mode = get_mode(row) if get_mode else ("mcq" if is_mcq else "open")
         resp = row.get("filtered_resps", [""])
         while isinstance(resp, list):
             resp = resp[0] if resp else ""
         answer_txt = extract_answer(resp)
         think_txt = extract_reasoning(resp)
+        lmms_score = float(row.get("accuracy", 0) or 0)
+
+        if mode == "mra":
+            a_out = judge.chat(NUMERIC_EXTRACT_SYSTEM,
+                               numeric_extract_user(answer_txt))
+            t_out = judge.chat(NUMERIC_EXTRACT_SYSTEM,
+                               numeric_extract_user(think_txt))
+            a_num, t_num = parse_number(a_out), parse_number(t_out)
+            gt = get_gt_raw(row)
+            gt_f = safe_float(gt)
+            a_score = tac_mean_relative_accuracy(a_num, gt_f)
+            t_score = tac_mean_relative_accuracy(t_num, gt_f)
+            results.append(TACSampleResult(
+                doc_id=row.get("doc_id", -1),
+                # lmms accuracy is itself an MRA; ==1.0 iff within the 5% band
+                lmms_correct=lmms_score >= 1.0 - 1e-9,
+                answer_correct=mra_bool_at_5pct(a_num, gt_f),
+                thinking_correct=mra_bool_at_5pct(t_num, gt_f),
+                answer_letter="" if a_num is None else repr(a_num),
+                thinking_letter="" if t_num is None else repr(t_num),
+                gt_letter=gt, mode=mode, lmms_score=lmms_score,
+                answer_score=a_score, thinking_score=t_score))
+            continue
+
+        if mode == "open":
+            a_out = judge.chat(ANSWER_PARSE_SYSTEM,
+                               answer_parse_user(None, answer_txt, False))
+            t_out = judge.chat(THINK_EXTRACT_SYSTEM,
+                               think_extract_user(None, think_txt, False))
+            gt = get_gt_raw(row)
+            a_ok = compare_open_ended(a_out.strip(), gt)
+            t_ok = compare_open_ended(t_out.strip(), gt)
+            results.append(TACSampleResult(
+                doc_id=row.get("doc_id", -1),
+                lmms_correct=lmms_score >= 1.0 - 1e-9,
+                answer_correct=a_ok, thinking_correct=t_ok,
+                answer_letter=a_out.strip(), thinking_letter=t_out.strip(),
+                gt_letter=gt, mode=mode, lmms_score=lmms_score,
+                answer_score=float(a_ok), thinking_score=float(t_ok)))
+            continue
+
         a_out = judge.chat(ANSWER_PARSE_SYSTEM,
-                           answer_parse_user(get_options(row), answer_txt, is_mcq))
+                           answer_parse_user(get_options(row), answer_txt, True))
         t_out = judge.chat(THINK_EXTRACT_SYSTEM,
                            think_extract_user(get_options(row), think_txt))
         a_letter, t_letter = extract_letter(a_out), extract_letter(t_out)
         gt = get_gt_letter(row)
         results.append(TACSampleResult(
             doc_id=row.get("doc_id", -1),
-            lmms_correct=bool(row.get("accuracy", 0)),
+            lmms_correct=bool(lmms_score),
             answer_correct=a_letter == gt,
             thinking_correct=t_letter == gt,
-            answer_letter=a_letter, thinking_letter=t_letter, gt_letter=gt))
+            answer_letter=a_letter, thinking_letter=t_letter, gt_letter=gt,
+            mode=mode, lmms_score=lmms_score,
+            answer_score=float(a_letter == gt),
+            thinking_score=float(t_letter == gt)))
     return results, summarize_tac(results)
 
 
 def summarize_tac(results: list[TACSampleResult]) -> dict:
+    """Pooled type-appropriate scores (each sample contributes MRA for NA or
+    accuracy for MCQ/open — vsibench.py:429-444); correlation/combos use the
+    booleanized lenses."""
     n = max(len(results), 1)
-    acc_l = sum(r.lmms_correct for r in results) / n
-    acc_a = sum(r.answer_correct for r in results) / n
-    acc_t = sum(r.thinking_correct for r in results) / n
+    acc_l = sum(r.lmms_score for r in results) / n
+    acc_a = sum(r.answer_score for r in results) / n
+    acc_t = sum(r.thinking_score for r in results) / n
     both = sum(r.answer_correct and r.thinking_correct for r in results) / n
     neither = sum((not r.answer_correct) and (not r.thinking_correct)
                   for r in results) / n
     a_only = sum(r.answer_correct and not r.thinking_correct for r in results) / n
     t_only = sum(r.thinking_correct and not r.answer_correct for r in results) / n
     corr = sum(r.answer_correct == r.thinking_correct for r in results) / n
+    modes: dict[str, int] = {}
+    for r in results:
+        modes[r.mode] = modes.get(r.mode, 0) + 1
     return {
         "num_samples": len(results),
+        "modes": modes,
         "lmms_accuracy": acc_l,
         "answer_accuracy": acc_a,
         "thinking_accuracy": acc_t,
@@ -193,22 +355,42 @@ def consistency_metrics(summary: dict, alpha: float = 0.7,
     }
 
 
-def run_tac_on_file(samples_path: str | Path, judge: JudgeClient,
+def run_tac_on_rows(rows: list[dict], judge: JudgeClient,
                     get_options, get_gt_letter, out_dir: str | Path,
-                    is_mcq: bool = True) -> dict:
-    """Skip-if-done file-level entry (tac/_run_all_benchmarks.py parity)."""
+                    is_mcq: bool = True, get_mode=None,
+                    get_gt_raw=default_get_gt_raw,
+                    extra_summary: dict | None = None) -> dict:
+    """Skip-if-done rows-level entry; mvbench's pooled directory mode feeds
+    concatenated shards through here (tac/_run_all_benchmarks.py:207-232)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     summary_path = out_dir / "summary.json"
     if summary_path.exists():
         return json.load(open(summary_path))
-    rows = [json.loads(l) for l in open(samples_path) if l.strip()]
     results, summary = evaluate_tac_samples(rows, judge, get_options,
-                                            get_gt_letter, is_mcq)
+                                            get_gt_letter, is_mcq,
+                                            get_mode=get_mode,
+                                            get_gt_raw=get_gt_raw)
     summary.update(consistency_metrics(summary))
+    if extra_summary:
+        summary.update(extra_summary)
     with open(out_dir / "per_sample.jsonl", "w") as f:
         for r in results:
             f.write(json.dumps(r.__dict__) + "\n")
     with open(summary_path, "w") as f:
         json.dump(summary, f, indent=2)
     return summary
+
+
+def run_tac_on_file(samples_path: str | Path, judge: JudgeClient,
+                    get_options, get_gt_letter, out_dir: str | Path,
+                    is_mcq: bool = True, get_mode=None,
+                    get_gt_raw=default_get_gt_raw) -> dict:
+    """Skip-if-done file-level entry (tac/_run_all_benchmarks.py parity)."""
+    out_dir = Path(out_dir)
+    summary_path = out_dir / "summary.json"
+    if summary_path.exists():
+        return json.load(open(summary_path))
+    rows = [json.loads(l) for l in open(samples_path) if l.strip()]
+    return run_tac_on_rows(rows, judge, get_options, get_gt_letter, out_dir,
+                           is_mcq, get_mode=get_mode, get_gt_raw=get_gt_raw)

@@ -100,6 +100,39 @@ def summarize_vas(samples: list[VASSample]) -> dict:
     }
 
 
+def run_vas_on_rows_files(files: list, judge: JudgeClient,
+                          out_dir: str | Path, bench: str = "mvbench",
+                          dry_run: bool = False) -> dict:
+    """Pooled directory mode: concatenate shard files into ONE evaluation
+    (evaluate_vas.py:274-293 mvbench shard concat) — one per_sample file and
+    one summary whose sample count is the sum of the shards."""
+    out_dir = Path(out_dir)
+    shard_rows = [(Path(f), [json.loads(l) for l in open(f) if l.strip()])
+                  for f in files]
+    per_sample = out_dir / f"per_sample_{bench}.jsonl"
+    if dry_run:
+        return {"dry_run": True, "bench": bench,
+                "files": [str(f) for f, _ in shard_rows],
+                "rows": sum(len(r) for _, r in shard_rows),
+                "out": str(per_sample), "skip": per_sample.exists()}
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if per_sample.exists():  # skip-if-done
+        rows = [json.loads(l) for l in open(per_sample)]
+        return summarize_vas([VASSample(r["doc_id"], r["score"],
+                                        r.get("rationale", "")) for r in rows])
+    rows = [r for _, rs in shard_rows for r in rs]
+    samples, summary = evaluate_vas_rows(rows, judge)
+    with open(per_sample, "w") as f:
+        for s in samples:
+            f.write(json.dumps({"doc_id": s.doc_id, "score": s.score,
+                                "rationale": s.rationale,
+                                "__attention_to_video_score": s.score}) + "\n")
+    summary["shards"] = {f.stem: len(rs) for f, rs in shard_rows}
+    with open(out_dir / f"summary_{bench}.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
 def run_vas_on_file(samples_path: str | Path, judge: JudgeClient,
                     out_dir: str | Path, bench: str = "bench",
                     dry_run: bool = False) -> dict:

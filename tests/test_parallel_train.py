@@ -82,6 +82,93 @@ def test_sft_step_sharded_matches_single(rng):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
 
 
+def _mm_batch(cfg, rng, B=4, grid=(2, 4, 4)):
+    """B identical-shape videos: ids = prefix + vision_start + pads +
+    vision_end + suffix per row; patches concatenated across the batch."""
+    from video_r2_tpu.models import get_rope_index, plan_vision_layout
+
+    t, h, w = grid
+    n_tok = t * (h // 2) * (w // 2)
+    n_patch = t * h * w
+    row = ([5, 6, 7] + [cfg.vision_start_token_id] + [cfg.video_token_id] * n_tok
+           + [cfg.vision_end_token_id] + [8, 9])
+    ids = np.asarray([row] * B, np.int32)
+    S = ids.shape[1]
+    labels = ids.copy().astype(np.int32)
+    labels[:, :-2] = IGNORE_INDEX
+    pos, _ = get_rope_index(ids, cfg, video_grid_thw=np.asarray([grid] * B),
+                            second_per_grid_ts=np.asarray([1.0] * B))
+    layout = plan_vision_layout([grid] * B, cfg.vision)
+    patches = rng.normal(size=(n_patch * B, cfg.vision.patch_input_dim)
+                         ).astype(np.float32)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "position_ids": jnp.asarray(np.asarray(pos)),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "video_patches": jnp.asarray(patches),
+    }
+    return batch, layout
+
+
+def test_vit_forward_sharded_matches_single(rng):
+    """The vision tower executes under the mesh: sharded visual params
+    produce the same embeddings as single-device (the reference always runs
+    the ViT under ZeRO-3 — train_sft.py:124-129 + zero3.json)."""
+    from video_r2_tpu.models import plan_vision_layout
+    from video_r2_tpu.models.vision import vit_forward
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    grid = (2, 12, 20)  # ragged windows exercise the padded layout
+    layout = plan_vision_layout([grid], cfg.vision)
+    patches = rng.normal(size=(np.prod(grid), cfg.vision.patch_input_dim)
+                         ).astype(np.float32)
+
+    ref = np.asarray(vit_forward(params["visual"], cfg.vision,
+                                 jnp.asarray(patches), layout,
+                                 attn_impl="xla"))
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=4, tp=2))
+    sharded = shard_params(params, mesh)
+    out = np.asarray(jax.jit(
+        lambda v, p: vit_forward(v, cfg.vision, p, layout, attn_impl="xla"))(
+            sharded["visual"], jnp.asarray(patches)))
+    # f32 reduction-order noise from sharded partial sums (~5e-5 abs)
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=1e-4)
+
+
+def test_sft_multimodal_sharded_matches_single(rng):
+    """Sharded multimodal SFT step (video patches through embed_inputs)
+    matches single-device loss — the vision half of the multi-chip story."""
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    opt = make_optimizer(OptimConfig(learning_rate=1e-3, total_steps=10), params)
+    batch, layout = _mm_batch(cfg, rng, B=4)
+
+    state1 = init_train_state(params, opt)
+    step1 = make_sft_step(cfg, SFTConfig(ce_chunk_size=32), opt,
+                          video_layout=layout, donate=False)
+    s1, m1 = step1(state1, batch)
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    state2 = init_train_state(params, opt, mesh=mesh)
+    step2 = make_sft_step(cfg, SFTConfig(ce_chunk_size=32), opt, mesh=mesh,
+                          video_layout=layout, donate=False)
+    sbatch = step2.shard_batch(batch)
+    s2, m2 = step2(state2, sbatch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # the ViT params were updated (not frozen, gradients flowed through it)
+    assert not np.array_equal(
+        np.asarray(s2.params["visual"]["blocks"]["attn"]["qkv"]["kernel"]),
+        np.asarray(params["visual"]["blocks"]["attn"]["qkv"]["kernel"]))
+    # and updated identically to the single-device step
+    np.testing.assert_allclose(
+        np.asarray(s2.params["visual"]["blocks"]["attn"]["qkv"]["kernel"]),
+        np.asarray(s1.params["visual"]["blocks"]["attn"]["qkv"]["kernel"]),
+        rtol=1e-3, atol=1e-5)
+
+
 def test_freeze_flags(rng):
     cfg = tiny_test_config()
     params = init_params(cfg, dtype="float32")

@@ -91,12 +91,20 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
     # sharded: params by rules; opt_state follows params' structure where
     # leaves mirror param shapes (optax adamw mu/nu); batch over (dp, fsdp)
     def shard_batch(batch):
-        return {k: jax.device_put(
-            v, batch_sharding(mesh, np.asarray(v).ndim)
-            if k != "position_ids" else
-            jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec(None, ("dp", "fsdp"))))
-            for k, v in batch.items()}
+        def sharding_for(k, v):
+            if k == "position_ids":  # [3, B, S]: batch is dim 1
+                return jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(None, ("dp", "fsdp")))
+            if k in ("video_patches", "image_patches"):
+                # [N_patches, D] is not batch-led (ragged concat across the
+                # batch); replicate and let GSPMD partition the ViT compute
+                # from the weight shardings (the reference always trains the
+                # vision tower under ZeRO-3 — train_sft.py:124-129, zero3.json)
+                return replicated(mesh)
+            return batch_sharding(mesh, np.asarray(v).ndim)
+
+        return {k: jax.device_put(v, sharding_for(k, v))
+                for k, v in batch.items()}
 
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     jitted.shard_batch = shard_batch

@@ -6,8 +6,9 @@ MODEL_CKPT=${MODEL_CKPT:-""}
 OUTPUT=${OUTPUT:-"output/eval_think_128"}
 DOCS_DIR=${DOCS_DIR:-"eval_docs"}   # per-task docs json: $DOCS_DIR/<task>.json
 
-for task in mvbench videomme tempcompass mlvu longvideobench videomathqa \
-            videommmu mmvu vsibench minerva scivideobench; do
+for task in mvbench videomme tempcompass tempcompass_complete mlvu \
+            longvideobench videomathqa videommmu mmvu vsibench minerva \
+            scivideobench; do
   python -m video_r2_tpu.apps.run_eval \
     --run.checkpoint "$MODEL_CKPT" \
     --run.output_dir "$OUTPUT/$task" \

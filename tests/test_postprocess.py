@@ -131,6 +131,83 @@ def test_eval_request_cache(tmp_path):
     assert m.calls == 4  # only the new doc generated
 
 
+def test_eval_cache_incremental_flush_survives_crash(tmp_path):
+    """A backend that streams add_partial per batch loses NOTHING already
+    generated when it crashes mid-task: the resume run regenerates only the
+    tail (VERDICT r2 Weak #3; reference caching/cache.py:25-59 CacheHook)."""
+    docs = [{"video": f"v{i}.mp4", "question": "q?", "candidates": ["x", "y"],
+             "answer": "x"} for i in range(5)]
+
+    class CrashingModel(StaticModel):
+        """Flushes each response through the cache hook, dies at sample 3."""
+
+        def __init__(self):
+            super().__init__("<answer>A</answer>")
+            self.calls = 0
+
+        def generate_until(self, instances):
+            out = []
+            for k, inst in enumerate(instances):
+                if k == 3:
+                    raise RuntimeError("chip fell over")
+                self.calls += 1
+                resp = "<answer>A</answer>"
+                out.append(resp)
+                if self.cache_hook is not None:
+                    self.cache_hook.add_partial([inst], [resp])
+            return out
+
+    m = CrashingModel()
+    with pytest.raises(RuntimeError, match="chip fell over"):
+        evaluate(m, [get_task("mvbench", docs=docs)], cache_dir=tmp_path)
+    assert m.calls == 3  # three responses generated and flushed before death
+
+    m2 = CrashingModel.__mro__[1]("<answer>A</answer>")  # plain StaticModel
+    calls = {"n": 0}
+    orig = m2.generate_until
+
+    def counting(instances):
+        calls["n"] += len(instances)
+        return orig(instances)
+
+    m2.generate_until = counting
+    out = evaluate(m2, [get_task("mvbench", docs=docs)], cache_dir=tmp_path)
+    assert calls["n"] == 2  # only the 2 un-flushed docs regenerated
+    assert out["results"]["mvbench"]["samples"] == 5
+
+
+def test_engine_backend_flushes_per_batch(tmp_path):
+    """EngineBackend-shaped generate_until flushes after every engine batch:
+    killing generation in batch 2 must leave batch 1 in the cache file."""
+    import video_r2_tpu.evalharness.runner as runner_mod
+
+    docs = [{"video": f"v{i}.mp4", "question": "q?", "candidates": ["x", "y"],
+             "answer": "x"} for i in range(4)]
+
+    class TwoBatchModel(StaticModel):
+        """Mimics EngineBackend's chunked loop with batch_size=2."""
+
+        def generate_until(self, instances):
+            results = {}
+            for start in range(0, len(instances), 2):
+                chunk = instances[start:start + 2]
+                if start == 2:
+                    raise RuntimeError("OOM in batch 2")
+                for inst in chunk:
+                    results[id(inst)] = "<answer>A</answer>"
+                if self.cache_hook is not None:
+                    self.cache_hook.add_partial(
+                        chunk, [results[id(i)] for i in chunk])
+            return [results[id(i)] for i in instances]
+
+    with pytest.raises(RuntimeError):
+        evaluate(TwoBatchModel("<answer>A</answer>"),
+                 [get_task("mvbench", docs=docs)], cache_dir=tmp_path)
+    cache_file = tmp_path / "cache_mvbench.jsonl"
+    rows = [json.loads(l) for l in open(cache_file)]
+    assert len(rows) == 2  # batch 1 persisted despite the batch-2 crash
+
+
 def test_regression_tool(tmp_path):
     (tmp_path / "a.json").write_text(json.dumps(
         {"results": {"mvbench": {"accuracy": 0.6, "samples": 10}}}))

@@ -40,6 +40,8 @@ CASES = [
      "minerva_perception_score"),
     ("scivideobench", "scivideobench_think", ["A", "C"],
      "scivideobench_acc"),
+    ("tempcompass_complete", "tempcompass_complete_think", ["B", "A"],
+     "tempcompass_perception_score"),
 ]
 
 
@@ -111,6 +113,64 @@ def test_mvbench_answered_only_aggregation():
         {"pred_answer": "", "gt_answer": "A", "score": 0},  # unanswered
     ]
     assert mvbench_aggregate(results) == pytest.approx(50.0)
+
+
+def test_tempcompass_complete_matches_reference_yaml():
+    """Post prompts and gen kwargs byte-match the reference task YAMLs
+    (tasks/tempcompass_complete{,_think}/tempcompass_complete.yaml)."""
+    import yaml
+
+    from video_r2_tpu.evalharness.tasks.tempcompass import (
+        _COMPLETE_POST_PROMPT,
+        _COMPLETE_THINK_POST_PROMPT,
+    )
+
+    ref_tasks = Path("/root/reference/eval/lmms-eval/lmms_eval/tasks")
+    if not ref_tasks.exists():
+        pytest.skip("reference checkout not available")
+    for dirname, ours in (("tempcompass_complete", _COMPLETE_POST_PROMPT),
+                          ("tempcompass_complete_think",
+                           _COMPLETE_THINK_POST_PROMPT)):
+        raw = open(ref_tasks / dirname / "tempcompass_complete.yaml").readlines()
+        data = yaml.safe_load(
+            "".join(l for l in raw if "!function" not in l))
+        assert ours == data["lmms_eval_specific_kwargs"]["default"]["post_prompt"]
+        gk = data["generation_kwargs"]
+        task = get_task(dirname, docs=[])
+        assert task.config.generation_kwargs["max_new_tokens"] \
+            == gk["max_new_tokens"]
+        assert task.config.generation_kwargs["temperature"] == gk["temperature"]
+        assert task.config.doc_to_target({"answer": "B"}) == "B"
+
+
+def test_tempcompass_complete_video_extension_fallback(tmp_path, monkeypatch):
+    """video_id resolves with the mp4 -> MP4 -> mkv -> webm fallback
+    (tempcompass_complete/utils.py:22-37); missing raises loudly."""
+    from video_r2_tpu.evalharness.tasks.tempcompass import (
+        tempcompass_complete_doc_to_visual,
+    )
+
+    (tmp_path / "videos").mkdir()
+    (tmp_path / "videos" / "123.webm").write_bytes(b"x")
+    monkeypatch.setenv("TEMPCOMPASS_VIDEO_ROOT", str(tmp_path))
+    out = tempcompass_complete_doc_to_visual({"video_id": "123"})
+    assert out == [str(tmp_path / "videos" / "123.webm")]
+    with pytest.raises(FileNotFoundError):
+        tempcompass_complete_doc_to_visual({"video_id": "missing"})
+
+
+def test_tempcompass_complete_aggregations():
+    from video_r2_tpu.evalharness.tasks.tempcompass import (
+        tempcompass_mcq_aggregate,
+        tempcompass_multi_binary_aggregate,
+    )
+
+    rows = [{"uuid": "a", "pred_answer": "A", "answer": "A"},
+            {"uuid": "a", "pred_answer": "B", "answer": "C"},
+            {"uuid": "b", "pred_answer": "D", "answer": "D"}]
+    assert tempcompass_mcq_aggregate(rows) == pytest.approx(100 * 2 / 3)
+    # uuid 'a' has one wrong row -> only 'b' fully correct
+    assert tempcompass_multi_binary_aggregate(rows) == pytest.approx(50.0)
 
 
 def test_scivideobench_letter_extraction():

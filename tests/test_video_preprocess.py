@@ -226,3 +226,49 @@ def test_sparse_seek_read_matches_sequential(tmp_path):
     cap.release()
     for j, idx in enumerate(dec.geometry.frame_indices):
         np.testing.assert_array_equal(dec.frames[j], ref[idx])
+
+
+def test_seek_probe_catches_misindexed_stream(monkeypatch):
+    """The position counter can lie (VFR/misindexed streams): the probe
+    cross-validates one index pixel-exact against the sequential path and
+    rejects the seek read when they differ (ADVICE r2)."""
+    import cv2
+
+    from video_r2_tpu.video import reader as rd
+
+    class FakeCap:
+        """Seeked reads return different pixels than sequential reads while
+        the position counter reports a perfect landing."""
+
+        def __init__(self, path):
+            self.pos = 0
+            self.seeked = False
+
+        def isOpened(self):
+            return True
+
+        def set(self, prop, v):
+            self.pos = int(v)
+            self.seeked = True
+
+        def get(self, prop):
+            return float(self.pos)
+
+        def grab(self):
+            self.pos += 1
+            return True
+
+        def read(self):
+            val = 200 if self.seeked else 100
+            self.pos += 1
+            return True, np.full((8, 8, 3), val, np.uint8)
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCap)
+    out = rd._read_frames_seek("fake.mp4", [5, 60, 120])
+    assert out == {}  # probe mismatch -> reject, caller falls back
+    # without the probe the lying counter would have been trusted
+    out2 = rd._read_frames_seek("fake.mp4", [5, 60, 120], probe_check=False)
+    assert set(out2) == {5, 60, 120}

@@ -676,7 +676,10 @@ class PagedContinuousEngine(ContinuousEngine):
                                              attention_mask=mask)
                 np_all = bucket // ps
                 if len(pc.free_pages) < K * np_all:
-                    return rids  # no room for this chunk; partial result
+                    # no pages for THIS bucket's chunk — skip to the next
+                    # bucket group (a smaller bucket may still fit) instead
+                    # of abandoning the rest of the burst
+                    break
                 pids = np.full((Kp, np_all), self.trash_page, np.int32)
                 for r in range(K):
                     for c in range(np_all):

@@ -290,6 +290,12 @@ def generate(
             cache_layout=layout, kv_quant=kv_quant)
 
     if prefill_chunk and B > prefill_chunk:
+        # chunked prefill fills a seq-major big cache in place; the decode
+        # kernel's head-major DecodeKVCache chunks can't be scattered into it
+        assert layout != "head", (
+            "prefill_chunk is incompatible with decode_impl='kernel' "
+            "(chunked prefill writes a seq-major cache; the kernel needs "
+            "head-major) — drop prefill_chunk or use decode_impl='xla'")
         # batch-chunked prefill: full-batch prompt MLP intermediates OOM one
         # chip (B=256 text at S=256; B=16 multimodal at S~1.5k), so fill the
         # full-batch cache chunk by chunk — each chunk cache is written into

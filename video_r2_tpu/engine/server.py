@@ -202,17 +202,31 @@ def make_handler(engine: ChatEngine):
                 self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
                 self.wfile.flush()
 
-            chunk({"role": "assistant", "content": ""})
-            for delta in engine.chat_stream(
-                    req["messages"],
-                    temperature=float(req.get("temperature", 0.0)),
-                    top_p=float(req.get("top_p", 1.0)),
-                    top_k=int(req.get("top_k", 0)),
-                    max_tokens=req.get("max_tokens")):
-                chunk({"content": delta})
-            chunk({}, finish="stop")
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
+            # headers are already on the wire: a failure here must terminate
+            # the SSE stream in-band (an error event + [DONE]) — letting it
+            # propagate to do_POST's JSON-500 handler would send_response()
+            # again mid-body and corrupt the response
+            try:
+                chunk({"role": "assistant", "content": ""})
+                for delta in engine.chat_stream(
+                        req["messages"],
+                        temperature=float(req.get("temperature", 0.0)),
+                        top_p=float(req.get("top_p", 1.0)),
+                        top_k=int(req.get("top_k", 0)),
+                        max_tokens=req.get("max_tokens")):
+                    chunk({"content": delta})
+                chunk({}, finish="stop")
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionError):
+                pass  # client went away mid-stream; nothing to send
+            except Exception as e:  # noqa: BLE001
+                try:
+                    err = json.dumps({"error": str(e)})
+                    self.wfile.write(f"data: {err}\n\ndata: [DONE]\n\n".encode())
+                    self.wfile.flush()
+                except OSError:
+                    pass
 
         def do_GET(self):
             if self.path == "/v1/models":

@@ -72,6 +72,9 @@ class EngineBackend:
         # eval has no inter-token latency requirement, so window freely
         self.decode_steps = decode_steps
         self._cont = None
+        # incremental response persistence (runner.CacheHook); set per call
+        # by EngineModel.generate_until
+        self.cache_hook = None
 
     def _video_ele(self, visual) -> dict:
         ele = {"min_pixels": self.min_pixels, "max_pixels": self.max_pixels}
@@ -198,6 +201,7 @@ class EngineBackend:
             lambda idx: self._prepare(instances[idx[0]]),
             num_workers=4, prefetch=2 * self.batch_size)
         results: dict[int, str] = {}
+        hook = getattr(self, "cache_hook", None)
         try:
             for chunk, gk in schedule:
                 if self.engine_mode == "paged":
@@ -205,6 +209,12 @@ class EngineBackend:
                 else:
                     prepared = [next(loader) for _ in chunk]
                     results.update(self._run_batch(prepared, chunk, gk))
+                if hook is not None:
+                    # flush this batch's responses so a crash later in the
+                    # task replays only what hasn't been persisted yet
+                    done = [i for i in chunk if i in results]
+                    hook.add_partial([instances[i] for i in done],
+                                     [results[i] for i in done])
         finally:
             loader.close()
         return [results[i] for i in range(len(instances))]

@@ -21,6 +21,13 @@ from .api import Instance, doc_hash
 
 
 class LMM(abc.ABC):
+    # Installed by the runner when a cache_dir is configured: backends that
+    # batch internally SHOULD call cache_hook.add_partial(done_instances,
+    # done_resps) after each engine batch so a mid-task crash only replays
+    # the un-flushed tail (reference CacheHook, api/model.py; the runner
+    # flushes anything left over after generate_until returns).
+    cache_hook = None
+
     @abc.abstractmethod
     def generate_until(self, instances: list[Instance]) -> list[str]:
         ...
@@ -56,6 +63,7 @@ class EngineModel(LMM):
             engine_max_len=engine_max_len, **backend_kwargs)
 
     def generate_until(self, instances: list[Instance]) -> list[str]:
+        self.backend.cache_hook = self.cache_hook
         return self.backend.generate_until(instances)
 
 

@@ -20,6 +20,28 @@ from .api import Instance, Task, bootstrap_stderr, doc_hash
 from .model_api import LMM
 
 
+class CacheHook:
+    """Incremental response persistence: the runner installs this on the
+    model as `model.cache_hook`; backends call `add_partial` after each
+    engine batch so a crash at sample N-1 of a multi-hour task replays only
+    the un-flushed tail, not the whole task (reference: api/model.py
+    CacheHook + caching/cache.py:25-59 cache per request)."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        self.flushed: set[str] = set()
+
+    def add_partial(self, instances: list[Instance], resps: list[str]) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.path, "a") as f:
+            for inst, resp in zip(instances, resps):
+                h = doc_hash(_jsonable(inst.doc))
+                if h in self.flushed:
+                    continue
+                self.flushed.add(h)
+                f.write(json.dumps({"doc_hash": h, "resp": resp}) + "\n")
+
+
 def evaluate(
     model: LMM,
     tasks: list[Task],
@@ -53,17 +75,21 @@ def evaluate(
         missing = [i for i, h in zip(instances, hashes) if h not in cache]
         t0 = time.time()
         if missing:
-            new_resps = model.generate_until(missing)
+            hook = CacheHook(cache_path) if cache_path is not None else None
+            if hook is not None:
+                hook.flushed.update(cache)  # pre-cached rows never re-append
+            model.cache_hook = hook
+            try:
+                new_resps = model.generate_until(missing)
+            finally:
+                model.cache_hook = None
             for inst, resp in zip(missing, new_resps):
                 h = doc_hash(_jsonable(inst.doc))
                 cache[h] = resp
-            if cache_path is not None:
-                cache_path.parent.mkdir(parents=True, exist_ok=True)
-                with open(cache_path, "a") as f:
-                    for inst, resp in zip(missing, new_resps):
-                        f.write(json.dumps(
-                            {"doc_hash": doc_hash(_jsonable(inst.doc)),
-                             "resp": resp}) + "\n")
+            if hook is not None:
+                # flush whatever the backend didn't already stream out
+                # (models without cache_hook support flush everything here)
+                hook.add_partial(missing, new_resps)
         resps = [cache[h] for h in hashes]
         elapsed = time.time() - t0
 

@@ -136,3 +136,102 @@ def make_tempcompass_task(task_type: str, think: bool, docs=None,
 for _t in ("multi_choice", "yes_no", "caption_matching", "captioning"):
     register_task(f"tempcompass_{_t}", partial(make_tempcompass_task, _t, False))
     register_task(f"tempcompass_{_t}_think", partial(make_tempcompass_task, _t, True))
+
+
+# --------------------------------------------------------------------------
+# tempcompass_complete (+_think): the mmaaz60/tempcompass mcq split as ONE
+# task (tasks/tempcompass_complete/tempcompass_complete.yaml:1-29,
+# utils.py:22-46) — distinct from the 4 per-type tasks above: options come
+# pre-lettered, videos resolve by video_id with extension fallback, and the
+# metric is tempcompass_perception_score (100 * correct / answered).
+# --------------------------------------------------------------------------
+
+_COMPLETE_POST_PROMPT = (
+    "Do not generate any intermediate thinking. \nAnswer with the option's "
+    "letter (e.g., A, B, C, D, etc.) from the given choices directly.")
+# tempcompass_complete_think/tempcompass_complete.yaml:25 prepends the
+# letter instruction to the standard think suffix
+_COMPLETE_THINK_POST_PROMPT = (
+    "\nAnswer with the option's letter (e.g., A, B, C, D, etc.) from the "
+    "given choices directly. " + THINK_POST_PROMPT)
+
+_VIDEO_EXT_FALLBACK = (".mp4", ".MP4", ".mkv", ".webm")
+
+
+def tempcompass_complete_doc_to_visual(doc):
+    """doc['video_id'] + extension fallback under the task video root
+    (utils.py:22-37; missing video raises instead of sys.exit)."""
+    if "video" in doc:          # in-memory frames / explicit path (tests)
+        return [doc["video"]]
+    import os
+
+    root = os.environ.get("TEMPCOMPASS_VIDEO_ROOT",
+                          os.environ.get("VIDEO_EVAL_ROOT", ""))
+    base = os.path.join(root, "videos", doc["video_id"])
+    for ext in _VIDEO_EXT_FALLBACK:
+        if os.path.exists(base + ext):
+            return [base + ext]
+    raise FileNotFoundError(
+        f"video path:{base}.mp4 does not exist, please check {doc}")
+
+
+def tempcompass_complete_doc_to_text(doc):
+    # options arrive pre-lettered ("A. ..."); reference joins with newlines
+    # and appends the post prompt after a newline (utils.py:40-46)
+    return doc["question"] + "\n" + "\n".join(doc["options"]) + "\n"
+
+
+def tempcompass_complete_process_results(doc, results):
+    from .common import extract_characters_regex
+
+    pred = extract_characters_regex(extract_answer(results[0]))
+    # per-row accuracy rides along for the samples-JSONL contract (the TAC
+    # lmms-replay lens reads it); the published metric is the score dict
+    return {"accuracy": int(pred == doc["answer"]),
+            "tempcompass_perception_score": {
+                "uuid": doc["uuid"], "pred_answer": pred,
+                "answer": doc["answer"]}}
+
+
+def tempcompass_mcq_aggregate(results) -> float:
+    """Overall accuracy x100 (utils.py:108-120)."""
+    n = len(results)
+    correct = sum(r["pred_answer"] == r["answer"] for r in results)
+    return 100.0 * correct / n if n else 0.0
+
+
+def tempcompass_multi_binary_aggregate(results) -> float:
+    """All-correct-per-uuid accuracy x100 (utils.py:123-138) — shipped by
+    the reference utils for the multi-binary split; kept for parity."""
+    groups: dict = {}
+    for r in results:
+        groups.setdefault(r["uuid"], []).append(r)
+    n = len(groups)
+    correct = sum(all(g["pred_answer"] == g["answer"] for g in group)
+                  for group in groups.values())
+    return 100.0 * correct / n if n else 0.0
+
+
+def make_tempcompass_complete_task(think: bool, docs=None,
+                                   dataset_path=None) -> Task:
+    cfg = TaskConfig(
+        task="tempcompass_complete" + ("_think" if think else ""),
+        doc_to_text=tempcompass_complete_doc_to_text,
+        doc_to_visual=tempcompass_complete_doc_to_visual,
+        doc_to_target=lambda d: str(d.get("answer", "")),
+        process_results=tempcompass_complete_process_results,
+        metrics=[MetricSpec("accuracy", mean),
+                 MetricSpec("tempcompass_perception_score",
+                            tempcompass_mcq_aggregate)],
+        generation_kwargs={"max_new_tokens": 1024, "temperature": 0.0,
+                           "do_sample": False},
+        post_prompt=(_COMPLETE_THINK_POST_PROMPT if think
+                     else _COMPLETE_POST_PROMPT),
+        dataset_path=dataset_path)
+    return Task(cfg, docs=docs)
+
+
+register_task("tempcompass_complete",
+              partial(make_tempcompass_complete_task, False))
+register_task("tempcompass_complete_think",
+              partial(make_tempcompass_complete_task, True))

@@ -52,12 +52,21 @@ def probe_video_cv2(path: str) -> tuple[int, float]:
         cap.release()
 
 
-def _read_frames_seek(path, wanted: list[int]) -> dict[int, "np.ndarray"]:
+def _read_frames_seek(path, wanted: list[int],
+                      probe_check: bool = True) -> dict[int, "np.ndarray"]:
     """Seek-based sparse read (ascending indices). Returns {} on any failed
     OR inaccurate seek so the caller falls back to the sequential pass — some
     codec/container backends snap CAP_PROP_POS_FRAMES to the nearest
     keyframe, which would silently feed different frames than the
-    reference's exact-index sampling."""
+    reference's exact-index sampling.
+
+    The position-counter check alone is insufficient: OpenCV derives
+    CAP_PROP_POS_FRAMES from the same pts/fps counter the seek used, so for
+    VFR or misindexed streams it can report landed==idx while the decoded
+    image differs from the sequential pass's frame at that index. So one
+    probe index per video is cross-validated pixel-exact against the
+    sequential grab path (cheap: the earliest nonzero wanted index, one
+    short sequential scan)."""
     import cv2
 
     frames: dict[int, np.ndarray] = {}
@@ -74,6 +83,23 @@ def _read_frames_seek(path, wanted: list[int]) -> dict[int, "np.ndarray"]:
             frames[idx] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
     finally:
         cap.release()
+
+    if probe_check and frames:
+        probe = min((i for i in frames if i > 0), default=min(frames))
+        cap = cv2.VideoCapture(path)
+        try:
+            for _ in range(probe):
+                if not cap.grab():
+                    return {}
+            ok, seq_frame = cap.read()
+        finally:
+            cap.release()
+        if not ok or not np.array_equal(
+                cv2.cvtColor(seq_frame, cv2.COLOR_BGR2RGB), frames[probe]):
+            logger.warning(
+                "seek probe mismatch at frame %d of %s (VFR/misindexed "
+                "stream?) - falling back to sequential decode", probe, path)
+            return {}
     return frames
 
 
@@ -96,7 +122,14 @@ def read_video_cv2(ele: dict, fps_max_frames: int, video_total_pixels: int) -> D
     frames: dict[int, np.ndarray] = {}
     last_wanted = max(wanted)
     avg_gap = (last_wanted + 1) / max(len(wanted), 1)
-    if avg_gap > 50:
+    # Crossover (measured, r3): one seek costs ~a GOP decode + container
+    # overhead — on mp4v GOP~15 seeks LOSE 1.4x at gap 16 and 2.7x at gap 8;
+    # they win ~3x at gap 70. Default 50 stays conservative across codecs;
+    # long-GOP/high-res corpora can lower it via VIDEO_SEEK_GAP_THRESHOLD.
+    import os
+
+    gap_threshold = float(os.environ.get("VIDEO_SEEK_GAP_THRESHOLD", 50))
+    if avg_gap > gap_threshold:
         frames = _read_frames_seek(path, sorted(wanted))
     if not frames:
         cap = cv2.VideoCapture(path)

@@ -367,6 +367,127 @@ def test_paged_engine_multimodal_matches_batch_generate(rng):
     assert rid_txt in done and len(done[rid_txt]) == T
 
 
+def test_submit_batch_multimodal_matches_sequential(rng):
+    """A multimodal BURST through submit_batch (one prefill dispatch for the
+    same-bucket group, embeds concatenated row-order) decodes the same
+    greedy tokens as per-request submit(), mixed with a text request
+    (VERDICT r2 Weak #4)."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+    from video_r2_tpu.models import (
+        init_params,
+        plan_vision_layout,
+        tiny_test_config,
+    )
+    from video_r2_tpu.models.vision import vit_forward
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    grid = (2, 4, 4)
+    n_tok = 8
+    layout = plan_vision_layout([grid], cfg.vision)
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def mm_item(seed):
+        r = np.random.default_rng(seed)
+        patches = r.normal(size=(32, cfg.vision.patch_input_dim)).astype(np.float32)
+        embeds = vit_forward(params["visual"], cfg.vision,
+                             jnp.asarray(patches), layout)
+        ids = np.concatenate([
+            r.integers(2, 400, size=2), [cfg.vision_start_token_id],
+            [cfg.video_token_id] * n_tok, [cfg.vision_end_token_id],
+            r.integers(2, 400, size=3)]).astype(np.int32)
+        return list(ids), (embeds, [grid], [1.0])
+
+    items = [mm_item(s) for s in (1, 2, 3)]
+    text_ids = list(rng.integers(2, 400, size=7))
+
+    def build():
+        return PagedContinuousEngine(
+            params, cfg, num_slots=4, max_len=64, sp=sp,
+            prompt_buckets=(16,), page_size=16, embed_bucket=8)
+
+    eng = build()
+    rids = [eng.submit(ids, max_new_tokens=6, vision_embeds=v[0],
+                       video_grid_thw=v[1], second_per_grid_ts=v[2])
+            for ids, v in items]
+    rids.append(eng.submit(text_ids, max_new_tokens=6))
+    ref = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            ref[r] = t
+    ref_tokens = [ref[r] for r in rids]
+
+    eng = build()
+    free0 = len(eng.pcache.free_pages)
+    batch_items = [(ids, 6, None, None, None, v) for ids, v in items]
+    batch_items.append((text_ids, 6))
+    rids = eng.submit_batch(batch_items)
+    assert all(r is not None for r in rids)
+    out = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            out[r] = t
+    assert [out[r] for r in rids] == ref_tokens
+    assert len(eng.pcache.free_pages) == free0  # pages all returned
+
+
+def test_submit_batch_multimodal_single_dispatch(monkeypatch):
+    """An 8-request multimodal burst admits with ONE batched prefill
+    dispatch, not 8 serial ones (VERDICT r2 Weak #4 'measured admission-
+    dispatch count K -> 1')."""
+    import jax.numpy as jnp
+
+    import video_r2_tpu.engine.continuous as cont
+    from video_r2_tpu.models import (
+        init_params,
+        plan_vision_layout,
+        tiny_test_config,
+    )
+    from video_r2_tpu.models.vision import vit_forward
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    grid = (2, 4, 4)
+    layout = plan_vision_layout([grid], cfg.vision)
+    r = np.random.default_rng(0)
+    items = []
+    for _ in range(8):
+        patches = r.normal(size=(32, cfg.vision.patch_input_dim)).astype(np.float32)
+        embeds = vit_forward(params["visual"], cfg.vision,
+                             jnp.asarray(patches), layout)
+        ids = np.concatenate([
+            r.integers(2, 400, size=2), [cfg.vision_start_token_id],
+            [cfg.video_token_id] * 8, [cfg.vision_end_token_id],
+            r.integers(2, 400, size=3)]).astype(np.int32)
+        items.append((list(ids), 4, None, None, None,
+                      (embeds, [grid], [1.0])))
+
+    eng = cont.PagedContinuousEngine(
+        params, cfg, num_slots=8, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), page_size=16, embed_bucket=8)
+
+    calls = {"batch": 0, "single": 0}
+    orig_batch = cont._prefill_into_pages_batch
+    orig_single = cont._prefill_into_pages
+
+    def count_batch(*a, **k):
+        calls["batch"] += 1
+        return orig_batch(*a, **k)
+
+    def count_single(*a, **k):
+        calls["single"] += 1
+        return orig_single(*a, **k)
+
+    monkeypatch.setattr(cont, "_prefill_into_pages_batch", count_batch)
+    monkeypatch.setattr(cont, "_prefill_into_pages", count_single)
+    rids = eng.submit_batch(items)
+    assert all(r is not None for r in rids)
+    assert calls == {"batch": 1, "single": 0}
+
+
 def test_per_request_sampling_params(cfg_params, rng):
     """A greedy request inside an engine whose DEFAULT sampling is hot
     temperature must still decode greedily (ADVICE r1: per-request

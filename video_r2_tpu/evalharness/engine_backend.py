@@ -334,13 +334,17 @@ class EngineBackend:
                 ready.append((item, indices[pulled]))
                 pulled += 1
 
-        def admit_one() -> bool:
+        def admit_ready() -> bool:
+            """Admit ready instances; bursts (the common case at start-up
+            and after a drain) go through submit_batch so K admissions cost
+            one batched prefill dispatch per bucket group — including
+            multimodal requests (embeds ride along per item)."""
             if not ready:
                 return False
-            (ids, feats), idx = ready[0]
             # +decode-window margin so the multi-step window never clamps
             # (clamping recompiles a decode variant per window size)
-            needed = len(ids) + mnt + 1 + 2 * self.decode_steps
+            needed = max(len(ids) + mnt + 1 + 2 * self.decode_steps
+                         for (ids, _), _ in ready)
             eng = self._cont
             if eng is None or needed > eng.max_len:
                 if eng is not None and eng.num_active:
@@ -353,31 +357,42 @@ class EngineBackend:
                 eng = None  # drop every alias BEFORE allocating the new
                 self._cont = None  # pool so the old one actually frees
                 eng = self._get_cont_engine(needed)
-            embeds = grids = spg = None
-            if feats:
-                patches = np.concatenate([f.patches for f in feats])
-                layout = plan_vision_layout([f.grid_thw for f in feats],
-                                            self.cfg.vision)
-                embeds = vit_forward(self.params["visual"], self.cfg.vision,
-                                     jnp.asarray(patches), layout,
-                                     act_quant=self.vit_act_quant)
-                grids = [f.grid_thw for f in feats]
-                spg = [f.second_per_grid_t for f in feats]
-            rid = eng.submit(list(ids), max_new_tokens=mnt, sp=sp,
-                             vision_embeds=embeds, video_grid_thw=grids,
-                             second_per_grid_ts=spg)
-            if rid is None:
+            free_slots = eng.num_slots - eng.num_active
+            if free_slots <= 0:
                 return False
-            ready.pop(0)
-            rid_to_idx[rid] = idx
-            return True
+            take = ready[:free_slots]
+            items = []
+            for (ids, feats), _idx in take:
+                vision = None
+                if feats:
+                    patches = np.concatenate([f.patches for f in feats])
+                    layout = plan_vision_layout([f.grid_thw for f in feats],
+                                                self.cfg.vision)
+                    embeds = vit_forward(self.params["visual"],
+                                         self.cfg.vision,
+                                         jnp.asarray(patches), layout,
+                                         act_quant=self.vit_act_quant)
+                    vision = (embeds, [f.grid_thw for f in feats],
+                              [f.second_per_grid_t for f in feats])
+                items.append((list(ids), mnt, None, sp, None, vision))
+            rids = eng.submit_batch(items)
+            admitted = 0
+            still_waiting = []
+            for entry, rid in zip(take, rids):
+                if rid is None:
+                    still_waiting.append(entry)
+                else:
+                    rid_to_idx[rid] = entry[1]
+                    admitted += 1
+            ready[:free_slots] = still_waiting
+            return admitted > 0
 
         done = 0
         eng = None
         while done < n:
             eng = None  # no stale alias across a possible engine rebuild
             pull_available()
-            while admit_one():
+            while admit_ready():
                 pass
             eng = self._cont
             if eng is not None and eng.num_active:

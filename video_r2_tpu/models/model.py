@@ -77,18 +77,19 @@ def embed_inputs(
     """Token embeddings with vision features merged into pad slots.
 
     This is the TRAINING/loss embed path (SFT differentiates through the
-    ViT) — it pins the XLA window-attention impl: the fused Pallas window
-    kernel has no custom VJP, so "auto" would fail under jax.grad on TPU.
-    Inference callers (eval backend, engine prefill) call vit_forward
-    directly and get the kernel via "auto"."""
+    ViT). attn_impl="auto" picks the fused Pallas window kernel on TPU —
+    both it and the flash full-attention groups carry custom recompute VJPs
+    (ops/vit_window_attention.py, ops/flash.py), so an unfrozen vision
+    tower (vision_lr, train_sft.sh:56) trains through the fast kernels the
+    same way the reference trains through FlashAttention-2's backward."""
     h = params["model"]["embed_tokens"]["embedding"][input_ids]
     if video_patches is not None:
         vemb = vit_forward(params["visual"], cfg.vision, video_patches,
-                           video_layout, attn_impl="xla")
+                           video_layout, attn_impl="auto")
         h = merge_vision_embeddings(input_ids, h, vemb, cfg.video_token_id)
     if image_patches is not None:
         iemb = vit_forward(params["visual"], cfg.vision, image_patches,
-                           image_layout, attn_impl="xla")
+                           image_layout, attn_impl="auto")
         h = merge_vision_embeddings(input_ids, h, iemb, cfg.image_token_id)
     return h
 

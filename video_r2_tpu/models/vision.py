@@ -241,7 +241,8 @@ def _full_attention(q, k, v, valid, full_gather, scale: float,
 
 
 def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfig,
-                  wp: int, attn_impl: str = "xla", act_quant: str | None = None):
+                  wp: int, attn_impl: str = "xla", act_quant: str | None = None,
+                  interpret: bool = False):
     """use_full: traced bool scalar — lax.cond selects the attention type so
     the layer body compiles ONCE for a scan over all depth layers.
     attn_impl: "xla" (batched dense windows) or "kernel" (fused Pallas slab
@@ -260,14 +261,14 @@ def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfi
         from ..ops.vit_window_attention import window_attention
 
         def window_branch(a):
-            return window_attention(*a, wp=wp)
+            return window_attention(*a, wp=wp, interpret=interpret)
     else:
         def window_branch(a):
             return _window_attention(*a, wp, scale)
     attn = jax.lax.cond(
         use_full,
         lambda a: _full_attention(a[0], a[1], a[2], a[3], full_gather, scale,
-                                  impl=attn_impl),
+                                  impl=attn_impl, interpret=interpret),
         window_branch,
         (q, k, v, valid))
     x = x + linear(p["attn"]["proj"], attn.reshape(s, nh * hd), act_quant)
@@ -275,10 +276,12 @@ def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfi
     return x + swiglu_mlp(p["mlp"], h, act_quant)
 
 
-@partial(jax.jit, static_argnames=("cfg", "wp", "attn_impl", "act_quant"))
+@partial(jax.jit, static_argnames=("cfg", "wp", "attn_impl", "act_quant",
+                                   "interpret"))
 def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
                      valid, full_gather, out_unit_gather, wp: int,
-                     attn_impl: str = "xla", act_quant: str | None = None):
+                     attn_impl: str = "xla", act_quant: str | None = None,
+                     interpret: bool = False):
     # patch embed: kernel==stride conv3d is a single matmul over flattened patches
     emb = jnp.einsum("si,io->so", patches, params["patch_embed"]["kernel"])
     safe = jnp.maximum(patch_gather, 0)
@@ -294,7 +297,8 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
     def body(carry, inp):
         p_i, full_flag = inp
         return _vision_block(p_i, carry, cos, sin, valid, full_gather,
-                             full_flag, cfg, wp, attn_impl, act_quant), None
+                             full_flag, cfg, wp, attn_impl, act_quant,
+                             interpret), None
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
 
@@ -311,7 +315,8 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
 
 def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
                 layout: VisionLayout, attn_impl: str = "auto",
-                act_quant: str | None = None) -> jax.Array:
+                act_quant: str | None = None,
+                interpret: bool = False) -> jax.Array:
     """patches [S_real, C*tps*p*p] -> merged vision embeddings
     [S_real/4, out_hidden] in the same order the processor emitted patches.
 
@@ -328,4 +333,4 @@ def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
         jnp.asarray(layout.patch_gather), jnp.asarray(layout.pos_hw),
         jnp.asarray(layout.valid), jnp.asarray(layout.full_gather),
         jnp.asarray(layout.out_unit_gather), layout.window_patches,
-        attn_impl, act_quant)
+        attn_impl, act_quant, interpret)

@@ -67,6 +67,131 @@ def _win_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, wp: int,
     o_ref[...] = o.astype(o_ref.dtype)
 
 
+def _win_fwd_call(qt, kt, vt, vmask, wp, block_windows, head_chunk, interpret):
+    nh, S, hd = qt.shape
+    bq = wp * block_windows
+    kernel = functools.partial(_win_kernel, wp=wp, scale=hd ** -0.5,
+                               head_chunk=min(head_chunk, nh))
+    return pl.pallas_call(
+        kernel,
+        grid=(S // bq,),
+        in_specs=[
+            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
+            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
+            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nh, S, hd), qt.dtype),
+        interpret=interpret,
+    )(qt, kt, vt, vmask)
+
+
+def _win_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, *, wp: int, scale: float,
+                    head_chunk: int):
+    """Recompute-backward for one slab: scores are cheap (64-wide windows),
+    so no forward stats are saved — s/p rebuild in-VMEM and the three
+    gradients come out of five batched MXU matmuls (flash-style softmax
+    backward: ds = P * (dP - rowsum(do*o)))."""
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    nh, bq = q.shape[0], q.shape[1]
+    vmask = valid_ref[0, :] > 0.5
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0) // wp
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1) // wp
+    allowed = (rows == cols) & vmask[None, :]
+
+    dqs, dks, dvs = [], [], []
+    for h0 in range(0, nh, head_chunk):
+        qh = q[h0:h0 + head_chunk]
+        kh = k[h0:h0 + head_chunk]
+        vh = v[h0:h0 + head_chunk]
+        doh = do[h0:h0 + head_chunk].astype(jnp.float32)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(allowed[None], s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        P = p / jnp.maximum(l, 1e-30)               # [hc, Q, K] normalized
+        # dv[K, hd] = sum_Q P[Q, K] * do[Q, hd]
+        dv = jax.lax.dot_general(P, doh, (((1,), (1,)), ((0,), (0,))))
+        # dP[Q, K] = do @ v^T
+        dP = jax.lax.dot_general(doh, vh.astype(jnp.float32),
+                                 (((2,), (2,)), ((0,), (0,))))
+        # o recomputed for the softmax-backward row term D = rowsum(do*o)
+        o = jax.lax.dot_general(P, vh.astype(jnp.float32),
+                                (((2,), (1,)), ((0,), (0,))))
+        D = jnp.sum(doh * o, axis=-1, keepdims=True)
+        ds = P * (dP - D)
+        dq = jax.lax.dot_general(ds, kh.astype(jnp.float32),
+                                 (((2,), (1,)), ((0,), (0,)))) * scale
+        dk = jax.lax.dot_general(ds, qh.astype(jnp.float32),
+                                 (((1,), (1,)), ((0,), (0,)))) * scale
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+
+    def cat(xs):
+        return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+
+    dq_ref[...] = cat(dqs).astype(dq_ref.dtype)
+    dk_ref[...] = cat(dks).astype(dk_ref.dtype)
+    dv_ref[...] = cat(dvs).astype(dv_ref.dtype)
+
+
+def _win_bwd_call(qt, kt, vt, vmask, do, wp, block_windows, head_chunk,
+                  interpret):
+    nh, S, hd = qt.shape
+    bq = wp * block_windows
+    # three f32 score-sized temporaries live per head chunk: halve the
+    # forward's chunk so the backward stays inside VMEM at big slabs
+    hc = max(1, min(head_chunk, nh, 4))
+    kernel = functools.partial(_win_bwd_kernel, wp=wp, scale=hd ** -0.5,
+                               head_chunk=hc)
+    blk = pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(S // bq,),
+        in_specs=[blk, blk, blk, pl.BlockSpec((1, bq), lambda i: (0, i)), blk],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((nh, S, hd), qt.dtype)] * 3,
+        interpret=interpret,
+    )(qt, kt, vt, vmask, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _window_attention_hm(qt, kt, vt, vmask, wp, block_windows, head_chunk,
+                         interpret):
+    """Head-major [nh, S, hd] window attention with a flash-style
+    recompute VJP — unlocks attn_impl="kernel" in the differentiated SFT
+    path (the reference trains the ViT through FlashAttention-2's backward,
+    train_sft.sh:56 vision_lr)."""
+    return _win_fwd_call(qt, kt, vt, vmask, wp, block_windows, head_chunk,
+                         interpret)
+
+
+def _window_attention_hm_fwd(qt, kt, vt, vmask, wp, block_windows, head_chunk,
+                             interpret):
+    out = _win_fwd_call(qt, kt, vt, vmask, wp, block_windows, head_chunk,
+                        interpret)
+    return out, (qt, kt, vt, vmask)
+
+
+def _window_attention_hm_bwd(wp, block_windows, head_chunk, interpret,
+                             res, do):
+    qt, kt, vt, vmask = res
+    dq, dk, dv = _win_bwd_call(qt, kt, vt, vmask, do, wp, block_windows,
+                               head_chunk, interpret)
+    return dq, dk, dv, jnp.zeros_like(vmask)
+
+
+_window_attention_hm.defvjp(_window_attention_hm_fwd, _window_attention_hm_bwd)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("wp", "block_windows", "head_chunk",
                                     "interpret"))
@@ -77,7 +202,7 @@ def window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     S must be a multiple of wp * block_windows (plan_vision_layout pads the
     layout to 4-window slabs). Fully-invalid windows emit garbage rows that
-    no downstream gather reads."""
+    no downstream gather reads. Differentiable (custom recompute VJP)."""
     S, nh, hd = q.shape
     bq = wp * block_windows
     if S % bq:
@@ -86,19 +211,6 @@ def window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     qt = q.transpose(1, 0, 2)                   # [nh, S, hd]
     kt = k.transpose(1, 0, 2)
     vt = v.transpose(1, 0, 2)
-    kernel = functools.partial(_win_kernel, wp=wp, scale=hd ** -0.5,
-                               head_chunk=min(head_chunk, nh))
-    out = pl.pallas_call(
-        kernel,
-        grid=(S // bq,),
-        in_specs=[
-            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
-            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
-            pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nh, S, hd), q.dtype),
-        interpret=interpret,
-    )(qt, kt, vt, vmask)
+    out = _window_attention_hm(qt, kt, vt, vmask, wp, block_windows,
+                               head_chunk, interpret)
     return out.transpose(1, 0, 2)

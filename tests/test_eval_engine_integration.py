@@ -9,6 +9,62 @@ from video_r2_tpu.evalharness import EngineModel, evaluate, get_task
 from video_r2_tpu.models import init_params, tiny_test_config
 
 
+def test_loglikelihood_matches_hf(rng):
+    """EngineModel.loglikelihood (lmms ABC second output type) matches
+    torch log-softmax scoring of the same (context, continuation) ids on
+    the HF tiny model; is_greedy agrees with argmax."""
+    import torch
+
+    from tests.hf_ref import build_hf_tiny
+    from video_r2_tpu.evalharness.api import Instance
+    from video_r2_tpu.models import convert_hf_state_dict, tiny_test_config
+
+    # full-size vocab so the ByteTokenizer's real Qwen special ids resolve
+    model, cfg = build_hf_tiny(tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643))
+    params = convert_hf_state_dict(model.state_dict(), cfg, dtype="float32")
+    m = EngineModel(params, cfg, ByteTokenizer(), batch_size=2)
+    inst = Instance(0, {}, "What color is the sky?", [], {})
+    (ll, greedy), = m.loglikelihood([inst], continuations=[" blue"])
+
+    # oracle: same token ids through HF, sum of continuation logprobs
+    ctx_ids, _ = m.backend._prepare(inst)
+    cont_ids = ByteTokenizer().encode(" blue")
+    ids = torch.tensor([list(ctx_ids) + list(cont_ids)])
+    with torch.no_grad():
+        logits = model(input_ids=ids).logits[0].float()
+    lp = torch.log_softmax(
+        logits[len(ctx_ids) - 1: len(ctx_ids) - 1 + len(cont_ids)], dim=-1)
+    ref = float(lp[torch.arange(len(cont_ids)), torch.tensor(cont_ids)].sum())
+    ref_greedy = bool((lp.argmax(-1) == torch.tensor(cont_ids)).all())
+    assert abs(ll - ref) < 5e-3 * max(1.0, abs(ref))
+    assert greedy == ref_greedy
+
+
+def test_generate_until_multi_round():
+    """Default multi-round: each round's context accumulates prompts and
+    responses (api/model.py generate_until_multi_round role)."""
+    from video_r2_tpu.evalharness.api import Instance
+    from video_r2_tpu.evalharness.model_api import StaticModel
+
+    class EchoModel(StaticModel):
+        def __init__(self):
+            super().__init__("")
+            self.seen = []
+
+        def generate_until(self, instances):
+            self.seen.append(instances[0].text)
+            return [f"<r{len(self.seen)}>"]
+
+    m = EchoModel()
+    inst = Instance(0, {}, ["Q1. ", "Q2. "], [], {})
+    out = m.generate_until_multi_round([inst])
+    assert out == [["<r1>", "<r2>"]]
+    assert m.seen == ["Q1. ", "Q1. <r1>Q2. "]
+
+
 def test_engine_model_eval(rng, tmp_path):
     cfg = tiny_test_config(vocab_size=152064).replace(
         image_token_id=151655, video_token_id=151656,

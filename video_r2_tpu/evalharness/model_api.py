@@ -32,6 +32,33 @@ class LMM(abc.ABC):
     def generate_until(self, instances: list[Instance]) -> list[str]:
         ...
 
+    def loglikelihood(self, instances: list[Instance],
+                      continuations: list[str] | None = None
+                      ) -> list[tuple[float, bool]]:
+        """(log P(continuation | context), is_greedy) per request — the lmms
+        ABC's second output type (api/model.py:29-50). Optional: none of the
+        11 video benchmarks use it; EngineModel implements it."""
+        raise TypeError(f"{type(self).__name__} does not score "
+                        "loglikelihood requests")
+
+    def generate_until_multi_round(self, instances: list[Instance]
+                                   ) -> list[list[str]]:
+        """Multi-turn generation (api/model.py generate_until_multi_round):
+        inst.text is a LIST of per-round prompts; each round's context is
+        the accumulated prompts + responses so far."""
+        results = []
+        for inst in instances:
+            rounds = inst.text if isinstance(inst.text, list) else [inst.text]
+            ctx, resps = "", []
+            for r in rounds:
+                one = Instance(inst.doc_id, inst.doc, ctx + r, inst.visuals,
+                               dict(inst.gen_kwargs or {}))
+                resp = self.generate_until([one])[0]
+                resps.append(resp)
+                ctx = ctx + r + resp
+            results.append(resps)
+        return results
+
 
 def uniform_subsample_indices(n_frames: int, max_num_frames: int) -> list[int]:
     """Uniform subsample forcing the last frame (qwen2_5_vl.py:286-293)."""
@@ -65,6 +92,11 @@ class EngineModel(LMM):
     def generate_until(self, instances: list[Instance]) -> list[str]:
         self.backend.cache_hook = self.cache_hook
         return self.backend.generate_until(instances)
+
+    def loglikelihood(self, instances: list[Instance],
+                      continuations: list[str] | None = None
+                      ) -> list[tuple[float, bool]]:
+        return self.backend.loglikelihood(instances, continuations)
 
 
 class FromLogModel(LMM):

@@ -276,6 +276,7 @@ def decoder_forward(
                                cache_position=cache_position,
                                attn_impl=attn_impl,
                                kv_lengths=kv_lengths, causal=causal,
+                               segment_ids=segment_ids,
                                act_quant=act_quant)
             return x, new_kv
 
@@ -291,6 +292,7 @@ def decoder_forward(
                                  cache_position=cache_position,
                                  attn_impl=attn_impl,
                                  kv_lengths=kv_lengths, causal=causal,
+                                 segment_ids=segment_ids,
                                  act_quant=act_quant,
                                  head_major_fill=head_major)
             return x, (nk, nv)

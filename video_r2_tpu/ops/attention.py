@@ -37,7 +37,8 @@ def dot_product_attention(
         from .flash import flash_attention
 
         return flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal,
-                               segment_ids=segment_ids)
+                               segment_ids=segment_ids,
+                               interpret=jax.default_backend() != "tpu")
     if bias is None and kv_lengths is not None:
         # build the bias the xla path needs from prefix lengths
         B, Sq, _, _ = q.shape

@@ -88,75 +88,63 @@ def _win_fwd_call(qt, kt, vt, vmask, wp, block_windows, head_chunk, interpret):
 
 
 def _win_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref,
-                    dq_ref, dk_ref, dv_ref, *, wp: int, scale: float,
-                    head_chunk: int):
-    """Recompute-backward for one slab: scores are cheap (64-wide windows),
-    so no forward stats are saved — s/p rebuild in-VMEM and the three
-    gradients come out of five batched MXU matmuls (flash-style softmax
-    backward: ds = P * (dP - rowsum(do*o)))."""
-    q = q_ref[...]
-    k = k_ref[...]
-    v = v_ref[...]
-    do = do_ref[...]
-    nh, bq = q.shape[0], q.shape[1]
+                    dq_ref, dk_ref, dv_ref, *, wp: int, scale: float):
+    """Recompute-backward for one (slab, head-chunk) program: scores are
+    cheap (64-wide windows), so no forward stats are saved — s/p rebuild
+    in-VMEM and the three gradients come out of five batched MXU matmuls
+    (flash-style softmax backward: ds = P * (dP - rowsum(do*o))). Heads
+    split across the GRID, not an in-kernel loop: Mosaic double-buffers
+    every block across grid steps, so all-heads blocks (5 in + 3 out)
+    overflow VMEM at production head counts."""
+    qh = q_ref[...]                                # [hc, BQ, hd]
+    kh = k_ref[...]
+    vh = v_ref[...]
+    doh = do_ref[...].astype(jnp.float32)
+    bq = qh.shape[1]
     vmask = valid_ref[0, :] > 0.5
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0) // wp
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1) // wp
     allowed = (rows == cols) & vmask[None, :]
 
-    dqs, dks, dvs = [], [], []
-    for h0 in range(0, nh, head_chunk):
-        qh = q[h0:h0 + head_chunk]
-        kh = k[h0:h0 + head_chunk]
-        vh = v[h0:h0 + head_chunk]
-        doh = do[h0:h0 + head_chunk].astype(jnp.float32)
-        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(allowed[None], s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        P = p / jnp.maximum(l, 1e-30)               # [hc, Q, K] normalized
-        # dv[K, hd] = sum_Q P[Q, K] * do[Q, hd]
-        dv = jax.lax.dot_general(P, doh, (((1,), (1,)), ((0,), (0,))))
-        # dP[Q, K] = do @ v^T
-        dP = jax.lax.dot_general(doh, vh.astype(jnp.float32),
-                                 (((2,), (2,)), ((0,), (0,))))
-        # o recomputed for the softmax-backward row term D = rowsum(do*o)
-        o = jax.lax.dot_general(P, vh.astype(jnp.float32),
-                                (((2,), (1,)), ((0,), (0,))))
-        D = jnp.sum(doh * o, axis=-1, keepdims=True)
-        ds = P * (dP - D)
-        dq = jax.lax.dot_general(ds, kh.astype(jnp.float32),
-                                 (((2,), (1,)), ((0,), (0,)))) * scale
-        dk = jax.lax.dot_general(ds, qh.astype(jnp.float32),
-                                 (((1,), (1,)), ((0,), (0,)))) * scale
-        dqs.append(dq)
-        dks.append(dk)
-        dvs.append(dv)
-
-    def cat(xs):
-        return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
-
-    dq_ref[...] = cat(dqs).astype(dq_ref.dtype)
-    dk_ref[...] = cat(dks).astype(dk_ref.dtype)
-    dv_ref[...] = cat(dvs).astype(dv_ref.dtype)
+    s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(allowed[None], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    P = p / jnp.maximum(l, 1e-30)               # [hc, Q, K] normalized
+    # dv[K, hd] = sum_Q P[Q, K] * do[Q, hd]
+    dv = jax.lax.dot_general(P, doh, (((1,), (1,)), ((0,), (0,))))
+    # dP[Q, K] = do @ v^T
+    dP = jax.lax.dot_general(doh, vh.astype(jnp.float32),
+                             (((2,), (2,)), ((0,), (0,))))
+    # o recomputed for the softmax-backward row term D = rowsum(do*o)
+    o = jax.lax.dot_general(P, vh.astype(jnp.float32),
+                            (((2,), (1,)), ((0,), (0,))))
+    D = jnp.sum(doh * o, axis=-1, keepdims=True)
+    ds = P * (dP - D)
+    dq = jax.lax.dot_general(ds, kh.astype(jnp.float32),
+                             (((2,), (1,)), ((0,), (0,)))) * scale
+    dk = jax.lax.dot_general(ds, qh.astype(jnp.float32),
+                             (((1,), (1,)), ((0,), (0,)))) * scale
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
 def _win_bwd_call(qt, kt, vt, vmask, do, wp, block_windows, head_chunk,
                   interpret):
     nh, S, hd = qt.shape
     bq = wp * block_windows
-    # three f32 score-sized temporaries live per head chunk: halve the
-    # forward's chunk so the backward stays inside VMEM at big slabs
-    hc = max(1, min(head_chunk, nh, 4))
-    kernel = functools.partial(_win_bwd_kernel, wp=wp, scale=hd ** -0.5,
-                               head_chunk=hc)
-    blk = pl.BlockSpec((nh, bq, hd), lambda i: (0, i, 0))
+    # small head chunk: ~6 f32 score-sized temporaries live per program
+    hc = next(h for h in (4, 2, 1) if nh % h == 0)
+    kernel = functools.partial(_win_bwd_kernel, wp=wp, scale=hd ** -0.5)
+    blk = pl.BlockSpec((hc, bq, hd), lambda i, h: (h, i, 0))
     return pl.pallas_call(
         kernel,
-        grid=(S // bq,),
-        in_specs=[blk, blk, blk, pl.BlockSpec((1, bq), lambda i: (0, i)), blk],
+        grid=(S // bq, nh // hc),
+        in_specs=[blk, blk, blk,
+                  pl.BlockSpec((1, bq), lambda i, h: (0, i)), blk],
         out_specs=[blk, blk, blk],
         out_shape=[jax.ShapeDtypeStruct((nh, S, hd), qt.dtype)] * 3,
         interpret=interpret,

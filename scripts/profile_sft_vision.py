@@ -39,7 +39,10 @@ def main():
     results = {}
     for impl in ("kernel", "xla"):
         def loss(p, x, impl=impl):
-            out = vit_forward(p, cfg.vision, x, layout, attn_impl=impl)
+            # remat=True: the SFT embed path's configuration (per-layer
+            # gradient checkpointing, train_sft.sh:62)
+            out = vit_forward(p, cfg.vision, x, layout, attn_impl=impl,
+                              remat=True)
             return (out.astype(jnp.float32) ** 2).sum()
 
         @jax.jit

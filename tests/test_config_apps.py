@@ -118,3 +118,36 @@ def test_eval_config_cli_overrides():
     assert app.eval.window_divisible is True
     assert app.eval.decode_steps == 16
     assert app.eval.fps == 2.0
+
+
+def test_postprocess_app_smoke(tmp_path, monkeypatch):
+    """The postprocess CLI runs TAC + VAS + summarize end-to-end against a
+    fake judge (tac/_run.sh + vas/_run.sh + summarize_* parity)."""
+    import json
+
+    from video_r2_tpu.apps import postprocess as app
+    from video_r2_tpu.rewards.judge import StaticJudge
+
+    preds = tmp_path / "preds"
+    preds.mkdir()
+    rows = [{"doc_id": 0, "accuracy": 1, "input": "Q",
+             "filtered_resps": ["<think>so A</think><answer>A</answer>"],
+             "doc": {"candidates": ["x", "y"], "answer": "x"}}]
+    with open(preds / "samples_mvbench_think.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    monkeypatch.setattr(app, "_judge", lambda a: StaticJudge(
+        ['{"score": 7, "rationale": "ok"}', "A", "A", "A"]))
+    tac = app.main(["tac", "--predictions", str(preds),
+                    "--out", str(tmp_path / "tac")])
+    assert "mvbench" in tac
+    vas = app.main(["vas", "--predictions", str(preds),
+                    "--out", str(tmp_path / "vas")])
+    assert "mvbench" in vas
+    plan = app.main(["vas", "--predictions", str(preds),
+                     "--out", str(tmp_path / "vas2"), "--dry-run"])
+    assert "mvbench" in plan
+    summ = app.main(["summarize", "--tac", str(tmp_path / "tac"),
+                     "--vas", str(tmp_path / "vas")])
+    assert "tac" in summ and "vas" in summ

@@ -103,6 +103,43 @@ def test_from_log_replay(tmp_path):
             == out2["results"]["mvbench"]["accuracy"] == 0.5)
 
 
+def test_loglikelihood_output_type(tmp_path):
+    """A loglikelihood task routes through model.loglikelihood with
+    doc_to_target as the continuation (evaluator.py:475 reqtype dispatch),
+    caches resumably, and scores from (ll, is_greedy)."""
+    from video_r2_tpu.evalharness.api import MetricSpec, TaskConfig, mean
+    from video_r2_tpu.evalharness.api import Task as APITask
+    from video_r2_tpu.evalharness.model_api import StaticModel
+
+    class LLModel(StaticModel):
+        def __init__(self):
+            super().__init__("")
+            self.calls = 0
+
+        def loglikelihood(self, instances, continuations=None):
+            self.calls += len(instances)
+            return [(-1.5 if c == "yes" else -4.0, c == "yes")
+                    for c in continuations]
+
+    docs = [{"video": "v.mp4", "q": "q1", "answer": "yes"},
+            {"video": "v.mp4", "q": "q2", "answer": "no"}]
+    cfg = TaskConfig(
+        task="llprobe", output_type="loglikelihood",
+        doc_to_text=lambda d: d["q"], doc_to_visual=lambda d: [d["video"]],
+        doc_to_target=lambda d: d["answer"],
+        process_results=lambda d, r: {"accuracy": int(r[0][1])},
+        metrics=[MetricSpec("accuracy", mean)])
+    m = LLModel()
+    out = evaluate(m, [APITask(cfg, docs=docs)], cache_dir=tmp_path)
+    assert out["results"]["llprobe"]["accuracy"] == 0.5
+    assert m.calls == 2
+    # resumable: the (ll, greedy) pairs round-trip through the cache
+    m2 = LLModel()
+    out2 = evaluate(m2, [APITask(cfg, docs=docs)], cache_dir=tmp_path)
+    assert m2.calls == 0
+    assert out2["results"]["llprobe"]["accuracy"] == 0.5
+
+
 def test_limit(tmp_path):
     task = get_task("mvbench", docs=_mvbench_docs(4))
     out = evaluate(StaticModel("<answer>B</answer>"), [task], limit=2)

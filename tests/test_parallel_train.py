@@ -169,6 +169,28 @@ def test_sft_multimodal_sharded_matches_single(rng):
         rtol=1e-3, atol=1e-5)
 
 
+def test_sft_step_flash_matches_xla(rng):
+    """SFT trains through the flash kernel's custom VJP (reference N1:
+    FlashAttention-2 is the training attention, train_sft.py:127) — loss and
+    updated params match the XLA path."""
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    opt = make_optimizer(OptimConfig(learning_rate=1e-3, total_steps=10), params)
+    batch = _batch(cfg, rng, B=2, S=16)
+
+    outs = {}
+    for impl in ("xla", "flash"):
+        step = make_sft_step(cfg, SFTConfig(ce_chunk_size=32, attn_impl=impl),
+                             opt, donate=False)
+        state, m = step(init_train_state(params, opt), batch)
+        outs[impl] = (float(m["loss"]),
+                      np.asarray(state.params["model"]["layers"]["mlp"]
+                                 ["gate"]["kernel"]))
+    np.testing.assert_allclose(outs["flash"][0], outs["xla"][0], rtol=2e-5)
+    np.testing.assert_allclose(outs["flash"][1], outs["xla"][1],
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_freeze_flags(rng):
     cfg = tiny_test_config()
     params = init_params(cfg, dtype="float32")

@@ -55,6 +55,11 @@ class TaskConfig:
     dataset_name: str | None = None
     test_split: str = "test"
     filter_fn: Callable[[str], str] | None = None  # resps -> filtered_resps
+    # "generate_until" (default) or "loglikelihood" — the model method the
+    # runner dispatches to (evaluator.py:475 getattr(lm, reqtype) parity).
+    # loglikelihood tasks score doc_to_target as the continuation and their
+    # process_results receives [(ll, is_greedy)] instead of [text].
+    output_type: str = "generate_until"
 
 
 @dataclass

@@ -80,7 +80,14 @@ def evaluate(
                 hook.flushed.update(cache)  # pre-cached rows never re-append
             model.cache_hook = hook
             try:
-                new_resps = model.generate_until(missing)
+                # dispatch by the task's output type (evaluator.py:475
+                # getattr(lm, reqtype) parity)
+                if cfg.output_type == "loglikelihood":
+                    conts = [str(cfg.doc_to_target(i.doc)) for i in missing]
+                    new_resps = [list(r) for r in
+                                 model.loglikelihood(missing, conts)]
+                else:
+                    new_resps = model.generate_until(missing)
             finally:
                 model.cache_hook = None
             for inst, resp in zip(missing, new_resps):
@@ -96,7 +103,9 @@ def evaluate(
         rows = []
         metric_values: dict[str, list] = {m.name: [] for m in cfg.metrics}
         for inst, resp in zip(instances, resps):
-            filtered = cfg.filter_fn(resp) if cfg.filter_fn else resp
+            filtered = (cfg.filter_fn(resp)
+                        if cfg.filter_fn and cfg.output_type == "generate_until"
+                        else resp)
             scores = cfg.process_results(inst.doc, [filtered])
             for name, val in scores.items():
                 if name in metric_values:

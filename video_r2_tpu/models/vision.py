@@ -277,11 +277,11 @@ def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfi
 
 
 @partial(jax.jit, static_argnames=("cfg", "wp", "attn_impl", "act_quant",
-                                   "interpret"))
+                                   "interpret", "remat"))
 def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
                      valid, full_gather, out_unit_gather, wp: int,
                      attn_impl: str = "xla", act_quant: str | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False, remat: bool = False):
     # patch embed: kernel==stride conv3d is a single matmul over flattened patches
     emb = jnp.einsum("si,io->so", patches, params["patch_embed"]["kernel"])
     safe = jnp.maximum(patch_gather, 0)
@@ -300,6 +300,13 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
                              full_flag, cfg, wp, attn_impl, act_quant,
                              interpret), None
 
+    if remat:
+        # gradient checkpointing per ViT layer (the reference trains the
+        # tower under --gradient_checkpointing, train_sft.sh:62): without
+        # it the depth-32 backward saves every layer's activations AND the
+        # monolithic backward program breaks the compiler at 128-frame
+        # shapes
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
 
     # merger: RMSNorm per patch, merge 2x2 units, 2-layer MLP with exact GELU
@@ -316,7 +323,7 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
 def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
                 layout: VisionLayout, attn_impl: str = "auto",
                 act_quant: str | None = None,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False, remat: bool = False) -> jax.Array:
     """patches [S_real, C*tps*p*p] -> merged vision embeddings
     [S_real/4, out_hidden] in the same order the processor emitted patches.
 
@@ -333,4 +340,4 @@ def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
         jnp.asarray(layout.patch_gather), jnp.asarray(layout.pos_hw),
         jnp.asarray(layout.valid), jnp.asarray(layout.full_gather),
         jnp.asarray(layout.out_unit_gather), layout.window_patches,
-        attn_impl, act_quant, interpret)
+        attn_impl, act_quant, interpret, remat)

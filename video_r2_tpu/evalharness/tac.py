@@ -236,7 +236,15 @@ def evaluate_tac_samples(
       open — judge-parse minimal text, numeric-eq-at-2-decimals or lenient
              normalized text match (mmvu open-ended).
     """
-    results = []
+    from ..rewards.judge import chat_many
+
+    # Phase 1: build every judge message, mode-routed, in row order
+    # (answer-parse then think-extract per row). Phase 2: ONE batched judge
+    # run — the reference's single-batch vLLM generate (vsibench.py:337-341
+    # run_llm_simple + slot stitching); against our continuous engine the
+    # concurrent requests share one decode loop.
+    prepared = []
+    requests: list[tuple[str, str]] = []
     for row in rows:
         mode = get_mode(row) if get_mode else ("mcq" if is_mcq else "open")
         resp = row.get("filtered_resps", [""])
@@ -244,13 +252,31 @@ def evaluate_tac_samples(
             resp = resp[0] if resp else ""
         answer_txt = extract_answer(resp)
         think_txt = extract_reasoning(resp)
+        if mode == "mra":
+            requests.append((NUMERIC_EXTRACT_SYSTEM,
+                             numeric_extract_user(answer_txt)))
+            requests.append((NUMERIC_EXTRACT_SYSTEM,
+                             numeric_extract_user(think_txt)))
+        elif mode == "open":
+            requests.append((ANSWER_PARSE_SYSTEM,
+                             answer_parse_user(None, answer_txt, False)))
+            requests.append((THINK_EXTRACT_SYSTEM,
+                             think_extract_user(None, think_txt, False)))
+        else:
+            requests.append((ANSWER_PARSE_SYSTEM,
+                             answer_parse_user(get_options(row), answer_txt,
+                                               True)))
+            requests.append((THINK_EXTRACT_SYSTEM,
+                             think_extract_user(get_options(row), think_txt)))
+        prepared.append((row, mode))
+    outs = chat_many(judge, requests)
+
+    results = []
+    for i, (row, mode) in enumerate(prepared):
+        a_out, t_out = outs[2 * i], outs[2 * i + 1]
         lmms_score = float(row.get("accuracy", 0) or 0)
 
         if mode == "mra":
-            a_out = judge.chat(NUMERIC_EXTRACT_SYSTEM,
-                               numeric_extract_user(answer_txt))
-            t_out = judge.chat(NUMERIC_EXTRACT_SYSTEM,
-                               numeric_extract_user(think_txt))
             a_num, t_num = parse_number(a_out), parse_number(t_out)
             gt = get_gt_raw(row)
             gt_f = safe_float(gt)
@@ -269,10 +295,6 @@ def evaluate_tac_samples(
             continue
 
         if mode == "open":
-            a_out = judge.chat(ANSWER_PARSE_SYSTEM,
-                               answer_parse_user(None, answer_txt, False))
-            t_out = judge.chat(THINK_EXTRACT_SYSTEM,
-                               think_extract_user(None, think_txt, False))
             gt = get_gt_raw(row)
             a_ok = compare_open_ended(a_out.strip(), gt)
             t_ok = compare_open_ended(t_out.strip(), gt)
@@ -285,10 +307,6 @@ def evaluate_tac_samples(
                 answer_score=float(a_ok), thinking_score=float(t_ok)))
             continue
 
-        a_out = judge.chat(ANSWER_PARSE_SYSTEM,
-                           answer_parse_user(get_options(row), answer_txt, True))
-        t_out = judge.chat(THINK_EXTRACT_SYSTEM,
-                           think_extract_user(get_options(row), think_txt))
         a_letter, t_letter = extract_letter(a_out), extract_letter(t_out)
         gt = get_gt_letter(row)
         results.append(TACSampleResult(

@@ -73,15 +73,28 @@ class VASSample:
 
 
 def evaluate_vas_rows(rows: list[dict], judge: JudgeClient) -> tuple[list[VASSample], dict]:
-    samples = []
+    """One batched judge pass over all rows, then a batched retry pass for
+    unparseable outputs, then score 0 (reference: single-batch vLLM
+    generate, evaluate_vas.py:218 + retry :314-326)."""
+    from ..rewards.judge import chat_many
+
+    requests = []
     for row in rows:
-        input_text = row.get("input", "")
-        resp = extract_response_text(row)
-        user = USER_TEMPLATE.format(input_text=input_text or "",
-                                    response_text=resp or "")
-        score, rationale = parse_llm_json(judge.chat(SYSTEM_PROMPT, user))
-        if score is None:  # one retry then 0 (reference parity)
-            score, rationale = parse_llm_json(judge.chat(SYSTEM_PROMPT, user))
+        user = USER_TEMPLATE.format(
+            input_text=row.get("input", "") or "",
+            response_text=extract_response_text(row) or "")
+        requests.append((SYSTEM_PROMPT, user))
+    outs = chat_many(judge, requests)
+    parsed = [parse_llm_json(o) for o in outs]
+
+    retry_idx = [i for i, (s, _) in enumerate(parsed) if s is None]
+    if retry_idx:
+        retry_outs = chat_many(judge, [requests[i] for i in retry_idx])
+        for i, o in zip(retry_idx, retry_outs):
+            parsed[i] = parse_llm_json(o)
+
+    samples = []
+    for row, (score, rationale) in zip(rows, parsed):
         if score is None:
             score, rationale = 0, "unparseable judge output"
         samples.append(VASSample(row.get("doc_id"), score, rationale))

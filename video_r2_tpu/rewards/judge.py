@@ -43,6 +43,65 @@ class OpenAICompatClient:
         return (data["choices"][0]["message"]["content"] or "").strip()
 
 
+def chat_many(judge: JudgeClient, requests: list[tuple[str, str]],
+              max_workers: int = 16, on_error: str = "raise") -> list[str]:
+    """Batched judge execution: the reference runs its TAC/VAS judges as
+    single-batch vLLM generates (tac/vsibench.py run_llm_simple,
+    evaluate_vas.py); here, a judge with a native `chat_many` uses it, and
+    any other client fans out over a thread pool — against our continuous
+    engine server the concurrent requests share one decode loop (packed
+    admission for the short judge prompts), which is the same effect.
+
+    Serial fallback (max_workers<=1 or a fake) preserves call order.
+    on_error="empty": a failed request yields "" instead of raising (the
+    reward path degrades per row like the reference's try/except-0)."""
+
+    def one(req):
+        try:
+            return judge.chat(*req)
+        except Exception:
+            if on_error == "empty":
+                return ""
+            raise
+
+    native = getattr(judge, "chat_many", None)
+    if callable(native):
+        return native(requests)
+    if max_workers <= 1 or isinstance(judge, StaticJudge):
+        return [one(r) for r in requests]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(one, requests))
+
+
+class EngineJudge:
+    """In-process judge on a ChatEngine (continuous mode recommended): the
+    co-located TAC/VAS/TAR judge with no HTTP hop (serve_qwen3.sh role,
+    served by our own engine instead of vLLM)."""
+
+    def __init__(self, engine, temperature: float = 0.0,
+                 max_tokens: int = 64, max_workers: int = 16):
+        self.engine = engine
+        self.temperature = temperature
+        self.max_tokens = max_tokens
+        self.max_workers = max_workers
+
+    def chat(self, system: str, user: str) -> str:
+        return self.engine.chat(
+            [{"role": "system", "content": system},
+             {"role": "user", "content": user}],
+            temperature=self.temperature, max_tokens=self.max_tokens)
+
+    def chat_many(self, requests: list[tuple[str, str]]) -> list[str]:
+        # concurrent submissions drain through the engine's continuous loop
+        # (batched/packed admission); order restored by index
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
+            return list(ex.map(lambda r: self.chat(*r), requests))
+
+
 class StaticJudge:
     """Deterministic fake for tests: returns canned responses in order, or a
     constant."""

@@ -207,12 +207,18 @@ def calculate_grounding_reward(
     embedder=None,
     buffer_seconds: float = 2,
     similarity_threshold: float = 0.75,
+    extraction_out: str | None = None,
 ) -> float:
-    """matches / |predicted claims| with one-to-one greedy matching."""
+    """matches / |predicted claims| with one-to-one greedy matching.
+
+    extraction_out: a pre-fetched judge response for the extraction prompt
+    (the batched TAR path issues all extraction calls in one chat_many)."""
     embedder = embedder or load_embedder()
     think = extract_reasoning(prediction_text)
-    extracted = robust_json_from_text(
-        judge.chat(EXTRACTION_SYSTEM, EXTRACTION_USER.format(text=think)))
+    if extraction_out is None:
+        extraction_out = judge.chat(EXTRACTION_SYSTEM,
+                                    EXTRACTION_USER.format(text=think))
+    extracted = robust_json_from_text(extraction_out)
     if isinstance(extracted, dict):
         extracted = sanitize_timestamps_dict(extracted)
     if isinstance(temporal_grnd, dict):
@@ -265,20 +271,40 @@ def temporal_grounding_sentence_embedding_consistency_reward(
                 q = str(user.get("content", ""))
         questions.append(q)
 
+    # Both judge roles batch across the whole rollout group: extraction
+    # prompts first, then consistency prompts (each role's calls are
+    # independent across completions — against the continuous judge engine
+    # they share one decode loop instead of 2xBxG serial HTTP round-trips).
+    from .judge import chat_many
+
+    extraction_reqs, consistency_reqs = [], []
+    for question, completion, _tg in zip(questions, completions,
+                                         temporal_grounding):
+        prediction = completion[0]["content"]
+        reasoning = extract_reasoning(prediction)
+        ans = extract_answer(prediction)
+        # reference passes the extracted thinking UNstripped
+        # (temporal_grounding_reward.py:311-316)
+        extraction_reqs.append((EXTRACTION_SYSTEM,
+                                EXTRACTION_USER.format(text=reasoning)))
+        consistency_reqs.append((CONSISTENCY_SYSTEM, CONSISTENCY_USER.format(
+            question=question.strip() if question else "(none)",
+            think=reasoning.strip() if reasoning else "(missing)",
+            answer=ans.strip() if ans else "(missing)")))
+    # per-row degradation: a failed judge call zeroes THAT row's reward
+    # (reference reward_funcs.py:70-72 try/except-0), never the whole group
+    extraction_outs = chat_many(judge, extraction_reqs, on_error="empty")
+    consistency_outs = chat_many(judge, consistency_reqs, on_error="empty")
+
     rewards = []
-    for question, completion, tg in zip(
-            questions, completions, temporal_grounding):
+    for completion, tg, ext, cons in zip(completions, temporal_grounding,
+                                         extraction_outs, consistency_outs):
         try:
             prediction = completion[0]["content"]
             grounding = calculate_grounding_reward(
                 prediction, tg, judge, embedder,
-                buffer_seconds, similarity_threshold)
-            reasoning = extract_reasoning(prediction)
-            ans = extract_answer(prediction)
-            out = judge.chat(CONSISTENCY_SYSTEM, CONSISTENCY_USER.format(
-                question=question.strip() if question else "(none)",
-                think=reasoning.strip() if reasoning else "(missing)",
-                answer=ans.strip() if ans else "(missing)"))
+                buffer_seconds, similarity_threshold, extraction_out=ext)
+            out = cons if cons is not None else ""
             decision, _ = parse_decision(out)
             rewards.append((1 if decision is True else 0) * grounding)
         except Exception:

@@ -354,3 +354,52 @@ def test_engine_judge_batched(cfg_params):
         assert all(isinstance(o, str) for o in outs)
     finally:
         engine.shutdown()
+
+
+def test_chat_many_on_error_with_native_batch():
+    """on_error='empty' survives a native chat_many: per-row degradation is
+    preserved either via the native on_error kwarg or by falling back to the
+    wrapped fan-out (review r3 finding)."""
+    from video_r2_tpu.rewards.judge import chat_many
+
+    class NativeAware:
+        def chat(self, s, u):
+            raise AssertionError("unused")
+
+        def chat_many(self, reqs, on_error="raise"):
+            assert on_error == "empty"
+            return ["" if u == "bad" else u for _, u in reqs]
+
+    out = chat_many(NativeAware(), [("s", "ok"), ("s", "bad")],
+                    on_error="empty")
+    assert out == ["ok", ""]
+
+    class NativeNaive:
+        def chat(self, s, u):
+            if u == "bad":
+                raise RuntimeError("boom")
+            return u
+
+        def chat_many(self, reqs):
+            raise AssertionError("must not be used when isolation is needed")
+
+    out = chat_many(NativeNaive(), [("s", "ok"), ("s", "bad")],
+                    on_error="empty")
+    assert out == ["ok", ""]
+
+
+def test_submit_packed_rejects_multimodal(cfg_params):
+    from video_r2_tpu.engine import ByteTokenizer  # noqa: F401
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+    from video_r2_tpu.engine.sampling import SamplingParams as SP
+
+    cfg, params = cfg_params
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=64,
+        sp=SP(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), page_size=16)
+    import numpy as _np
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="text-only"):
+        eng.submit_packed([([1, 2, 3], 4, None, None, None,
+                            (_np.zeros((2, 4)), [(1, 2, 2)], [1.0]))])

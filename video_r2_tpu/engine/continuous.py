@@ -838,6 +838,12 @@ class PagedContinuousEngine(ContinuousEngine):
 
         entries = []
         for n, it in enumerate(items):
+            if len(it) > 5 and it[5] is not None:
+                # packing is text-only: silently dropping the vision triple
+                # would prefill <|video_pad|> runs as raw pad embeddings
+                raise ValueError(
+                    "submit_packed is text-only; route multimodal items "
+                    "through submit_batch")
             ids = np.asarray(it[0], np.int32)
             mnt = it[1]
             room = max(self.max_len - mnt - 1, 8)

@@ -137,26 +137,36 @@ def run_all_tac(predictions_dir: str | Path, judge: JudgeClient,
     consolidated all_summaries.json. mvbench's 20 shard files are pooled
     into ONE directory-mode evaluation (tac/_run_all_benchmarks.py:56-59,
     207-232) with per-shard counts recorded alongside the pooled summary."""
+    import logging
+
     out_root = Path(out_root)
     all_summaries: dict[str, dict] = {}
+    # one benchmark's failure must not torch the rest: the reference runs
+    # each benchmark in its own subprocess (_run_all_benchmarks.py:186-232);
+    # here failures are recorded loudly in all_summaries and the loop goes on
     for bench, files in discover_sample_files(predictions_dir).items():
         mode_fn = get_mode_for_bench(bench)
-        if bench == "mvbench":
-            rows, per_shard = [], {}
+        try:
+            if bench == "mvbench":
+                rows, per_shard = [], {}
+                for f in files:
+                    shard_rows = [json.loads(l) for l in open(f) if l.strip()]
+                    per_shard[f.stem] = len(shard_rows)
+                    rows.extend(shard_rows)
+                summary = run_tac_on_rows(
+                    rows, judge, get_options, get_gt_letter, out_root / bench,
+                    get_mode=mode_fn, extra_summary={"shards": per_shard})
+                all_summaries[bench] = {"__directory__": summary}
+                continue
             for f in files:
-                shard_rows = [json.loads(l) for l in open(f) if l.strip()]
-                per_shard[f.stem] = len(shard_rows)
-                rows.extend(shard_rows)
-            summary = run_tac_on_rows(
-                rows, judge, get_options, get_gt_letter, out_root / bench,
-                get_mode=mode_fn, extra_summary={"shards": per_shard})
-            all_summaries[bench] = {"__directory__": summary}
-            continue
-        for f in files:
-            out_dir = out_root / bench / f.stem
-            summary = run_tac_on_file(f, judge, get_options, get_gt_letter,
-                                      out_dir, get_mode=mode_fn)
-            all_summaries.setdefault(bench, {})[f.stem] = summary
+                out_dir = out_root / bench / f.stem
+                summary = run_tac_on_file(f, judge, get_options,
+                                          get_gt_letter, out_dir,
+                                          get_mode=mode_fn)
+                all_summaries.setdefault(bench, {})[f.stem] = summary
+        except Exception as e:  # noqa: BLE001
+            logging.getLogger(__name__).exception("TAC failed for %s", bench)
+            all_summaries[bench] = {"error": f"{type(e).__name__}: {e}"}
     out_root.mkdir(parents=True, exist_ok=True)
     with open(out_root / "all_summaries.json", "w") as fp:
         json.dump(all_summaries, fp, indent=2)
@@ -170,7 +180,7 @@ def run_all_vas(predictions_dir: str | Path, judge: JudgeClient,
     out_root = Path(out_root)
     summaries: dict[str, dict] = {}
     for bench, files in discover_sample_files(predictions_dir).items():
-        if bench == "mvbench" and len(files) > 1:
+        if bench == "mvbench":  # always pooled, like TAC: one summary shape
             summaries[bench] = {"__directory__": run_vas_on_rows_files(
                 files, judge, out_root / bench, bench=bench,
                 dry_run=dry_run)}

@@ -268,6 +268,9 @@ def evaluate_tac_samples(
                                                True)))
             requests.append((THINK_EXTRACT_SYSTEM,
                              think_extract_user(get_options(row), think_txt)))
+            # resolve (and loud-fail) the GT letter BEFORE the judge batch:
+            # an unroutable row must not cost the whole file's judge calls
+            get_gt_letter(row)
         prepared.append((row, mode))
     outs = chat_many(judge, requests)
 

@@ -129,10 +129,13 @@ def run_vas_on_rows_files(files: list, judge: JudgeClient,
                 "rows": sum(len(r) for _, r in shard_rows),
                 "out": str(per_sample), "skip": per_sample.exists()}
     out_dir.mkdir(parents=True, exist_ok=True)
-    if per_sample.exists():  # skip-if-done
+    if per_sample.exists():  # skip-if-done (same summary shape as a fresh run)
         rows = [json.loads(l) for l in open(per_sample)]
-        return summarize_vas([VASSample(r["doc_id"], r["score"],
-                                        r.get("rationale", "")) for r in rows])
+        summary = summarize_vas([VASSample(r["doc_id"], r["score"],
+                                           r.get("rationale", ""))
+                                 for r in rows])
+        summary["shards"] = {f.stem: len(rs) for f, rs in shard_rows}
+        return summary
     rows = [r for _, rs in shard_rows for r in rs]
     samples, summary = evaluate_vas_rows(rows, judge)
     with open(per_sample, "w") as f:

@@ -136,8 +136,9 @@ def _win_bwd_call(qt, kt, vt, vmask, do, wp, block_windows, head_chunk,
                   interpret):
     nh, S, hd = qt.shape
     bq = wp * block_windows
-    # small head chunk: ~6 f32 score-sized temporaries live per program
-    hc = next(h for h in (4, 2, 1) if nh % h == 0)
+    # small head chunk (~6 f32 score-sized temporaries live per program);
+    # the caller's head_chunk acts as an upper bound here too
+    hc = next(h for h in (4, 2, 1) if nh % h == 0 and h <= max(head_chunk, 1))
     kernel = functools.partial(_win_bwd_kernel, wp=wp, scale=hd ** -0.5)
     blk = pl.BlockSpec((hc, bq, hd), lambda i, h: (h, i, 0))
     return pl.pallas_call(

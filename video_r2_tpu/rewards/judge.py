@@ -66,7 +66,18 @@ def chat_many(judge: JudgeClient, requests: list[tuple[str, str]],
 
     native = getattr(judge, "chat_many", None)
     if callable(native):
-        return native(requests)
+        import inspect
+
+        try:
+            takes_on_error = "on_error" in inspect.signature(native).parameters
+        except (TypeError, ValueError):
+            takes_on_error = False
+        if takes_on_error:
+            return native(requests, on_error=on_error)
+        if on_error != "empty":
+            return native(requests)
+        # native path can't guarantee per-request isolation: fall through to
+        # the wrapped fan-out so one failed call degrades only its row
     if max_workers <= 1 or isinstance(judge, StaticJudge):
         return [one(r) for r in requests]
     from concurrent.futures import ThreadPoolExecutor
@@ -93,13 +104,23 @@ class EngineJudge:
              {"role": "user", "content": user}],
             temperature=self.temperature, max_tokens=self.max_tokens)
 
-    def chat_many(self, requests: list[tuple[str, str]]) -> list[str]:
+    def chat_many(self, requests: list[tuple[str, str]],
+                  on_error: str = "raise") -> list[str]:
         # concurrent submissions drain through the engine's continuous loop
-        # (batched/packed admission); order restored by index
+        # (batched/packed admission); order restored by index.
+        # on_error="empty": per-request isolation (a failed call yields "")
         from concurrent.futures import ThreadPoolExecutor
 
+        def one(r):
+            try:
+                return self.chat(*r)
+            except Exception:
+                if on_error == "empty":
+                    return ""
+                raise
+
         with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
-            return list(ex.map(lambda r: self.chat(*r), requests))
+            return list(ex.map(one, requests))
 
 
 class StaticJudge:

@@ -9,6 +9,42 @@ from video_r2_tpu.evalharness import EngineModel, evaluate, get_task
 from video_r2_tpu.models import init_params, tiny_test_config
 
 
+def test_engine_model_eval_sharded_matches_single(rng, tmp_path):
+    """Multi-chip eval: EngineModel(mesh=dp2.fsdp2.tp2) produces the same
+    responses and accuracy as single-device (the reference's 8-GPU
+    accelerate eval role, run_all.sh:29 — here one controller drives the
+    mesh, the ViT included)."""
+    from video_r2_tpu.parallel import MeshConfig, make_mesh
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    docs = [{
+        "video": rng.integers(0, 256, size=(6, 56, 56, 3), dtype=np.uint8),
+        "question": f"What is shown {i}?",
+        "candidates": ["a cat", "a dog"],
+        "answer": "a dog",
+    } for i in range(2)]
+
+    def run(mesh):
+        task = get_task("mvbench_think", docs=docs)
+        task.config.generation_kwargs["max_new_tokens"] = 6
+        m = EngineModel(params, cfg, ByteTokenizer(), max_num_frames=4,
+                        max_pixels=56 * 56, batch_size=2, mesh=mesh)
+        return evaluate(m, [task])
+
+    ref = run(None)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    out = run(mesh)
+    ref_resps = [r["resps"] for r in ref["samples"]["mvbench_think"]]
+    out_resps = [r["resps"] for r in out["samples"]["mvbench_think"]]
+    assert out_resps == ref_resps  # token-exact through the sharded stack
+    assert (out["results"]["mvbench_think"]["accuracy"]
+            == ref["results"]["mvbench_think"]["accuracy"])
+
+
 def test_loglikelihood_matches_hf(rng):
     """EngineModel.loglikelihood (lmms ABC second output type) matches
     torch log-softmax scoring of the same (context, continuation) ids on

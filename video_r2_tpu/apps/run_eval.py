@@ -12,7 +12,14 @@ import sys
 
 from ..config import AppConfig, parse_config
 from ..evalharness import EngineModel, evaluate, get_task
-from .common import attn_impl, build_model, build_tokenizer, logger, setup_logging
+from .common import (
+    attn_impl,
+    build_mesh,
+    build_model,
+    build_tokenizer,
+    logger,
+    setup_logging,
+)
 
 
 def main(argv=None):
@@ -51,7 +58,8 @@ def main(argv=None):
         act_quant=ev.act_quant or None, kv_quant=ev.kv_quant or None,
         vit_act_quant=ev.vit_act_quant or None,
         window_divisible=ev.window_divisible, decode_steps=ev.decode_steps,
-        patch_dtype=ev.patch_dtype)
+        patch_dtype=ev.patch_dtype,
+        mesh=build_mesh(app))  # --run.dp/fsdp/tp shard the eval model
     out = evaluate(model, tasks, limit=limit, output_dir=app.run.output_dir,
                    cache_dir=f"{app.run.output_dir}/cache")  # resumable
     for name, res in out["results"].items():

@@ -28,7 +28,21 @@ class EngineBackend:
                  engine_mode="batch", engine_max_len=None, page_size=128,
                  window_divisible=False, vit_act_quant=None,
                  prefill_rows="auto", decode_steps=8,
-                 patch_dtype="float32"):
+                 patch_dtype="float32", mesh=None):
+        # mesh: multi-chip eval — params shard per parallel.sharding rules
+        # (FSDP/TP) and generate() runs sharded; the ViT executes on the
+        # mesh via GSPMD from the weight shardings. The reference evals on
+        # 8 GPUs via accelerate (run_all.sh:29); here one controller drives
+        # the whole mesh, so rank sharding/padding/barriers don't exist.
+        if mesh is not None:
+            if engine_mode == "paged":
+                raise ValueError(
+                    "engine_mode='paged' is single-chip for now; use "
+                    "engine_mode='batch' with a mesh")
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -321,7 +335,7 @@ class EngineBackend:
                        vision_token_id=self.cfg.video_token_id,
                        seed=self.seed, attn_impl=self.attn_impl,
                        act_quant=self.act_quant, kv_quant=self.kv_quant,
-                       prefill_chunk=pc)
+                       prefill_chunk=pc, mesh=self.mesh)
         out = {}
         for row, idx in enumerate(indices):
             ids = res.sequences[row][: res.lengths[row]]

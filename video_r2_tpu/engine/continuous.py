@@ -615,9 +615,16 @@ class PagedContinuousEngine(ContinuousEngine):
     finished slots return their pages to the free list immediately."""
 
     def __init__(self, *args, page_size: int = 128,
-                 num_pages: int | None = None, **kwargs):
+                 num_pages: int | None = None,
+                 prefill_token_budget: int = 8192, **kwargs):
         self._page_size = page_size
         self._num_pages = num_pages
+        # cap the tokens prefilled per batched-admission dispatch: the
+        # batch prefill materializes a dense [K, bucket] tmp cache + MLP
+        # intermediates, and K=num_slots multimodal buckets OOM a 16 GB
+        # chip at 7B (the same wall prefill_rows="auto" handles in batch
+        # mode — measured via profile_eval r3)
+        self.prefill_token_budget = prefill_token_budget
         super().__init__(*args, **kwargs)
         # buckets must be page-aligned for the prompt scatter
         self.prompt_buckets = tuple(b for b in self.prompt_buckets
@@ -723,11 +730,14 @@ class PagedContinuousEngine(ContinuousEngine):
         pc = self.pcache
         ps = self._page_size
         for bucket, rows in groups.items():
+            # per-dispatch row cap: free slots AND the prefill token budget
+            max_rows = max(1, self.prefill_token_budget // max(bucket, 1))
             while rows:
                 free = [i for i, r in enumerate(self.slot_req) if r is None]
                 if not free:
                     break
-                chunk, rows = rows[:len(free)], rows[len(free):]
+                take = min(len(free), max_rows)
+                chunk, rows = rows[:take], rows[take:]
                 K = len(chunk)
                 # pad K to a power of two (trash-page dummy rows): the jit
                 # keys on [K, bucket], and an unpadded K would compile per
@@ -859,6 +869,11 @@ class PagedContinuousEngine(ContinuousEngine):
 
         free = [i for i, r in enumerate(self.slot_req) if r is None]
         entries = entries[:len(free)]
+        # prefill token budget (see __init__): drop trailing entries until
+        # the packed rows fit one dispatch; callers retry the Nones
+        while entries and (sum(e[6] for e in entries) + width
+                           > self.prefill_token_budget):
+            entries.pop()
         need_pages = sum(e[6] // ps for e in entries)
         while entries and len(pc.free_pages) < need_pages:
             need_pages -= entries[-1][6] // ps

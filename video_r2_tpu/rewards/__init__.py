@@ -1,6 +1,6 @@
 from .accuracy import accuracy_reward
 from .format import format_reward
-from .judge import JudgeClient, OpenAICompatClient
+from .judge import EngineJudge, JudgeClient, OpenAICompatClient, chat_many
 from .parsing import (
     extract_answer,
     extract_reasoning,
@@ -19,6 +19,8 @@ from .temporal import (
 )
 
 __all__ = [
+    "EngineJudge",
+    "chat_many",
     "accuracy_reward", "format_reward",
     "JudgeClient", "OpenAICompatClient",
     "extract_answer", "extract_reasoning", "infer_question_type",

@@ -4,6 +4,7 @@ mid-stream admission, threaded loop."""
 import queue
 import threading
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -486,9 +487,9 @@ def test_submit_packed_density(cfg_params, rng, monkeypatch):
     shapes = []
     orig = cont._prefill_packed_into_pages
 
-    def spy(params_, k, v, cfg_, pids, ids, *a, **kw):
+    def spy(params_, kv, cfg_, pids, ids, *a, **kw):
         shapes.append(tuple(ids.shape))
-        return orig(params_, k, v, cfg_, pids, ids, *a, **kw)
+        return orig(params_, kv, cfg_, pids, ids, *a, **kw)
 
     monkeypatch.setattr(cont, "_prefill_packed_into_pages", spy)
     prompts = [list(rng.integers(2, 400, size=int(rng.integers(4, 14))))
@@ -809,6 +810,47 @@ def test_per_request_eos_override(cfg_params, rng):
         assert toks[-1] % 2 == 0  # stopped on the REQUEST's eos set
     for t in toks[:-1]:
         assert t % 2 == 1  # no earlier token was a request-eos
+
+
+def test_paged_engine_int8_kv_matches_batch_generate(cfg_params, rng):
+    """int8 page pool (kv_quant='int8'): greedy tokens match the batch
+    generate path's int8 KV cache (same per-token/head quantize_kv scheme,
+    factored-scale attention) — half the KV bytes per token, ~2x pool
+    capacity. Pages (and scale pages) all return on release."""
+    cfg, params = cfg_params
+    ids = np.asarray(rng.integers(2, 400, size=(1, 9)), np.int32)
+    T = 8
+    ref = generate(params, cfg, ids, np.asarray([9]),
+                   SamplingParams(max_new_tokens=T,
+                                  pad_token_id=cfg.pad_token_id,
+                                  eos_token_ids=()),
+                   kv_quant="int8")
+
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), page_size=16, kv_quant="int8")
+    assert eng.pcache.quantized and eng.pcache.k.dtype == jnp.int8
+    free0 = len(eng.pcache.free_pages)
+    rid = eng.submit(list(ids[0]), max_new_tokens=T)
+    done = {}
+    while eng.num_active:
+        for r, toks in eng.step():
+            done[r] = toks
+    assert done[rid] == list(ref.sequences[0][:T])
+    assert len(eng.pcache.free_pages) == free0
+
+    # fork/CoW with scale pages: forked rollouts decode from shared pages
+    rid = eng.submit(list(ids[0]), max_new_tokens=T)
+    frid, = eng.fork(rid, n=1)
+    done = {}
+    while eng.num_active:
+        for r, toks in eng.step():
+            done[r] = toks
+    assert done[rid] == done[frid] == list(ref.sequences[0][:T])
+    assert len(eng.pcache.free_pages) == free0
 
 
 def test_submit_batch_matches_sequential(cfg_params, rng):

@@ -90,3 +90,64 @@ def test_cache_manager_alloc_append_release(rng):
         big = PagedKVCache.create(2, 1, 4, 2, 8, 1, 4, dtype=jnp.float32)
         for _ in range(5):
             big.append_token(np.asarray([0]), k_new[:, :1], v_new[:, :1])
+
+
+def test_paged_decode_stacked_int8_matches_dequant_reference(rng):
+    """int8 page pool: the quant kernel's factored-scale math must equal
+    attention over the EXPLICITLY dequantized pages (exact same quantized
+    values, so tolerance is float noise, not quantization error)."""
+    from video_r2_tpu.models.decoder import quantize_kv
+    from video_r2_tpu.ops.paged_attention import paged_decode_attention_stacked
+
+    B, nh, kh, hd, ps, L_layers = 3, 4, 2, 64, 16, 2
+    lengths = np.asarray([37, 16, 100])
+    n_pages, max_pages = 64, 8
+    kf = rng.normal(size=(L_layers, kh, n_pages, ps, hd)).astype(np.float32)
+    vf = rng.normal(size=(L_layers, kh, n_pages, ps, hd)).astype(np.float32)
+    kq, ks = quantize_kv(jnp.asarray(kf))
+    vq, vs = quantize_kv(jnp.asarray(vf))
+    # dequantized pages for the reference path
+    kd = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    vd = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    tables = np.full((B, max_pages), 0, np.int32)
+    used = iter(range(1, n_pages))
+    for b in range(B):
+        for p in range(-(-int(lengths[b]) // ps)):
+            tables[b, p] = next(used)
+    q = rng.normal(size=(B, nh, hd)).astype(np.float32)
+    out0 = None
+    for layer in range(L_layers):
+        ref = _reference(q, kd[layer], vd[layer], tables, lengths, ps)
+        out = paged_decode_attention_stacked(
+            jnp.asarray(q), kq, vq, jnp.asarray(tables),
+            jnp.asarray(lengths), jnp.int32(layer), page_size=ps,
+            interpret=True, k_scales=ks, v_scales=vs)
+        if layer == 0:
+            out0 = out
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5,
+                                   atol=2e-5)
+    # and the int8 path stays close to the UNquantized attention
+    out_f = paged_decode_attention_stacked(
+        jnp.asarray(q), jnp.asarray(kf), jnp.asarray(vf),
+        jnp.asarray(tables), jnp.asarray(lengths), jnp.int32(0),
+        page_size=ps, interpret=True)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out_f),
+                               rtol=0.1, atol=0.05)
+
+
+def test_quantized_cache_manager_append(rng):
+    from video_r2_tpu.ops.paged_attention import PagedKVCache
+
+    cache = PagedKVCache.create(num_layers=2, num_pages=10, page_size=4,
+                                kv_heads=2, head_dim=8, batch=2, max_pages=4,
+                                quantized=True)
+    assert cache.quantized and cache.k.dtype == jnp.int8
+    assert cache.k_scale.shape == (2, 2, 10, 4)
+    k_new = jnp.asarray(rng.normal(size=(2, 1, 2, 8)).astype(np.float32))
+    cache.append_token(np.asarray([0]), k_new, k_new + 1)
+    p0 = int(cache.page_tables[0, 0])
+    deq = (np.asarray(cache.k[:, :, p0, 0], np.float32)
+           * np.asarray(cache.k_scale[:, :, p0, 0])[..., None])
+    np.testing.assert_allclose(
+        deq, np.asarray(jnp.swapaxes(k_new, 1, 2)[:, :, 0]),
+        rtol=0.02, atol=0.02)

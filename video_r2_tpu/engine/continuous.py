@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.decoder import KVCache, decoder_forward
+from ..models.decoder import KVCache, decoder_forward, quantize_kv
 from ..models.model import lm_head
 from ..models.mrope import get_rope_index, mrope_cos_sin
 from .sampling import SamplingParams, sample_token_per_slot
@@ -121,12 +121,12 @@ def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
     return toks, logits, cache, cur
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _copy_page(k_pages, v_pages, src, dst):
-    """Copy one page's KV across the whole layer stack (CoW for the shared
-    partial last page of a forked prompt)."""
-    return (k_pages.at[:, :, dst].set(k_pages[:, :, src]),
-            v_pages.at[:, :, dst].set(v_pages[:, :, src]))
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_page(kv, src, dst):
+    """Copy one page's data across the whole layer stack (CoW for the shared
+    partial last page of a forked prompt). kv: (k, v) or, for int8 pools,
+    (k, v, k_scale, v_scale) — scale pages copy with their values."""
+    return tuple(a.at[:, :, dst].set(a[:, :, src]) for a in kv)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -382,10 +382,25 @@ class ContinuousEngine:
                               admit_per_step=admit_per_step)
 
 
+def _scatter_pages(kv, kk, vv, flat):
+    """Scatter prefilled KV rows ([L, kh, n_chunks, ps, hd]) into the page
+    pool at chunk ids `flat`. For int8 pools ((k, v, ks, vs) 4-tuples) the
+    rows quantize per (token, head) on the way in — absmax/127 scales,
+    identical to the dense int8 KV cache (models/decoder.quantize_kv)."""
+    if len(kv) == 4:
+        kq, ks = quantize_kv(kk)
+        vq, vs = quantize_kv(vv)
+        return (kv[0].at[:, :, flat].set(kq),
+                kv[1].at[:, :, flat].set(vq),
+                kv[2].at[:, :, flat].set(ks),
+                kv[3].at[:, :, flat].set(vs))
+    return (kv[0].at[:, :, flat].set(kk), kv[1].at[:, :, flat].set(vv))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "attn_impl", "page_size"),
-                   donate_argnums=(1, 2))
-def _prefill_into_pages(params, k_pages, v_pages, cfg, pids, ids,
+                   donate_argnums=(1,))
+def _prefill_into_pages(params, kv, cfg, pids, ids,
                         position_ids, length, vision_embeds=None,
                         attn_impl: str = "xla", page_size: int = 128):
     """One sequence's prompt KV scattered into its allocated pages.
@@ -398,7 +413,7 @@ def _prefill_into_pages(params, k_pages, v_pages, cfg, pids, ids,
         h = merge_vision_embeddings(ids, h, vision_embeds, cfg.video_token_id)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
     S = ids.shape[1]
-    tmp = KVCache.init(cfg.text, 1, S, k_pages.dtype)
+    tmp = KVCache.init(cfg.text, 1, S, h.dtype)
     i = jnp.arange(S)[:, None]
     j = jnp.arange(S)[None, :]
     allowed = (j <= i) & (j[None] < length[:, None, None])
@@ -411,13 +426,12 @@ def _prefill_into_pages(params, k_pages, v_pages, cfg, pids, ids,
     npb = S // page_size
     kk = tmp.k[:, 0].reshape(L, npb, page_size, kh, hd).transpose(0, 3, 1, 2, 4)
     vv = tmp.v[:, 0].reshape(L, npb, page_size, kh, hd).transpose(0, 3, 1, 2, 4)
-    k_pages = k_pages.at[:, :, pids].set(kk)
-    v_pages = v_pages.at[:, :, pids].set(vv)
+    kv = _scatter_pages(kv, kk, vv, pids)
     logits = lm_head(params, cfg, hidden[0, length[0] - 1])
-    return logits.astype(jnp.float32), k_pages, v_pages
+    return logits.astype(jnp.float32), kv
 
 
-def _paged_decode_body(params, k_pages, v_pages, cfg, sp: SamplingParams,
+def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
                        last_logits, cur_len, pos_base, active, page_tables,
                        trash_page, samp, rng, page_size: int = 128,
                        interpret: bool = False):
@@ -447,8 +461,10 @@ def _paged_decode_body(params, k_pages, v_pages, cfg, sp: SamplingParams,
 
     from ..models.layers import apply_rotary, linear, rms_norm, swiglu_mlp
 
+    quant = len(kv) == 4
+
     def body(carry, inp):
-        x, kp, vp = carry
+        x, kv_c = carry
         l, p = inp
         h = rms_norm(p["input_layernorm"]["scale"], x, cfg_t.rms_norm_eps)
         q = linear(p["attn"]["q"], h).reshape(N, 1, nh, hd)
@@ -457,28 +473,44 @@ def _paged_decode_body(params, k_pages, v_pages, cfg, sp: SamplingParams,
         q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
         # mixed basic/advanced indexing puts the broadcast (slot) axis first:
         # target shape is [N, kh, hd]
-        kp = kp.at[l, :, pid, off].set(k[:, 0].astype(kp.dtype))
-        vp = vp.at[l, :, pid, off].set(v[:, 0].astype(vp.dtype))
-        attn = paged_decode_attention_stacked(
-            q[:, 0], kp, vp, page_tables, cur_len + 1, l,
-            page_size=page_size, interpret=interpret)
+        if quant:
+            kp, vp, ksp, vsp = kv_c
+            kq, ks = quantize_kv(k[:, 0])
+            vq, vs = quantize_kv(v[:, 0])
+            kp = kp.at[l, :, pid, off].set(kq)
+            vp = vp.at[l, :, pid, off].set(vq)
+            ksp = ksp.at[l, :, pid, off].set(ks)
+            vsp = vsp.at[l, :, pid, off].set(vs)
+            attn = paged_decode_attention_stacked(
+                q[:, 0], kp, vp, page_tables, cur_len + 1, l,
+                page_size=page_size, interpret=interpret,
+                k_scales=ksp, v_scales=vsp)
+            kv_c = (kp, vp, ksp, vsp)
+        else:
+            kp, vp = kv_c
+            kp = kp.at[l, :, pid, off].set(k[:, 0].astype(kp.dtype))
+            vp = vp.at[l, :, pid, off].set(v[:, 0].astype(vp.dtype))
+            attn = paged_decode_attention_stacked(
+                q[:, 0], kp, vp, page_tables, cur_len + 1, l,
+                page_size=page_size, interpret=interpret)
+            kv_c = (kp, vp)
         x = x + linear(p["attn"]["o"], attn.reshape(N, 1, nh * hd))
         h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
                       cfg_t.rms_norm_eps)
-        return (x + swiglu_mlp(p["mlp"], h2), kp, vp), None
+        return (x + swiglu_mlp(p["mlp"], h2), kv_c), None
 
-    (x, k_pages, v_pages), _ = jax.lax.scan(
-        body, (emb, k_pages, v_pages), (jnp.arange(n_layers), layers))
+    (x, kv), _ = jax.lax.scan(
+        body, (emb, kv), (jnp.arange(n_layers), layers))
     x = rms_norm(params["model"]["norm"]["scale"], x, cfg_t.rms_norm_eps)
     next_logits = lm_head(params, cfg, x[:, 0]).astype(jnp.float32)
     new_len = jnp.where(active, cur_len + 1, cur_len)
-    return tok, next_logits, k_pages, v_pages, new_len
+    return tok, next_logits, kv, new_len
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "attn_impl", "page_size"),
-                   donate_argnums=(1, 2))
-def _prefill_into_pages_batch(params, k_pages, v_pages, cfg, pids, ids,
+                   donate_argnums=(1,))
+def _prefill_into_pages_batch(params, kv, cfg, pids, ids,
                               position_ids, lengths, vision_embeds=None,
                               attn_impl: str = "xla", page_size: int = 128):
     """Batched admission prefill: K same-bucket prompts in one dispatch
@@ -497,7 +529,7 @@ def _prefill_into_pages_batch(params, k_pages, v_pages, cfg, pids, ids,
         h = merge_vision_embeddings(ids, h, vision_embeds, cfg.video_token_id)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
     K, S = ids.shape
-    tmp = KVCache.init(cfg.text, K, S, k_pages.dtype)
+    tmp = KVCache.init(cfg.text, K, S, h.dtype)
     i = jnp.arange(S)[:, None]
     j = jnp.arange(S)[None, :]
     allowed = (j <= i)[None] & (j[None] < lengths[:, None, None])
@@ -512,17 +544,15 @@ def _prefill_into_pages_batch(params, k_pages, v_pages, cfg, pids, ids,
           .transpose(0, 4, 1, 2, 3, 5).reshape(L, kh, K * npb, page_size, hd))
     vv = (tmp.v.reshape(L, K, npb, page_size, kh, hd)
           .transpose(0, 4, 1, 2, 3, 5).reshape(L, kh, K * npb, page_size, hd))
-    flat = pids.reshape(-1)
-    k_pages = k_pages.at[:, :, flat].set(kk)
-    v_pages = v_pages.at[:, :, flat].set(vv)
+    kv = _scatter_pages(kv, kk, vv, pids.reshape(-1))
     logits = lm_head(params, cfg, hidden[jnp.arange(K), lengths - 1])
-    return logits.astype(jnp.float32), k_pages, v_pages
+    return logits.astype(jnp.float32), kv
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "attn_impl", "page_size"),
-                   donate_argnums=(1, 2))
-def _prefill_packed_into_pages(params, k_pages, v_pages, cfg, pids, ids,
+                   donate_argnums=(1,))
+def _prefill_packed_into_pages(params, kv, cfg, pids, ids,
                                position_ids, seg_ids, last_rc,
                                attn_impl: str = "xla", page_size: int = 128):
     """Sequence-PACKED admission prefill: many SHORT prompts share each row
@@ -539,7 +569,7 @@ def _prefill_packed_into_pages(params, k_pages, v_pages, cfg, pids, ids,
     h = params["model"]["embed_tokens"]["embedding"][ids]
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
     R, S = ids.shape
-    tmp = KVCache.init(cfg.text, R, S, k_pages.dtype)
+    tmp = KVCache.init(cfg.text, R, S, h.dtype)
     if attn_impl == "flash":
         hidden, tmp = decoder_forward(
             params["model"], cfg.text, h, cos, sin, None, cache=tmp,
@@ -563,21 +593,19 @@ def _prefill_packed_into_pages(params, k_pages, v_pages, cfg, pids, ids,
           .transpose(0, 4, 1, 2, 3, 5).reshape(L, kh, R * npb, page_size, hd))
     vv = (tmp.v.reshape(L, R, npb, page_size, kh, hd)
           .transpose(0, 4, 1, 2, 3, 5).reshape(L, kh, R * npb, page_size, hd))
-    flat = pids.reshape(-1)
-    k_pages = k_pages.at[:, :, flat].set(kk)
-    v_pages = v_pages.at[:, :, flat].set(vv)
+    kv = _scatter_pages(kv, kk, vv, pids.reshape(-1))
     logits = lm_head(params, cfg, hidden[last_rc[:, 0], last_rc[:, 1]])
-    return logits.astype(jnp.float32), k_pages, v_pages
+    return logits.astype(jnp.float32), kv
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "sp", "page_size", "interpret"),
-                   donate_argnums=(1, 2))
-def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
+                   donate_argnums=(1,))
+def _paged_decode_step(params, kv, cfg, sp: SamplingParams,
                        last_logits, cur_len, pos_base, active, page_tables,
                        trash_page, samp, rng, page_size: int = 128,
                        interpret: bool = False):
-    return _paged_decode_body(params, k_pages, v_pages, cfg, sp, last_logits,
+    return _paged_decode_body(params, kv, cfg, sp, last_logits,
                               cur_len, pos_base, active, page_tables,
                               trash_page, samp, rng, page_size=page_size,
                               interpret=interpret)
@@ -586,8 +614,8 @@ def _paged_decode_step(params, k_pages, v_pages, cfg, sp: SamplingParams,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "sp", "page_size", "interpret",
                                     "n_steps"),
-                   donate_argnums=(1, 2))
-def _paged_decode_multi(params, k_pages, v_pages, cfg, sp: SamplingParams,
+                   donate_argnums=(1,))
+def _paged_decode_multi(params, kv, cfg, sp: SamplingParams,
                         last_logits, cur_len, pos_base, active, page_tables,
                         trash_page, samp, rng, page_size: int = 128,
                         interpret: bool = False, n_steps: int = 8):
@@ -595,17 +623,17 @@ def _paged_decode_multi(params, k_pages, v_pages, cfg, sp: SamplingParams,
     pre-allocates pages for the whole window (ensure_capacity) so the fixed
     page_tables cover every write."""
     def body(carry, key):
-        logits, kp, vp, cur = carry
-        tok, logits, kp, vp, cur = _paged_decode_body(
-            params, kp, vp, cfg, sp, logits, cur, pos_base, active,
+        logits, kv_c, cur = carry
+        tok, logits, kv_c, cur = _paged_decode_body(
+            params, kv_c, cfg, sp, logits, cur, pos_base, active,
             page_tables, trash_page, samp, key, page_size=page_size,
             interpret=interpret)
-        return (logits, kp, vp, cur), tok
+        return (logits, kv_c, cur), tok
 
     keys = jax.random.split(rng, n_steps)
-    (logits, k_pages, v_pages, cur), toks = jax.lax.scan(
-        body, (last_logits, k_pages, v_pages, cur_len), keys)
-    return toks, logits, k_pages, v_pages, cur
+    (logits, kv, cur), toks = jax.lax.scan(
+        body, (last_logits, kv, cur_len), keys)
+    return toks, logits, kv, cur
 
 
 class PagedContinuousEngine(ContinuousEngine):
@@ -616,9 +644,15 @@ class PagedContinuousEngine(ContinuousEngine):
 
     def __init__(self, *args, page_size: int = 128,
                  num_pages: int | None = None,
-                 prefill_token_budget: int = 8192, **kwargs):
+                 prefill_token_budget: int = 8192,
+                 kv_quant: str | None = None, **kwargs):
         self._page_size = page_size
         self._num_pages = num_pages
+        # "int8": pages store int8 values + per-(token, head) scale pages —
+        # half the KV bytes per token, so ~2x the pool capacity per HBM GB
+        # (the paged counterpart of the dense engine's kv_quant="int8")
+        assert kv_quant in (None, "int8"), kv_quant
+        self.kv_quant = kv_quant
         # cap the tokens prefilled per batched-admission dispatch: the
         # batch prefill materializes a dense [K, bucket] tmp cache + MLP
         # intermediates, and K=num_slots multimodal buckets OOM a 16 GB
@@ -642,10 +676,23 @@ class PagedContinuousEngine(ContinuousEngine):
         self.pcache = PagedKVCache.create(
             self.cfg.text.num_hidden_layers, num_pages, ps,
             self.cfg.text.num_key_value_heads, self.cfg.text.head_dim,
-            self.num_slots, max_pages, dtype=dtype)
+            self.num_slots, max_pages, dtype=dtype,
+            quantized=self.kv_quant == "int8")
         # reserve one page as the write sink for inactive slots
         self.trash_page = self.pcache.free_pages.pop()
         self._interpret = jax.default_backend() != "tpu"
+
+    def _kv(self):
+        pc = self.pcache
+        return ((pc.k, pc.v, pc.k_scale, pc.v_scale) if pc.quantized
+                else (pc.k, pc.v))
+
+    def _set_kv(self, kv) -> None:
+        pc = self.pcache
+        if pc.quantized:
+            pc.k, pc.v, pc.k_scale, pc.v_scale = kv
+        else:
+            pc.k, pc.v = kv
 
     def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens,
                       vision_embeds=None):
@@ -657,12 +704,13 @@ class PagedContinuousEngine(ContinuousEngine):
         if len(pc.free_pages) < np_all:
             raise RuntimeError("paged KV cache out of pages")
         pids = [pc._alloc() for _ in range(np_all)]  # refcount=1 each
-        logits, pc.k, pc.v = _prefill_into_pages(
-            self.params, pc.k, pc.v, self.cfg,
+        logits, kv = _prefill_into_pages(
+            self.params, self._kv(), self.cfg,
             jnp.asarray(pids, jnp.int32), jnp.asarray(padded),
             jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
             vision_embeds=vision_embeds, attn_impl=self.attn_impl,
             page_size=ps)
+        self._set_kv(kv)
         # keep only the pages the true prompt occupies
         pc.page_tables[slot] = -1
         pc.page_tables[slot, :np_used] = pids[:np_used]
@@ -681,20 +729,22 @@ class PagedContinuousEngine(ContinuousEngine):
         tables = np.where(pc.page_tables >= 0, pc.page_tables,
                           self.trash_page).astype(np.int32)
         if steps == 1:
-            tok, self.last_logits, pc.k, pc.v, new_len = _paged_decode_step(
-                self.params, pc.k, pc.v, self.cfg, self.sp, self.last_logits,
+            tok, self.last_logits, kv, new_len = _paged_decode_step(
+                self.params, self._kv(), self.cfg, self.sp, self.last_logits,
                 jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
                 jnp.asarray(active), jnp.asarray(tables),
                 jnp.int32(self.trash_page), self._samp_arrays(), rng,
                 page_size=self._page_size, interpret=self._interpret)
+            self._set_kv(kv)
             return tok[None], new_len
-        toks, self.last_logits, pc.k, pc.v, new_len = _paged_decode_multi(
-            self.params, pc.k, pc.v, self.cfg, self.sp, self.last_logits,
+        toks, self.last_logits, kv, new_len = _paged_decode_multi(
+            self.params, self._kv(), self.cfg, self.sp, self.last_logits,
             jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
             jnp.asarray(active), jnp.asarray(tables),
             jnp.int32(self.trash_page), self._samp_arrays(), rng,
             page_size=self._page_size, interpret=self._interpret,
             n_steps=steps)
+        self._set_kv(kv)
         return toks, new_len
 
     def submit_batch(self, items: list) -> list:
@@ -784,11 +834,12 @@ class PagedContinuousEngine(ContinuousEngine):
                     for c in range(np_all):
                         pids[r, c] = pc._alloc()
                 try:
-                    logits, pc.k, pc.v = _prefill_into_pages_batch(
-                        self.params, pc.k, pc.v, self.cfg, jnp.asarray(pids),
+                    logits, kv = _prefill_into_pages_batch(
+                        self.params, self._kv(), self.cfg, jnp.asarray(pids),
                         jnp.asarray(padded), jnp.asarray(pos),
                         jnp.asarray(lens), vision_embeds=embeds,
                         attn_impl=self.attn_impl, page_size=ps)
+                    self._set_kv(kv)
                 except Exception:
                     # unwind this chunk's pages (no slot references them yet)
                     # and return the PARTIAL result — earlier chunks are
@@ -914,11 +965,12 @@ class PagedContinuousEngine(ContinuousEngine):
             last_rc[q] = (row, col + L - 1)
 
         try:
-            logits, pc.k, pc.v = _prefill_packed_into_pages(
-                self.params, pc.k, pc.v, self.cfg, jnp.asarray(pids),
+            logits, kv = _prefill_packed_into_pages(
+                self.params, self._kv(), self.cfg, jnp.asarray(pids),
                 jnp.asarray(ids_p), jnp.asarray(pos), jnp.asarray(seg),
                 jnp.asarray(last_rc), attn_impl=self.attn_impl,
                 page_size=ps)
+            self._set_kv(kv)
         except Exception:
             for pages in page_lists:
                 for pg in pages:
@@ -966,8 +1018,8 @@ class PagedContinuousEngine(ContinuousEngine):
                                         != 0))
         if cow is not None:
             old, new = cow
-            pc.k, pc.v = _copy_page(pc.k, pc.v, jnp.int32(old),
-                                    jnp.int32(new))
+            self._set_kv(_copy_page(self._kv(), jnp.int32(old),
+                                    jnp.int32(new)))
 
 
 def _run_loop_impl(engine, request_queue: "queue.Queue",

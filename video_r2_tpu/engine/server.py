@@ -35,7 +35,7 @@ class ChatEngine:
                  act_quant: str | None = None,
                  continuous: bool = False, num_slots: int = 8,
                  max_len: int = 4096, mesh=None, engine_kind: str = "slots",
-                 page_size: int = 128):
+                 page_size: int = 128, kv_quant: str | None = None):
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
         # parallel.sharding rules; the KV cache shards on heads over "tp".
@@ -67,7 +67,8 @@ class ChatEngine:
             # per-slot max-length reservation — the vLLM serving core)
             eng_cls = (PagedContinuousEngine if engine_kind == "paged"
                        else ContinuousEngine)
-            kw = {"page_size": page_size} if engine_kind == "paged" else {}
+            kw = ({"page_size": page_size, "kv_quant": kv_quant}
+                  if engine_kind == "paged" else {})
             self._cont = eng_cls(
                 params, cfg, num_slots=num_slots, max_len=max_len,
                 sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),

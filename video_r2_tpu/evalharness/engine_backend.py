@@ -365,7 +365,7 @@ class EngineBackend:
             sp=SamplingParams(eos_token_ids=(self.cfg.eos_token_id,),
                               pad_token_id=self.cfg.pad_token_id),
             attn_impl=self.attn_impl, prompt_buckets=tuple(buckets),
-            page_size=ps)
+            page_size=ps, kv_quant=self.kv_quant)
         return self._cont
 
     def _run_continuous(self, loader, indices, gen_kwargs):

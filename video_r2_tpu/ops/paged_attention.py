@@ -156,6 +156,86 @@ def _paged_decode_kernel_stacked(lengths_ref, tables_ref, layer_ref, q_ref,
     o_ref[0, 0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
 
 
+def _paged_decode_kernel_stacked_quant(lengths_ref, tables_ref, layer_ref,
+                                       q_ref, kp_ref, vp_ref, ks_ref, vs_ref,
+                                       o_ref, k_scratch, v_scratch,
+                                       ks_scratch, vs_scratch, sem, *,
+                                       page_size: int, scale: float,
+                                       max_pages: int):
+    """int8-page variant: per-(token, head) absmax scales ride in their own
+    scale pages and factor OUT of both dots (quant_dot_product_attention
+    math — q.(k_q*s) == (q.k_q)*s and sum p*(v_q*s) == sum (p*s)*v_q), so
+    the page DMAs are half the bytes and nothing dequantized ever
+    materializes in HBM."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    L = lengths_ref[b]
+    lyr = layer_ref[0]
+    n_pages = pl.cdiv(L, page_size)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # [g, hd]
+    g, hd = q.shape
+
+    def dma(slot, p_idx):
+        page_id = tables_ref[b, p_idx]
+        return (
+            pltpu.make_async_copy(kp_ref.at[lyr, h, page_id],
+                                  k_scratch.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(vp_ref.at[lyr, h, page_id],
+                                  v_scratch.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(ks_ref.at[lyr, h, page_id],
+                                  ks_scratch.at[slot], sem.at[slot, 2]),
+            pltpu.make_async_copy(vs_ref.at[lyr, h, page_id],
+                                  vs_scratch.at[slot], sem.at[slot, 3]),
+        )
+
+    for c in dma(0, 0):
+        c.start()
+
+    @pl.when(n_pages > 1)
+    def _():
+        for c in dma(1, 1):
+            c.start()
+
+    def body(p, carry):
+        acc, m_i, l_i = carry
+        slot = p % 3
+
+        @pl.when(p + 2 < n_pages)
+        def _():
+            for c in dma((p + 2) % 3, p + 2):
+                c.start()
+
+        for c in dma(slot, p):
+            c.wait()
+
+        k = k_scratch[slot].astype(jnp.float32)          # [P, hd] int8->f32
+        v = v_scratch[slot].astype(jnp.float32)
+        ks = ks_scratch[slot].astype(jnp.float32)        # [P]
+        vs = vs_scratch[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * ks[None, :]                              # factored k scales
+        kpos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (g, page_size), 1)
+        s = jnp.where(kpos < L, s, NEG_INF)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        pexp = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = alpha * l_i + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            pexp * vs[None, :], v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # factored v scales
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((g, hd), jnp.float32)
+    m_i = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((g, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, n_pages, body, (acc, m_i, l_i))
+    o_ref[0, 0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
 def paged_decode_attention_stacked(
     q: jax.Array,            # [B, nh, hd] single decode step
@@ -166,19 +246,46 @@ def paged_decode_attention_stacked(
     layer: jax.Array,        # scalar int32 — layer to read
     page_size: int = DEFAULT_PAGE_SIZE,
     interpret: bool = False,
+    k_scales: jax.Array | None = None,  # [L, kh, N_pages, page_size] f32
+    v_scales: jax.Array | None = None,  # (int8 pages)
 ) -> jax.Array:
     """Like paged_decode_attention but reads one layer out of the stacked
     page pool (scalar-prefetched index) — the pool stays put in HBM inside
-    the decode layer scan, no per-layer slice materialization."""
+    the decode layer scan, no per-layer slice materialization. With
+    k_scales/v_scales the pages are int8 (half the KV bytes -> ~2x page
+    capacity per HBM GB) and the scales factor out of both dots."""
     B, nh, hd = q.shape
     kh = k_pages.shape[1]
     g = nh // kh
     max_pages = page_tables.shape[1]
     qg = q.reshape(B, kh, g, hd)
+    quant = k_scales is not None
 
-    kernel = functools.partial(
-        _paged_decode_kernel_stacked, page_size=page_size, scale=hd ** -0.5,
-        max_pages=max_pages)
+    if quant:
+        kernel = functools.partial(
+            _paged_decode_kernel_stacked_quant, page_size=page_size,
+            scale=hd ** -0.5, max_pages=max_pages)
+        extra_in = [pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY)]
+        extra_args = (k_scales, v_scales)
+        scratch = [
+            pltpu.VMEM((3, page_size, hd), k_pages.dtype),
+            pltpu.VMEM((3, page_size, hd), v_pages.dtype),
+            pltpu.VMEM((3, page_size), k_scales.dtype),
+            pltpu.VMEM((3, page_size), v_scales.dtype),
+            pltpu.SemaphoreType.DMA((3, 4)),
+        ]
+    else:
+        kernel = functools.partial(
+            _paged_decode_kernel_stacked, page_size=page_size,
+            scale=hd ** -0.5, max_pages=max_pages)
+        extra_in = []
+        extra_args = ()
+        scratch = [
+            pltpu.VMEM((3, page_size, hd), k_pages.dtype),
+            pltpu.VMEM((3, page_size, hd), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -188,19 +295,17 @@ def paged_decode_attention_stacked(
                 pl.BlockSpec((1, 1, g, hd), lambda b, h, L, T, lyr: (b, h, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                *extra_in,
             ],
             out_specs=pl.BlockSpec((1, 1, g, hd),
                                    lambda b, h, L, T, lyr: (b, h, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((3, page_size, hd), k_pages.dtype),
-                pltpu.VMEM((3, page_size, hd), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((3, 2)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, kh, g, hd), q.dtype),
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
-      jnp.asarray(layer, jnp.int32).reshape(1), qg, k_pages, v_pages)
+      jnp.asarray(layer, jnp.int32).reshape(1), qg, k_pages, v_pages,
+      *extra_args)
     return out.reshape(B, nh, hd)
 
 
@@ -269,19 +374,35 @@ class PagedKVCache:
     free_pages: list[int]
     refcount: np.ndarray = None  # [N_pages] int32: sharers per page (prefix
                                  # sharing — vLLM block refcounting)
+    # int8 pool: per-(token, head) absmax scales [L, kh, N_pages, page_size]
+    # (quantize_kv scheme — CLAUDE.md int8 KV cache); None for bf16 pools
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @classmethod
     def create(cls, num_layers: int, num_pages: int, page_size: int,
                kv_heads: int, head_dim: int, batch: int, max_pages: int,
-               dtype=jnp.bfloat16) -> "PagedKVCache":
+               dtype=jnp.bfloat16, quantized: bool = False) -> "PagedKVCache":
         shape = (num_layers, kv_heads, num_pages, page_size, head_dim)
+        if quantized:
+            sshape = shape[:-1]
+            extra = dict(k=jnp.zeros(shape, jnp.int8),
+                         v=jnp.zeros(shape, jnp.int8),
+                         k_scale=jnp.zeros(sshape, jnp.float32),
+                         v_scale=jnp.zeros(sshape, jnp.float32))
+        else:
+            extra = dict(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
         return cls(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
             page_size=page_size,
             page_tables=np.full((batch, max_pages), -1, np.int32),
             lengths=np.zeros((batch,), np.int32),
             free_pages=list(range(num_pages - 1, -1, -1)),
             refcount=np.zeros((num_pages,), np.int32),
+            **extra,
         )
 
     def _alloc(self) -> int:
@@ -341,6 +462,16 @@ class PagedKVCache:
         # k_new: [L, B_sel, kh, hd] -> write at [:, kh, page, offset]
         kn = jnp.swapaxes(k_new, 1, 2)
         vn = jnp.swapaxes(v_new, 1, 2)
-        self.k = self.k.at[:, :, pid, off].set(kn)
-        self.v = self.v.at[:, :, pid, off].set(vn)
+        if self.quantized:
+            from ..models.decoder import quantize_kv
+
+            kq, ks = quantize_kv(kn)
+            vq, vs = quantize_kv(vn)
+            self.k = self.k.at[:, :, pid, off].set(kq)
+            self.v = self.v.at[:, :, pid, off].set(vq)
+            self.k_scale = self.k_scale.at[:, :, pid, off].set(ks)
+            self.v_scale = self.v_scale.at[:, :, pid, off].set(vs)
+        else:
+            self.k = self.k.at[:, :, pid, off].set(kn)
+            self.v = self.v.at[:, :, pid, off].set(vn)
         self.lengths[seq_ids] += 1

@@ -66,6 +66,9 @@ class GRPOConfig:
     # paged backend: decode tokens per dispatch (multi-step window) —
     # rollouts are throughput-bound, so window freely
     rollout_decode_steps: int = 8
+    # "int8": int8 page pool for rollouts (half the KV bytes per token ->
+    # ~2x pool capacity; scale pages factored out of both attention dots)
+    rollout_kv_quant: str | None = None
 
 
 # ---------------------------------------------------------------------------

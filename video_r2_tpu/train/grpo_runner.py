@@ -322,7 +322,8 @@ class GRPORunner:
             sp=SamplingParams(eos_token_ids=(self.cfg.eos_token_id,),
                               pad_token_id=self.cfg.pad_token_id),
             attn_impl=self.attn_impl, prompt_buckets=tuple(buckets),
-            page_size=page, seed=self._seed)
+            page_size=page, seed=self._seed,
+            kv_quant=self.gcfg.rollout_kv_quant)
         return self._rollout_eng
 
     def _rollout_continuous(self, token_lists, prepared, G, sp):

@@ -114,10 +114,12 @@ def test_paged_engine_releases_pages(cfg_params, rng):
     from video_r2_tpu.engine.continuous import PagedContinuousEngine
 
     cfg, params = cfg_params
+    # prefix_cache=False: with APC on, released full prompt pages park in
+    # the evictable LRU instead of the free list (covered separately below)
     eng = PagedContinuousEngine(
         params, cfg, num_slots=2, max_len=64,
         sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
-        prompt_buckets=(16,), page_size=16)
+        prompt_buckets=(16,), page_size=16, prefix_cache=False)
     free0 = len(eng.pcache.free_pages)
     p1 = list(rng.integers(2, 400, size=6))
     r1 = eng.submit(p1, max_new_tokens=4)
@@ -779,13 +781,15 @@ def test_fork_shared_full_pages_survive_source_release(cfg_params, rng):
             # refcount fix this stole + overwrote the shared prompt pages
             eng.submit(list(rng.integers(2, 400, size=24)), max_new_tokens=2)
     assert out[frk] == ref[next(iter(ref))]
-    # no double-free: pool returns exactly to baseline
+    # no double-free: the allocatable pool (free + evictable-cached, APC)
+    # returns exactly to baseline with no duplicate page ids
     while eng.num_active:
         for r, t in eng.step():
             out[r] = t
-    assert len(eng.pcache.free_pages) == free0
+    assert eng.pcache.available_pages() == free0
     assert (eng.pcache.refcount == 0).all()
-    assert len(set(eng.pcache.free_pages)) == len(eng.pcache.free_pages)
+    all_ids = list(eng.pcache.free_pages) + list(eng.pcache.evictable)
+    assert len(set(all_ids)) == len(all_ids)
 
 
 def test_per_request_eos_override(cfg_params, rng):
@@ -885,3 +889,260 @@ def test_submit_batch_matches_sequential(cfg_params, rng):
             out[r] = t
     assert [out[r] for r in rids] == ref_tokens
     assert len(eng.pcache.free_pages) == free0  # pages all returned
+
+
+# ---------------------------------------------------------------------------
+# Automatic prefix caching (vLLM APC parity)
+# ---------------------------------------------------------------------------
+
+def _drain(eng):
+    out = {}
+    while eng.num_active:
+        for r, t in eng.step():
+            out[r] = t
+    return out
+
+
+def test_prefix_cache_hit_parity(cfg_params, rng):
+    """Full- and shared-prefix resubmissions reuse cached pages and decode
+    token-exactly vs batch generate; the suffix prefill runs instead of the
+    full prefill on the hit path."""
+    from video_r2_tpu.engine import continuous as C
+
+    cfg, params = cfg_params
+    shared = list(rng.integers(2, 400, size=20))        # > one 16-token page
+    pA = shared + list(rng.integers(2, 400, size=5))
+    pB = shared + list(rng.integers(2, 400, size=9))
+    T = 6
+    sp = SamplingParams(max_new_tokens=T, pad_token_id=cfg.pad_token_id,
+                        eos_token_ids=())
+
+    def ref(p):
+        r = generate(params, cfg, np.asarray([p]), np.asarray([len(p)]), sp)
+        return list(r.sequences[0][:T])
+
+    eng = C.PagedContinuousEngine(
+        params, cfg, num_slots=4, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16, 32), page_size=16)
+
+    suffix_calls = []
+    orig = C._prefill_suffix_into_pages
+
+    def counting(*a, **k):
+        suffix_calls.append(1)
+        return orig(*a, **k)
+
+    C._prefill_suffix_into_pages = counting
+    try:
+        rid = eng.submit(pA, max_new_tokens=T)
+        a1 = _drain(eng)[rid]
+        assert not suffix_calls                     # cold: full prefill
+        assert eng.prefix_match_len(pA) == 16
+        rid = eng.submit(pA, max_new_tokens=T)
+        a2 = _drain(eng)[rid]
+        rid = eng.submit(pB, max_new_tokens=T)
+        b1 = _drain(eng)[rid]
+        assert len(suffix_calls) == 2               # both hits took APC
+    finally:
+        C._prefill_suffix_into_pages = orig
+    assert a1 == ref(pA) == a2
+    assert b1 == ref(pB)
+
+
+def test_prefix_cache_accounting_and_disable(cfg_params, rng):
+    """Released full prompt pages park in the evictable LRU (still
+    allocatable); prefix_cache=False keeps the plain free-list behavior."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    p = list(rng.integers(2, 400, size=20))
+    for apc in (True, False):
+        eng = PagedContinuousEngine(
+            params, cfg, num_slots=2, max_len=64,
+            sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                              eos_token_ids=()),
+            prompt_buckets=(32,), page_size=16, prefix_cache=apc)
+        avail0 = eng.pcache.available_pages()
+        rid = eng.submit(p, max_new_tokens=3)
+        _drain(eng)
+        assert eng.pcache.available_pages() == avail0
+        assert len(eng.pcache.evictable) == (1 if apc else 0)
+        assert eng.prefix_match_len(p) == (16 if apc else 0)
+
+
+def test_prefix_cache_eviction_under_pressure(cfg_params, rng):
+    """When the free list runs dry, allocation evicts the LRU cached page
+    and the evicted prefix stops matching; new requests still decode."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    # 5 pages: 1 trash + 4 usable; every 17+-token prompt needs 2
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=3, max_len=32,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(32,), page_size=16, num_pages=5)
+    p1 = list(rng.integers(2, 400, size=17))
+    r1 = eng.submit(p1, max_new_tokens=2)
+    out = _drain(eng)
+    assert len(out[r1]) == 2
+    assert eng.prefix_match_len(p1) == 16           # page parked evictable
+    p2 = list(rng.integers(400, 500, size=17))
+    p3 = list(rng.integers(300, 400, size=17))
+    r2 = eng.submit(p2, max_new_tokens=2)
+    r3 = eng.submit(p3, max_new_tokens=2)           # forces eviction of p1's page
+    out = _drain(eng)
+    assert len(out[r2]) == 2 and len(out[r3]) == 2
+    assert eng.prefix_match_len(p1) == 0            # evicted
+
+
+def test_prefix_cache_shared_live_pages(cfg_params, rng):
+    """A cached page matched by a SECOND live request is refcount-shared;
+    both decode correctly and the page parks evictable exactly once."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    shared = list(rng.integers(2, 400, size=16))
+    pA = shared + list(rng.integers(2, 400, size=4))
+    pB = shared + list(rng.integers(2, 400, size=7))
+    T = 5
+    sp1 = SamplingParams(max_new_tokens=T, pad_token_id=cfg.pad_token_id,
+                         eos_token_ids=())
+
+    def ref(p):
+        r = generate(params, cfg, np.asarray([p]), np.asarray([len(p)]), sp1)
+        return list(r.sequences[0][:T])
+
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=4, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(32,), page_size=16)
+    rA = eng.submit(pA, max_new_tokens=T)
+    shared_page = int(eng.pcache.page_tables[
+        next(i for i, r in enumerate(eng.slot_req) if r and r.rid == rA), 0])
+    rB = eng.submit(pB, max_new_tokens=T)           # matches while A is live
+    assert eng.pcache.refcount[shared_page] == 2
+    out = _drain(eng)
+    assert out[rA] == ref(pA) and out[rB] == ref(pB)
+    assert eng.pcache.refcount[shared_page] == 0
+    assert shared_page in eng.pcache.evictable
+
+
+def test_prefix_cache_multimodal_media_key(rng):
+    """Vision prompts share cached prefixes only under an explicit
+    media_key (same pixels); without one the chain stops at the first
+    vision-bearing page. Hit path is token-exact."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+    from video_r2_tpu.models import (
+        init_params,
+        plan_vision_layout,
+        tiny_test_config,
+    )
+    from video_r2_tpu.models.vision import vit_forward
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    grid = (2, 4, 8)                                # 16 merged video tokens
+    layout = plan_vision_layout([grid], cfg.vision)
+    patches = rng.normal(size=(64, cfg.vision.patch_input_dim)).astype(np.float32)
+    embeds = vit_forward(params["visual"], cfg.vision, jnp.asarray(patches),
+                         layout)
+    ids = np.concatenate([
+        [5, 6], [cfg.vision_start_token_id],
+        [cfg.video_token_id] * 16, [cfg.vision_end_token_id],
+        [7, 8, 9]]).astype(np.int32)                # 23 tokens, page0 has vision
+    T = 5
+    key = ("clip.mp4", grid, 1.0)
+
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(32,), page_size=16, embed_bucket=8)
+
+    def run(media_key):
+        rid = eng.submit(list(ids), max_new_tokens=T, vision_embeds=embeds,
+                         video_grid_thw=[grid], second_per_grid_ts=[1.0],
+                         media_key=media_key)
+        return _drain(eng)[rid]
+
+    cold = run(key)
+    assert eng.prefix_match_len(ids, media_key=key) == 16
+    assert eng.prefix_match_len(ids) == 0           # no media_key -> no match
+    hit = run(key)
+    assert hit == cold
+    nokey = run(None)                               # full prefill, still correct
+    assert nokey == cold
+
+
+def test_prefix_cache_int8_pool(cfg_params, rng):
+    """APC over the int8 page pool: the suffix prefill gathers + dequantizes
+    prefix pages (scales factored back in) and the hit decode matches the
+    cold decode."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    p = list(rng.integers(2, 400, size=21))
+    T = 5
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(32,), page_size=16, kv_quant="int8")
+
+    def run():
+        rid = eng.submit(p, max_new_tokens=T)
+        return _drain(eng)[rid]
+
+    cold = run()
+    assert eng.prefix_match_len(p) == 16
+    hit = run()
+    assert hit == cold
+
+
+def test_prefix_cache_submit_batch_prepass(cfg_params, rng):
+    """A burst whose items share a cached prefix routes through the APC
+    pre-pass (suffix prefills, no full batched prefill for the hits) and
+    stays token-exact vs sequential submit on a cold engine."""
+    from video_r2_tpu.engine import continuous as C
+
+    cfg, params = cfg_params
+    shared = list(rng.integers(2, 400, size=18))
+    tails = [list(rng.integers(2, 400, size=n)) for n in (3, 5, 7)]
+    prompts = [shared + t for t in tails]
+    fresh = list(rng.integers(2, 400, size=9))
+    T = 5
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def build(apc):
+        return C.PagedContinuousEngine(
+            params, cfg, num_slots=6, max_len=64, sp=sp,
+            prompt_buckets=(16, 32), page_size=16, prefix_cache=apc)
+
+    ref_eng = build(False)
+    ref_rids = [ref_eng.submit(p, max_new_tokens=T)
+                for p in prompts + [fresh]]
+    ref_out = _drain(ref_eng)
+    ref_tokens = [ref_out[r] for r in ref_rids]
+
+    eng = build(True)
+    rid0 = eng.submit(prompts[0], max_new_tokens=T)  # prime the cache
+    t0 = _drain(eng)[rid0]
+    assert t0 == ref_tokens[0]
+
+    suffix_calls = []
+    orig = C._prefill_suffix_into_pages
+
+    def counting(*a, **k):
+        suffix_calls.append(1)
+        return orig(*a, **k)
+
+    C._prefill_suffix_into_pages = counting
+    try:
+        rids = eng.submit_batch([(p, T) for p in prompts + [fresh]])
+        assert all(r is not None for r in rids)
+        out = _drain(eng)
+    finally:
+        C._prefill_suffix_into_pages = orig
+    assert [out[r] for r in rids] == ref_tokens
+    assert len(suffix_calls) == 3                   # the three shared-prefix hits

@@ -431,6 +431,97 @@ def _prefill_into_pages(params, kv, cfg, pids, ids,
     return logits.astype(jnp.float32), kv
 
 
+def _prefix_page_hashes(ids: np.ndarray, page_size: int,
+                        vision_token_ids: tuple[int, ...],
+                        media_key) -> list[bytes]:
+    """Chain hashes for the FULL pages of a prompt (vLLM APC block hashing):
+    h_p = sha256(h_{p-1} || page_tokens [|| media_key if the page holds
+    vision tokens]). KV content of a page depends only on the token prefix
+    (and, for vision pads, the pixel content + grid + spg — which the caller
+    must fold into `media_key`), so equal chains ⇒ equal KV. Without a
+    media_key the chain STOPS at the first vision-bearing page: identical
+    <|video_pad|> runs with different pixels must never collide."""
+    import hashlib
+
+    out: list[bytes] = []
+    h = b""
+    for p in range(len(ids) // page_size):
+        page = ids[p * page_size:(p + 1) * page_size]
+        has_vision = bool(np.isin(page, vision_token_ids).any())
+        if has_vision and media_key is None:
+            break
+        hh = hashlib.sha256(h)
+        hh.update(page.tobytes())
+        if has_vision:
+            hh.update(repr(media_key).encode())
+        h = hh.digest()
+        out.append(h)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "page_size"),
+                   donate_argnums=(1,))
+def _prefill_suffix_into_pages(params, kv, cfg, prefix_pids, new_pids, ids,
+                               position_ids, prefix_len, suffix_len,
+                               vision_embeds=None, page_size: int = 128):
+    """Prefill only the SUFFIX of a prompt whose page-aligned prefix KV is
+    already in the pool (automatic prefix cache hit): gather the prefix
+    pages into a dense history, run the decoder over the suffix tokens
+    attending to [history | suffix], and scatter the new suffix KV into
+    `new_pids`. Compute drops from O(full prompt) to O(suffix).
+
+    prefix_pids: [m_pad] page ids (trash-padded to a power of two; only the
+    first prefix_len//page_size carry real history — masked via prefix_len).
+    ids/position_ids: the SUFFIX slice of the bucket-padded prompt
+    ([1, S_suf], [3, 1, S_suf]). The mid-sequence gap between valid history
+    and suffix queries needs an explicit bias, so attention runs on the XLA
+    path (same limitation as the GRPO [prompt_pad | completion] layout —
+    the flash kernel's prefix-length masking can't express it)."""
+    h = params["model"]["embed_tokens"]["embedding"][ids]
+    if vision_embeds is not None:
+        from ..models.model import merge_vision_embeddings
+
+        h = merge_vision_embeddings(ids, h, vision_embeds, cfg.video_token_id)
+    cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
+    S_suf = ids.shape[1]
+    m_pad = prefix_pids.shape[0]
+    K_pref = m_pad * page_size
+
+    quant = len(kv) == 4
+    kp = kv[0][:, :, prefix_pids]            # [L, kh, m_pad, ps, hd]
+    vp = kv[1][:, :, prefix_pids]
+    if quant:
+        kp = (kp.astype(jnp.float32) * kv[2][:, :, prefix_pids][..., None])
+        vp = (vp.astype(jnp.float32) * kv[3][:, :, prefix_pids][..., None])
+    L, kh, _, _, hd = kp.shape
+    # [L, kh, m_pad, ps, hd] -> [L, 1, K_pref, kh, hd] (tmp-cache layout)
+    kpre = kp.reshape(L, kh, K_pref, hd).transpose(0, 2, 1, 3)[:, None]
+    vpre = vp.reshape(L, kh, K_pref, hd).transpose(0, 2, 1, 3)[:, None]
+    zeros = jnp.zeros((L, 1, S_suf, kh, hd), h.dtype)
+    tmp = KVCache(jnp.concatenate([kpre.astype(h.dtype), zeros], axis=2),
+                  jnp.concatenate([vpre.astype(h.dtype), zeros], axis=2))
+
+    i = jnp.arange(S_suf)[:, None]
+    j = jnp.arange(K_pref + S_suf)[None, :]
+    allowed = ((j < prefix_len[:, None, None])
+               | ((j >= K_pref) & ((j - K_pref) <= i)
+                  & ((j - K_pref) < suffix_len[:, None, None])))
+    bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
+    hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
+                                  bias, cache=tmp, cache_position=K_pref,
+                                  attn_impl="xla", causal=False,
+                                  cache_fill=True)
+    npb = S_suf // page_size
+    kk = (tmp.k[:, 0, K_pref:].reshape(L, npb, page_size, kh, hd)
+          .transpose(0, 3, 1, 2, 4))
+    vv = (tmp.v[:, 0, K_pref:].reshape(L, npb, page_size, kh, hd)
+          .transpose(0, 3, 1, 2, 4))
+    kv = _scatter_pages(kv, kk, vv, new_pids)
+    logits = lm_head(params, cfg, hidden[0, suffix_len[0] - 1])
+    return logits.astype(jnp.float32), kv
+
+
 def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
                        last_logits, cur_len, pos_base, active, page_tables,
                        trash_page, samp, rng, page_size: int = 128,
@@ -645,9 +736,17 @@ class PagedContinuousEngine(ContinuousEngine):
     def __init__(self, *args, page_size: int = 128,
                  num_pages: int | None = None,
                  prefill_token_budget: int = 8192,
-                 kv_quant: str | None = None, **kwargs):
+                 kv_quant: str | None = None,
+                 prefix_cache: bool = True, **kwargs):
         self._page_size = page_size
         self._num_pages = num_pages
+        # Automatic prefix caching (vLLM APC): full prompt pages are
+        # registered under content chain-hashes; released pages park in an
+        # LRU pool and a later prompt sharing the prefix reuses their KV,
+        # prefilling only the suffix. The serving/judge win: every TAC/VAS/
+        # TAR judge call repeats the same long system+rubric prefix.
+        self.prefix_cache = prefix_cache
+        self._media_key = None   # threaded from submit() into _prefill_slot
         # "int8": pages store int8 values + per-(token, head) scale pages —
         # half the KV bytes per token, so ~2x the pool capacity per HBM GB
         # (the paged counterpart of the dense engine's kv_quant="int8")
@@ -694,6 +793,173 @@ class PagedContinuousEngine(ContinuousEngine):
         else:
             pc.k, pc.v = kv
 
+    def _vision_ids(self) -> tuple[int, int]:
+        return (self.cfg.image_token_id, self.cfg.video_token_id)
+
+    def prefix_match_len(self, prompt_ids, media_key=None) -> int:
+        """Peek (no acquisition): how many prompt TOKENS are prefix-cached."""
+        if not self.prefix_cache:
+            return 0
+        ids = np.asarray(prompt_ids, np.int32)
+        hashes = _prefix_page_hashes(ids, self._page_size, self._vision_ids(),
+                                     media_key)
+        m = 0
+        for h in hashes[:max(0, (ids.shape[0] - 1) // self._page_size)]:
+            if h in self.pcache.hash_to_page:
+                m += 1
+            else:
+                break
+        return m * self._page_size
+
+    def _register_prefix(self, ids: np.ndarray, pids, media_key=None) -> None:
+        """Register a just-prefilled prompt's FULL pages in the prefix cache.
+        ids: the true (unpadded) prompt tokens; pids: its page ids in order."""
+        if not self.prefix_cache:
+            return
+        pc, ps = self.pcache, self._page_size
+        hashes = _prefix_page_hashes(np.asarray(ids, np.int32), ps,
+                                     self._vision_ids(), media_key)
+        n_full = min(len(hashes), len(ids) // ps)
+        pc.cache_pages(hashes[:n_full], [int(p) for p in pids[:n_full]])
+
+    def submit(self, prompt_ids, max_new_tokens: int = 128,
+               done_cb: Callable | None = None,
+               sp: SamplingParams | None = None,
+               vision_embeds=None, video_grid_thw=None,
+               second_per_grid_ts=None,
+               tok_cb: Callable | None = None,
+               media_key=None) -> Optional[int]:
+        """Paged submit: tries the automatic prefix cache first (prefill only
+        the un-cached suffix), falling through to the full prefill.
+        `media_key` identifies vision CONTENT (e.g. (video path, grid, spg))
+        so multimodal prefixes can share; without it, sharing stops at the
+        first vision token (different pixels behind identical <|video_pad|>
+        runs must never collide)."""
+        if self.prefix_cache:
+            rid = self._try_prefix_admit(
+                prompt_ids, max_new_tokens, done_cb, sp, tok_cb,
+                vision_embeds=vision_embeds, video_grid_thw=video_grid_thw,
+                second_per_grid_ts=second_per_grid_ts, media_key=media_key)
+            if rid is not None:
+                return rid
+        self._media_key = media_key
+        try:
+            return super().submit(prompt_ids, max_new_tokens, done_cb, sp=sp,
+                                  vision_embeds=vision_embeds,
+                                  video_grid_thw=video_grid_thw,
+                                  second_per_grid_ts=second_per_grid_ts,
+                                  tok_cb=tok_cb)
+        finally:
+            self._media_key = None
+
+    def _try_prefix_admit(self, prompt_ids, max_new_tokens, done_cb, sp,
+                          tok_cb, vision_embeds=None, video_grid_thw=None,
+                          second_per_grid_ts=None, media_key=None
+                          ) -> Optional[int]:
+        """Admit via the prefix cache when ≥1 full page of the prompt's KV
+        is pooled: acquire the cached run, prefill only the suffix
+        (suffix-bucket-sized dispatch), extend the cached chain with the
+        newly full pages. Returns None (nothing acquired) when there is no
+        slot, no match, or no room — caller falls through to full prefill."""
+        slot = next((i for i, r in enumerate(self.slot_req) if r is None),
+                    None)
+        if slot is None:
+            return None
+        pc, ps = self.pcache, self._page_size
+        ids = np.asarray(prompt_ids, np.int32)
+        room = max(self.max_len - max_new_tokens - 1, 8)
+        if ids.shape[0] > room:
+            if vision_embeds is not None:
+                raise ValueError(
+                    f"multimodal prompt of {ids.shape[0]} tokens exceeds "
+                    f"slot room {room}; raise max_len or reduce frames")
+            ids = ids[-room:]
+        true_len = ids.shape[0]
+        hashes = _prefix_page_hashes(ids, ps, self._vision_ids(), media_key)
+        matched = pc.match_pages(hashes[:(true_len - 1) // ps])
+        m = len(matched)
+        if m == 0:
+            return None
+        k = m * ps
+        # tight suffix bucket: the dispatch covers only the un-cached tail
+        suf_bucket = next((b for b in self.prompt_buckets
+                           if b >= true_len - k), self.max_len)
+        # full-prompt bucket for positions/request bookkeeping
+        bucket = next((b for b in self.prompt_buckets if b >= true_len),
+                      self.max_len)
+        bucket = max(bucket, k + suf_bucket)
+        n_new = suf_bucket // ps
+        if pc.available_pages() < n_new:
+            pc.release_pages([int(p) for p in matched])
+            return None
+        padded = np.full((1, bucket), self.cfg.pad_token_id, np.int32)
+        padded[0, :true_len] = ids
+        mask = (np.arange(bucket)[None, :] < true_len).astype(np.int64)
+        pos, deltas = get_rope_index(
+            padded, self.cfg,
+            video_grid_thw=(np.asarray(video_grid_thw)
+                            if video_grid_thw is not None else None),
+            second_per_grid_ts=(np.asarray(second_per_grid_ts)
+                                if second_per_grid_ts is not None else None),
+            attention_mask=mask)
+        embeds = None
+        if vision_embeds is not None and bool(
+                np.isin(ids[k:], self._vision_ids()).any()):
+            # suffix rows of the merge = embeds past the prefix's vision run
+            n_pre = int(np.isin(ids[:k], self._vision_ids()).sum())
+            tail = jnp.asarray(vision_embeds)[n_pre:]
+            nb = -(-tail.shape[0] // self.embed_bucket) * self.embed_bucket
+            embeds = jnp.pad(tail, ((0, nb - tail.shape[0]), (0, 0)))
+        new_pids = [pc._alloc() for _ in range(n_new)]
+        m_pad = 1
+        while m_pad < m:
+            m_pad *= 2
+        pref = np.full((m_pad,), self.trash_page, np.int32)
+        pref[:m] = matched
+        try:
+            logits, kv = _prefill_suffix_into_pages(
+                self.params, self._kv(), self.cfg, jnp.asarray(pref),
+                jnp.asarray(new_pids, jnp.int32),
+                jnp.asarray(padded[:, k:k + suf_bucket]),
+                jnp.asarray(pos[:, :, k:k + suf_bucket]),
+                jnp.asarray([k], jnp.int32),
+                jnp.asarray([true_len - k], jnp.int32),
+                vision_embeds=embeds, page_size=ps)
+            self._set_kv(kv)
+        except Exception:
+            pc.release_pages([int(p) for p in matched])
+            for pg in new_pids:
+                pc.refcount[int(pg)] = 0
+                pc.free_pages.append(int(pg))
+            raise
+        np_used = -(-true_len // ps)
+        pc.page_tables[slot] = -1
+        pc.page_tables[slot, :m] = matched
+        pc.page_tables[slot, m:np_used] = new_pids[:np_used - m]
+        for pg in new_pids[np_used - m:]:
+            pc.refcount[int(pg)] = 0
+            pc.free_pages.append(int(pg))
+        pc.lengths[slot] = true_len
+        self._register_prefix(
+            ids, list(matched) + [int(p) for p in new_pids],
+            media_key=media_key)
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, padded, pos,
+                       int(deltas[0, 0]) + bucket - true_len,
+                       max_new_tokens, done_cb, sp=sp, tok_cb=tok_cb)
+        self.last_logits = self.last_logits.at[slot].set(logits)
+        self.cur_len[slot] = true_len
+        self.pos_base[slot] = req.rope_delta
+        self.budget[slot] = max_new_tokens
+        rsp = sp or self.sp
+        self.slot_temp[slot] = max(rsp.temperature, 1e-6)
+        self.slot_top_p[slot] = rsp.top_p
+        self.slot_top_k[slot] = rsp.top_k
+        self.slot_do_sample[slot] = rsp.do_sample
+        self.slot_req[slot] = req
+        return rid
+
     def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens,
                       vision_embeds=None):
         pc = self.pcache
@@ -701,7 +967,7 @@ class PagedContinuousEngine(ContinuousEngine):
         bucket = padded.shape[1]
         np_all = bucket // ps
         np_used = -(-true_len // ps)
-        if len(pc.free_pages) < np_all:
+        if pc.available_pages() < np_all:
             raise RuntimeError("paged KV cache out of pages")
         pids = [pc._alloc() for _ in range(np_all)]  # refcount=1 each
         logits, kv = _prefill_into_pages(
@@ -718,6 +984,8 @@ class PagedContinuousEngine(ContinuousEngine):
             pc.refcount[p] = 0
             pc.free_pages.append(p)
         pc.lengths[slot] = true_len
+        self._register_prefix(np.asarray(padded)[0, :true_len],
+                              pids[:np_used], media_key=self._media_key)
         return logits
 
     def _decode_all(self, active, rng, steps: int = 1):
@@ -763,6 +1031,16 @@ class PagedContinuousEngine(ContinuousEngine):
             spr = it[3] if len(it) > 3 else None
             tok_cb = it[4] if len(it) > 4 else None
             vision = it[5] if len(it) > 5 else None
+            if self.prefix_cache and self.prefix_match_len(prompt_ids) > 0:
+                # prefix-cache hit: the per-item suffix prefill recomputes
+                # less than the batched full prefill saves in dispatches
+                ve, gr, spg = vision if vision is not None else (None,) * 3
+                rid = self._try_prefix_admit(
+                    prompt_ids, mnt, cb, spr, tok_cb, vision_embeds=ve,
+                    video_grid_thw=gr, second_per_grid_ts=spg)
+                if rid is not None:
+                    rids[n] = rid
+                    continue
             ids = np.asarray(prompt_ids, np.int32)
             room = max(self.max_len - mnt - 1, 8)
             if ids.shape[0] > room:
@@ -824,7 +1102,7 @@ class PagedContinuousEngine(ContinuousEngine):
                     second_per_grid_ts=(np.asarray(spgs) if spgs else None),
                     attention_mask=mask)
                 np_all = bucket // ps
-                if len(pc.free_pages) < K * np_all:
+                if pc.available_pages() < K * np_all:
                     # no pages for THIS bucket's chunk — skip to the next
                     # bucket group (a smaller bucket may still fit) instead
                     # of abandoning the rest of the burst
@@ -860,6 +1138,7 @@ class PagedContinuousEngine(ContinuousEngine):
                         pc.refcount[int(pg)] = 0
                         pc.free_pages.append(int(pg))
                     pc.lengths[slot] = true_len
+                    self._register_prefix(ids, pids[r, :np_used])
                     rid = self._next_rid
                     self._next_rid += 1
                     req = _Request(rid, padded[r:r + 1], pos[:, r:r + 1],
@@ -926,7 +1205,7 @@ class PagedContinuousEngine(ContinuousEngine):
                            > self.prefill_token_budget):
             entries.pop()
         need_pages = sum(e[6] // ps for e in entries)
-        while entries and len(pc.free_pages) < need_pages:
+        while entries and pc.available_pages() < need_pages:
             need_pages -= entries[-1][6] // ps
             entries.pop()
         if not entries:
@@ -989,6 +1268,10 @@ class PagedContinuousEngine(ContinuousEngine):
                 pc.refcount[int(pg)] = 0
                 pc.free_pages.append(int(pg))
             pc.lengths[slot] = true_len
+            # packed rows' per-request KV is identical to a standalone
+            # prefill (positions restart, segment-masked), so their full
+            # pages extend the prefix cache too
+            self._register_prefix(ids, page_lists[q][:np_used])
             rid = self._next_rid
             self._next_rid += 1
             row_ids = ids_p[row:row + 1, col:col + true_len]
@@ -1055,10 +1338,17 @@ def _run_loop_impl(engine, request_queue: "queue.Queue",
                 # unwind and return partial rids.
                 ps = getattr(engine, "_page_size", None)
                 width = max(engine.prompt_buckets)
+                match_len = getattr(engine, "prefix_match_len", None)
                 packable, rest = [], []
                 for it in burst:
                     span = (-(-len(it[0]) // ps) * ps) if ps else None
-                    (packable if ps and span * 2 <= width else rest).append(it)
+                    # prefix-cache hits skip packing: packed rows restart
+                    # positions and can't attend cached history — the
+                    # submit_batch APC pre-pass serves them via suffix
+                    # prefill instead
+                    hit = bool(match_len and match_len(it[0]))
+                    (packable if ps and span * 2 <= width and not hit
+                     else rest).append(it)
                 rids, items = [], []
                 if len(packable) > 1:
                     rids += engine.submit_packed(packable)

@@ -374,6 +374,14 @@ class PagedKVCache:
     free_pages: list[int]
     refcount: np.ndarray = None  # [N_pages] int32: sharers per page (prefix
                                  # sharing — vLLM block refcounting)
+    # Automatic prefix cache (vLLM APC): full prompt pages are content-
+    # addressed by a chain hash over their token ids; released pages with a
+    # registered hash park in an LRU `evictable` pool instead of the free
+    # list, and `_alloc` evicts the oldest only under pressure. A later
+    # prompt sharing the prefix re-acquires the pages without recompute.
+    hash_to_page: dict = None    # chain-hash bytes -> page id
+    page_hash: dict = None       # page id -> chain-hash bytes
+    evictable: dict = None       # page id -> None, insertion-ordered (LRU)
     # int8 pool: per-(token, head) absmax scales [L, kh, N_pages, page_size]
     # (quantize_kv scheme — CLAUDE.md int8 KV cache); None for bf16 pools
     k_scale: jax.Array | None = None
@@ -402,15 +410,67 @@ class PagedKVCache:
             lengths=np.zeros((batch,), np.int32),
             free_pages=list(range(num_pages - 1, -1, -1)),
             refcount=np.zeros((num_pages,), np.int32),
+            hash_to_page={}, page_hash={}, evictable={},
             **extra,
         )
 
+    def available_pages(self) -> int:
+        """Pages allocatable right now: truly free + evictable cached."""
+        return len(self.free_pages) + len(self.evictable)
+
+    def _uncache(self, p: int) -> None:
+        h = self.page_hash.pop(p, None)
+        if h is not None and self.hash_to_page.get(h) == p:
+            del self.hash_to_page[h]
+
     def _alloc(self) -> int:
         if not self.free_pages:
-            raise RuntimeError("paged KV cache out of pages")
+            if self.evictable:
+                # evict the least-recently-used cached page
+                p = next(iter(self.evictable))
+                del self.evictable[p]
+                self._uncache(p)
+                self.free_pages.append(p)
+            else:
+                raise RuntimeError("paged KV cache out of pages")
         p = self.free_pages.pop()
         self.refcount[p] = 1
         return p
+
+    # -- automatic prefix cache (content-addressed full pages) --------------
+    def cache_pages(self, hashes: list, pids: list) -> None:
+        """Register pages under their chain hashes (first writer wins — a
+        concurrent duplicate prefill keeps its private uncached copy)."""
+        for h, p in zip(hashes, pids):
+            if h not in self.hash_to_page and p not in self.page_hash:
+                self.hash_to_page[h] = int(p)
+                self.page_hash[int(p)] = h
+
+    def match_pages(self, hashes: list) -> list[int]:
+        """Acquire the longest cached run of `hashes` (refcount++ per hit;
+        evictable hits return to live). Stops at the first miss."""
+        out = []
+        for h in hashes:
+            p = self.hash_to_page.get(h)
+            if p is None:
+                break
+            if p in self.evictable:
+                del self.evictable[p]
+            self.refcount[p] += 1
+            out.append(p)
+        return out
+
+    def release_pages(self, pids: list[int]) -> None:
+        """Drop one reference per listed page (undo of match_pages)."""
+        for p in pids:
+            p = int(p)
+            self.refcount[p] -= 1
+            if self.refcount[p] <= 0:
+                self.refcount[p] = 0
+                if p in self.page_hash:
+                    self.evictable[p] = None
+                else:
+                    self.free_pages.append(p)
 
     def ensure_capacity(self, seq: int, new_tokens: int) -> None:
         """Allocate pages so sequence `seq` can hold `lengths[seq]+new_tokens`."""
@@ -438,13 +498,7 @@ class PagedKVCache:
         return (old, new)
 
     def release(self, seq: int) -> None:
-        for p in self.page_tables[seq]:
-            p = int(p)
-            if p >= 0:
-                self.refcount[p] -= 1
-                if self.refcount[p] <= 0:
-                    self.refcount[p] = 0
-                    self.free_pages.append(p)
+        self.release_pages([int(p) for p in self.page_tables[seq] if p >= 0])
         self.page_tables[seq] = -1
         self.lengths[seq] = 0
 

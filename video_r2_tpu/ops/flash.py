@@ -291,6 +291,24 @@ def _flash_core_bwd(causal, q_offset, block_q, block_k, g, has_segments,
     import numpy as np
 
     qt, kt, vt, lengths, qseg, kseg, out, lse = res
+    dq, dk, dv = _flash_bwd_kernels(
+        qt, kt, vt, do, out, lse, lengths, qseg, kseg, causal=causal,
+        q_offset=q_offset, block_q=block_q, block_k=block_k, g=g,
+        has_segments=has_segments, interpret=interpret)
+    f0 = jax.dtypes.float0
+    return (dq, dk, dv,
+            np.zeros(lengths.shape, f0), np.zeros(qseg.shape, f0),
+            np.zeros(kseg.shape, f0))
+
+
+def _flash_bwd_kernels(qt, kt, vt, do, out, lse, lengths, qseg, kseg, *,
+                       causal, q_offset, block_q, block_k, g, has_segments,
+                       interpret):
+    """FA2 recompute backward from a given LSE. Exposed separately so the
+    sequence-parallel attention (ops/sp_attention.py) can run the SAME
+    kernels per region with the globally-MERGED lse (the FlashAttention
+    split-KV backward identity: p = exp(s - lse_global) makes per-region
+    dq/dk/dv partials sum to the full-attention gradient)."""
     B, nh, Sq_p, hd = qt.shape
     kh, Sk_p = kt.shape[1], kt.shape[2]
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
@@ -343,11 +361,7 @@ def _flash_core_bwd(causal, q_offset, block_q, block_k, g, has_segments,
     )(lengths, qt, kt, vt, do, lse, delta, qseg, kseg)
     dk = dk_h.reshape(B, kh, g, Sk_p, hd).sum(axis=2).astype(kt.dtype)
     dv = dv_h.reshape(B, kh, g, Sk_p, hd).sum(axis=2).astype(vt.dtype)
-
-    f0 = jax.dtypes.float0
-    return (dq, dk, dv,
-            np.zeros(lengths.shape, f0), np.zeros(qseg.shape, f0),
-            np.zeros(kseg.shape, f0))
+    return dq, dk, dv
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)

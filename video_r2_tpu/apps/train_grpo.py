@@ -36,6 +36,10 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 1,
     cfg, params = build_model(app)
     tok = build_tokenizer(app)
     impl = attn_impl(app)
+    if impl == "sp":
+        # rollout generation is not sequence-sharded (decode is short-seq);
+        # GRPO's loss forward is pinned to xla below regardless
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
 
     dataset = GRPODataset(app.data.data_path, app.data)
     reward_names = list(reward_names)

@@ -40,6 +40,7 @@ class RunConfig:
     # mesh
     dp: int = 1
     fsdp: int = 1
+    sp: int = 1                       # sequence (context) parallel degree
     tp: int = 1
     # training loop
     max_steps: int = 1000
@@ -168,6 +169,8 @@ def parse_config(argv: list[str] | None = None) -> AppConfig:
 def resolve_attn_impl(run: RunConfig) -> str:
     if run.attn_impl != "auto":
         return run.attn_impl
+    if run.sp > 1:  # sequence-parallel training requires the sp dispatch
+        return "sp"
     import jax
 
     return "flash" if jax.default_backend() == "tpu" else "xla"

@@ -31,6 +31,23 @@ def dot_product_attention(
     non-prefix masks (e.g. GRPO's padded prompt+completion layout) must use
     the xla path.
     """
+    if impl == "sp":
+        if q.shape[1] != k.shape[1] or q.shape[1] <= 8:
+            # decode / cache cross-attention: the sequence is not sp-sharded
+            # there (rollout and serving stay single-shard); use flash/xla
+            impl = "flash"
+        else:
+            # sequence-parallel: S sharded over the mesh's "sp" axis; the
+            # registered context names the mesh + batch/head shardings
+            from .sp_attention import get_sp_context, sp_flash_attention
+
+            assert bias is None and segment_ids is None and causal, \
+                "sp attention: causal prefix masking only"
+            ctx = get_sp_context()
+            return sp_flash_attention(q, k, v, ctx["mesh"], axis=ctx["axis"],
+                                      kv_lengths=kv_lengths, causal=True,
+                                      batch_axes=ctx["batch_axes"],
+                                      head_axis=ctx["head_axis"])
     if impl == "flash" and kv_lengths is not None and q.shape[1] > 8:
         # single-token decode (Sq==1) degenerates to 1-row kernel blocks —
         # the XLA batched matmul path is faster there

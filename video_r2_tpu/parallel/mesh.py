@@ -4,10 +4,14 @@ Axes:
 - "dp"   : pure data parallel (replicated params)
 - "fsdp" : sharded-parameter data parallel (ZeRO-3 equivalent; params and
            optimizer state sharded, all-gathered per layer by XLA)
+- "sp"   : sequence (context) parallel — long-video activations sharded
+           along the sequence axis; attention mixes shards through
+           ops/sp_attention.py (all-gather KV + LSE merge)
 - "tp"   : tensor parallel (megatron-style head/intermediate sharding)
 
 Collectives ride ICI inside a slice; the mesh axis order puts "tp" innermost so
-its all-reduces stay on the fastest links.
+its all-reduces stay on the fastest links, with "sp" just outside it (its
+per-layer KV gathers are the next-chattiest).
 """
 
 from __future__ import annotations
@@ -23,11 +27,12 @@ from jax.sharding import Mesh
 class MeshConfig:
     dp: int = 1
     fsdp: int = 1
+    sp: int = 1
     tp: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.dp * self.fsdp * self.tp
+        return self.dp * self.fsdp * self.sp * self.tp
 
 
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
@@ -37,8 +42,8 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     n = cfg.num_devices
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(cfg.dp, cfg.fsdp, cfg.tp)
-    return Mesh(arr, ("dp", "fsdp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(cfg.dp, cfg.fsdp, cfg.sp, cfg.tp)
+    return Mesh(arr, ("dp", "fsdp", "sp", "tp"))
 
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,

@@ -48,7 +48,7 @@ def sft_loss(params, cfg: ModelConfig, batch: dict, scfg: SFTConfig,
                      batch.get("image_patches"), image_layout)
     cos, sin = mrope_cos_sin(batch["position_ids"], cfg, dtype=h.dtype)
     mask = batch.get("attention_mask")
-    if scfg.attn_impl == "flash":
+    if scfg.attn_impl in ("flash", "sp"):
         bias = None
         kv_lengths = (mask.sum(-1).astype(jnp.int32) if mask is not None
                       else jnp.full((h.shape[0],), h.shape[1], jnp.int32))
@@ -88,20 +88,38 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
+    # sequence (context) parallelism: register the SP context so the
+    # decoder's attention dispatch can cross shard boundaries, and shard
+    # the batch's sequence dim over "sp" (everything but attention is
+    # elementwise along S and shards for free under GSPMD)
+    sp = mesh.shape.get("sp", 1) if scfg.attn_impl == "sp" else 1
+    if scfg.attn_impl == "sp":
+        from ..ops.sp_attention import set_sp_context
+
+        set_sp_context(mesh, batch_axes=("dp", "fsdp"),
+                       head_axis="tp" if mesh.shape.get("tp", 1) > 1 else None)
+    seq_axis = "sp" if sp > 1 else None
+
     # sharded: params by rules; opt_state follows params' structure where
     # leaves mirror param shapes (optax adamw mu/nu); batch over (dp, fsdp)
     def shard_batch(batch):
         def sharding_for(k, v):
             if k == "position_ids":  # [3, B, S]: batch is dim 1
                 return jax.sharding.NamedSharding(
-                    mesh, jax.sharding.PartitionSpec(None, ("dp", "fsdp")))
+                    mesh,
+                    jax.sharding.PartitionSpec(None, ("dp", "fsdp"), seq_axis))
             if k in ("video_patches", "image_patches"):
                 # [N_patches, D] is not batch-led (ragged concat across the
                 # batch); replicate and let GSPMD partition the ViT compute
                 # from the weight shardings (the reference always trains the
                 # vision tower under ZeRO-3 — train_sft.py:124-129, zero3.json)
                 return replicated(mesh)
-            return batch_sharding(mesh, np.asarray(v).ndim)
+            nd = np.asarray(v).ndim
+            if nd >= 2 and seq_axis is not None:  # [B, S, ...] token-led
+                return jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(
+                        ("dp", "fsdp"), seq_axis, *([None] * (nd - 2))))
+            return batch_sharding(mesh, nd)
 
         return {k: jax.device_put(v, sharding_for(k, v))
                 for k, v in batch.items()}

@@ -112,6 +112,61 @@ def test_sp_batch_axes_preserved(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("n_sp", [4, 8])
+def test_sp_ring_forward_matches_oracle(rng, n_sp):
+    mesh = _mesh_sp(n_sp)
+    q, k, v = _qkv(rng)
+    lens = jnp.array([256, 190], jnp.int32)
+    out = jax.jit(lambda q, k, v: sp_flash_attention(
+        q, k, v, mesh, kv_lengths=lens, sp_impl="ring",
+        block_q=32, block_k=32))(q, k, v)
+    ref = dot_product_attention(q, k, v, kv_lengths=lens, causal=True,
+                                impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_sp_ring_grads_match_oracle(rng):
+    """Ring backward: (k, v, dk, dv) rotate together; accumulated f32
+    partials must come home to the owning shard exactly."""
+    mesh = _mesh_sp(4)
+    q, k, v = _qkv(rng)
+    lens = jnp.array([256, 130], jnp.int32)
+    S = q.shape[1]
+    w = jnp.asarray(rng.normal(size=(S, 1, 1)), jnp.float32)[None]
+
+    def loss_ring(q, k, v):
+        o = sp_flash_attention(q, k, v, mesh, kv_lengths=lens,
+                               sp_impl="ring", block_q=32, block_k=32)
+        return (o * w).sum()
+
+    def loss_x(q, k, v):
+        o = dot_product_attention(q, k, v, kv_lengths=lens, causal=True,
+                                  impl="xla")
+        return (o * w).sum()
+
+    gs = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gx):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-5)
+
+
+def test_sp_ring_matches_gather(rng):
+    """The two SP implementations are numerically interchangeable."""
+    mesh = _mesh_sp(4)
+    q, k, v = _qkv(rng, B=3, S=128)
+    lens = jnp.array([128, 70, 33], jnp.int32)
+    o_g = jax.jit(lambda q, k, v: sp_flash_attention(
+        q, k, v, mesh, kv_lengths=lens, sp_impl="gather",
+        block_q=32, block_k=32))(q, k, v)
+    o_r = jax.jit(lambda q, k, v: sp_flash_attention(
+        q, k, v, mesh, kv_lengths=lens, sp_impl="ring",
+        block_q=32, block_k=32))(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_r), atol=1e-6)
+
+
 def test_sp_rejects_bad_shapes(rng):
     mesh = _mesh_sp(4)
     q, k, v = _qkv(rng, S=90)  # 90 % 4 != 0

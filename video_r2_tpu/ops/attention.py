@@ -47,7 +47,8 @@ def dot_product_attention(
             return sp_flash_attention(q, k, v, ctx["mesh"], axis=ctx["axis"],
                                       kv_lengths=kv_lengths, causal=True,
                                       batch_axes=ctx["batch_axes"],
-                                      head_axis=ctx["head_axis"])
+                                      head_axis=ctx["head_axis"],
+                                      sp_impl=ctx.get("sp_impl", "gather"))
     if impl == "flash" and kv_lengths is not None and q.shape[1] > 8:
         # single-token decode (Sq==1) degenerates to 1-row kernel blocks —
         # the XLA batched matmul path is faster there

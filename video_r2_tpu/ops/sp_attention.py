@@ -81,31 +81,46 @@ def _region_lengths(kv_len, idx, C):
     return lens_local, lens_prefix
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _sp_core(qt, kt, vt, kv_len, axis, g, block_q, block_k, n, interpret):
+def _shift_perm(n):
+    """ppermute pairs rotating data one device forward along the ring."""
+    return [(j, (j + 1) % n) for j in range(n)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _sp_core(qt, kt, vt, kv_len, axis, g, block_q, block_k, n, interpret,
+             ring):
     """Head-major per-shard SP attention. qt [B,nh,C,hd], kt/vt [B,kh,C,hd]
     are this shard's slice; runs inside shard_map over `axis`."""
-    out, _ = _sp_fwd_regions(qt, kt, vt, kv_len, axis=axis, g=g,
-                             block_q=block_q, block_k=block_k,
-                             interpret=interpret)
+    fwd = _sp_fwd_ring if ring else _sp_fwd_gather
+    out, _ = fwd(qt, kt, vt, kv_len, axis=axis, g=g, n=n,
+                 block_q=block_q, block_k=block_k, interpret=interpret)
     return out
 
 
-def _sp_fwd_regions(qt, kt, vt, kv_len, *, axis, g, block_q, block_k,
-                    interpret):
-    B, nh, C, hd = qt.shape
-    idx = jax.lax.axis_index(axis)
-    lens_local, lens_prefix = _region_lengths(kv_len, idx, C)
-
+def _local_causal_fwd(qt, kt, vt, lens_local, *, block_q, block_k, g,
+                      interpret):
+    B, _, C, _ = qt.shape
     qseg, kseg = _dummy_segs(B, C, C)
-    out_l, lse_l = _flash_call(
+    return _flash_call(
         lens_local, qt, kt, vt, qseg, kseg, causal=True, q_offset=0,
         block_q=block_q, block_k=block_k, g=g, has_segments=False,
         interpret=interpret, with_lse=True)
 
+
+def _sp_fwd_gather(qt, kt, vt, kv_len, *, axis, g, n, block_q, block_k,
+                   interpret):
+    """All-gather-KV variant: one non-causal flash call over the full
+    gathered prefix. Peak KV memory O(S); fewest dispatches."""
+    B, nh, C, hd = qt.shape
+    idx = jax.lax.axis_index(axis)
+    lens_local, lens_prefix = _region_lengths(kv_len, idx, C)
+
+    out_l, lse_l = _local_causal_fwd(qt, kt, vt, lens_local, block_q=block_q,
+                                     block_k=block_k, g=g, interpret=interpret)
+
     kfull = jax.lax.all_gather(kt, axis, axis=2, tiled=True)
     vfull = jax.lax.all_gather(vt, axis, axis=2, tiled=True)
-    _, ksegf = _dummy_segs(B, C, kfull.shape[2])
+    qseg, ksegf = _dummy_segs(B, C, kfull.shape[2])
     out_p, lse_p = _flash_call(
         lens_prefix, qt, kfull, vfull, qseg, ksegf, causal=False, q_offset=0,
         block_q=block_q, block_k=block_k, g=g, has_segments=False,
@@ -114,33 +129,88 @@ def _sp_fwd_regions(qt, kt, vt, kv_len, *, axis, g, block_q, block_k,
     return _merge_regions(out_l, lse_l, out_p, lse_p)
 
 
-def _sp_core_fwd(qt, kt, vt, kv_len, axis, g, block_q, block_k, n, interpret):
-    out, lse_g = _sp_fwd_regions(qt, kt, vt, kv_len, axis=axis, g=g,
-                                 block_q=block_q, block_k=block_k,
-                                 interpret=interpret)
+def _ring_step_lens(kv_len, idx, src, C):
+    """Keys of shard `src` visible to shard `idx`'s queries: the whole shard
+    (clipped by the global valid length) iff src is strictly before idx,
+    else none — the kernel's kv-length masking then skips the work."""
+    lens = jnp.clip(kv_len - src * C, 0, C).astype(jnp.int32)
+    return jnp.where(src < idx, lens, 0)
+
+
+def _sp_fwd_ring(qt, kt, vt, kv_len, *, axis, g, n, block_q, block_k,
+                 interpret):
+    """Ring variant: KV shards rotate one hop per step (ppermute over ICI),
+    each step's non-causal partial merges into a running f32 accumulator.
+    Peak KV memory stays O(C); comm overlaps compute on real hardware."""
+    B, nh, C, hd = qt.shape
+    idx = jax.lax.axis_index(axis)
+    lens_local, _ = _region_lengths(kv_len, idx, C)
+
+    out_l, lse_l = _local_causal_fwd(qt, kt, vt, lens_local, block_q=block_q,
+                                     block_k=block_k, g=g, interpret=interpret)
+    acc, lse = out_l.astype(jnp.float32), lse_l
+
+    qseg, kseg = _dummy_segs(B, C, C)
+    perm = _shift_perm(n)
+    k_r, v_r = kt, vt
+    for t in range(1, n):
+        k_r = jax.lax.ppermute(k_r, axis, perm)
+        v_r = jax.lax.ppermute(v_r, axis, perm)
+        src = (idx - t) % n           # shard id this device now holds
+        lens_t = _ring_step_lens(kv_len, idx, src, C)
+        out_t, lse_t = _flash_call(
+            lens_t, qt, k_r, v_r, qseg, kseg, causal=False, q_offset=0,
+            block_q=block_q, block_k=block_k, g=g, has_segments=False,
+            interpret=interpret, with_lse=True)
+        acc, lse = _merge_regions(acc, lse, out_t, lse_t)
+    return acc.astype(qt.dtype), lse
+
+
+def _sp_core_fwd(qt, kt, vt, kv_len, axis, g, block_q, block_k, n, interpret,
+                 ring):
+    fwd = _sp_fwd_ring if ring else _sp_fwd_gather
+    out, lse_g = fwd(qt, kt, vt, kv_len, axis=axis, g=g, n=n,
+                     block_q=block_q, block_k=block_k, interpret=interpret)
     return out, (qt, kt, vt, kv_len, out, lse_g)
 
 
-def _sp_core_bwd(axis, g, block_q, block_k, n, interpret, res, do):
+def _sp_core_bwd(axis, g, block_q, block_k, n, interpret, ring, res, do):
     import numpy as np
 
-    qt, kt, vt, kv_len, out_g, lse_g, = res
-    B, nh, C, hd = qt.shape
-    idx = jax.lax.axis_index(axis)
-    lens_local, lens_prefix = _region_lengths(kv_len, idx, C)
-    qseg, kseg = _dummy_segs(B, C, C)
+    qt, kt, vt, kv_len, out_g, lse_g = res
+    bwd = _sp_bwd_ring if ring else _sp_bwd_gather
+    dq, dk, dv = bwd(qt, kt, vt, kv_len, out_g, lse_g, do, axis=axis, g=g,
+                     n=n, block_q=block_q, block_k=block_k,
+                     interpret=interpret)
+    return dq, dk, dv, np.zeros(kv_len.shape, jax.dtypes.float0)
 
-    # local region: same FA2 kernels, globally-merged lse
-    dq_l, dk_l, dv_l = _flash_bwd_kernels(
+
+def _local_causal_bwd(qt, kt, vt, do, out_g, lse_g, lens_local, *, block_q,
+                      block_k, g, interpret):
+    B, _, C, _ = qt.shape
+    qseg, kseg = _dummy_segs(B, C, C)
+    return _flash_bwd_kernels(
         qt, kt, vt, do, out_g, lse_g, lens_local, qseg, kseg, causal=True,
         q_offset=0, block_q=block_q, block_k=block_k, g=g,
         has_segments=False, interpret=interpret)
+
+
+def _sp_bwd_gather(qt, kt, vt, kv_len, out_g, lse_g, do, *, axis, g, n,
+                   block_q, block_k, interpret):
+    B, nh, C, hd = qt.shape
+    idx = jax.lax.axis_index(axis)
+    lens_local, lens_prefix = _region_lengths(kv_len, idx, C)
+
+    # local region: same FA2 kernels, globally-merged lse
+    dq_l, dk_l, dv_l = _local_causal_bwd(
+        qt, kt, vt, do, out_g, lse_g, lens_local, block_q=block_q,
+        block_k=block_k, g=g, interpret=interpret)
 
     # prefix region against the re-gathered KV; dk/dv come back for the
     # full sequence and reduce-scatter (f32) to this shard's slice
     kfull = jax.lax.all_gather(kt, axis, axis=2, tiled=True)
     vfull = jax.lax.all_gather(vt, axis, axis=2, tiled=True)
-    _, ksegf = _dummy_segs(B, C, kfull.shape[2])
+    qseg, ksegf = _dummy_segs(B, C, kfull.shape[2])
     dq_p, dk_pf, dv_pf = _flash_bwd_kernels(
         qt, kfull, vfull, do, out_g, lse_g, lens_prefix, qseg, ksegf,
         causal=False, q_offset=0, block_q=block_q, block_k=block_k, g=g,
@@ -153,7 +223,50 @@ def _sp_core_bwd(axis, g, block_q, block_k, n, interpret, res, do):
     dq = (dq_l.astype(jnp.float32) + dq_p.astype(jnp.float32)).astype(qt.dtype)
     dk = (dk_l.astype(jnp.float32) + dk_p).astype(kt.dtype)
     dv = (dv_l.astype(jnp.float32) + dv_p).astype(vt.dtype)
-    return dq, dk, dv, np.zeros(kv_len.shape, jax.dtypes.float0)
+    return dq, dk, dv
+
+
+def _sp_bwd_ring(qt, kt, vt, kv_len, out_g, lse_g, do, *, axis, g, n,
+                 block_q, block_k, interpret):
+    """Ring backward: (k, v, dk-acc, dv-acc) rotate together; each device
+    adds its contribution to the accumulator of whichever shard it holds,
+    and after the final hop every shard's f32 dk/dv accumulator is home."""
+    B, nh, C, hd = qt.shape
+    idx = jax.lax.axis_index(axis)
+    lens_local, _ = _region_lengths(kv_len, idx, C)
+    qseg, kseg = _dummy_segs(B, C, C)
+
+    dq_l, dk_l, dv_l = _local_causal_bwd(
+        qt, kt, vt, do, out_g, lse_g, lens_local, block_q=block_q,
+        block_k=block_k, g=g, interpret=interpret)
+    dq = dq_l.astype(jnp.float32)
+
+    perm = _shift_perm(n)
+    k_r, v_r = kt, vt
+    dk_r = jnp.zeros((B, kt.shape[1], C, hd), jnp.float32)
+    dv_r = jnp.zeros_like(dk_r)
+    for t in range(1, n):
+        k_r = jax.lax.ppermute(k_r, axis, perm)
+        v_r = jax.lax.ppermute(v_r, axis, perm)
+        dk_r = jax.lax.ppermute(dk_r, axis, perm)
+        dv_r = jax.lax.ppermute(dv_r, axis, perm)
+        src = (idx - t) % n
+        lens_t = _ring_step_lens(kv_len, idx, src, C)
+        dq_t, dk_t, dv_t = _flash_bwd_kernels(
+            qt, k_r, v_r, do, out_g, lse_g, lens_t, qseg, kseg,
+            causal=False, q_offset=0, block_q=block_q, block_k=block_k, g=g,
+            has_segments=False, interpret=interpret)
+        dq = dq + dq_t.astype(jnp.float32)
+        dk_r = dk_r + dk_t.astype(jnp.float32)
+        dv_r = dv_r + dv_t.astype(jnp.float32)
+    # accumulators now hold shard (idx+1)%n; one more hop brings them home
+    dk_r = jax.lax.ppermute(dk_r, axis, perm)
+    dv_r = jax.lax.ppermute(dv_r, axis, perm)
+
+    dq = dq.astype(qt.dtype)
+    dk = (dk_l.astype(jnp.float32) + dk_r).astype(kt.dtype)
+    dv = (dv_l.astype(jnp.float32) + dv_r).astype(vt.dtype)
+    return dq, dk, dv
 
 
 _sp_core.defvjp(_sp_core_fwd, _sp_core_bwd)
@@ -170,6 +283,7 @@ def sp_flash_attention(
     causal: bool = True,
     batch_axes=None,               # mesh axes the batch dim is sharded over
     head_axis: str | None = None,  # mesh axis the head dims are sharded over
+    sp_impl: str = "gather",       # "gather" (all-gather KV) | "ring"
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
@@ -204,12 +318,16 @@ def sp_flash_attention(
         if t == 1 or nh % t or kh % t:
             head_axis = None  # uneven head split: replicate heads instead
     g = nh // kh  # per-shard GQA ratio is unchanged by an even head split
+    if sp_impl not in ("gather", "ring"):
+        raise ValueError(f"unknown sp_impl {sp_impl!r}")
+    ring = sp_impl == "ring"
 
     def shard_fn(q, k, v, kv_len):
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
-        out = _sp_core(qt, kt, vt, kv_len, axis, g, bq, bk, n, interpret)
+        out = _sp_core(qt, kt, vt, kv_len, axis, g, bq, bk, n, interpret,
+                       ring)
         return out.transpose(0, 2, 1, 3)
 
     spec = P(batch_axes, axis, head_axis, None)
@@ -228,7 +346,8 @@ _SP_CONTEXT: dict | None = None
 
 
 def set_sp_context(mesh, *, axis: str = "sp", batch_axes=None,
-                   head_axis: str | None = None) -> None:
+                   head_axis: str | None = None,
+                   sp_impl: str = "gather") -> None:
     global _SP_CONTEXT
     if mesh is None:
         _SP_CONTEXT = None
@@ -236,7 +355,7 @@ def set_sp_context(mesh, *, axis: str = "sp", batch_axes=None,
     if axis not in mesh.axis_names or mesh.shape[axis] < 2:
         raise ValueError(f"mesh has no sharded '{axis}' axis: {mesh.shape}")
     _SP_CONTEXT = dict(mesh=mesh, axis=axis, batch_axes=batch_axes,
-                       head_axis=head_axis)
+                       head_axis=head_axis, sp_impl=sp_impl)
 
 
 def get_sp_context() -> dict:

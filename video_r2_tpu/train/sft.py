@@ -30,6 +30,7 @@ from ..parallel.sharding import batch_sharding, param_shardings, replicated
 class SFTConfig:
     ce_chunk_size: int = 1024
     attn_impl: str = "xla"
+    sp_impl: str = "gather"           # "gather" | "ring" (attn_impl="sp")
     gradient_checkpointing: bool = True
 
 
@@ -97,7 +98,8 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
         from ..ops.sp_attention import set_sp_context
 
         set_sp_context(mesh, batch_axes=("dp", "fsdp"),
-                       head_axis="tp" if mesh.shape.get("tp", 1) > 1 else None)
+                       head_axis="tp" if mesh.shape.get("tp", 1) > 1 else None,
+                       sp_impl=scfg.sp_impl)
     seq_axis = "sp" if sp > 1 else None
 
     # sharded: params by rules; opt_state follows params' structure where

@@ -167,6 +167,94 @@ def test_sp_ring_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_r), atol=1e-6)
 
 
+@pytest.mark.parametrize("sp_impl", ["gather", "ring"])
+def test_sp_segments_match_oracle(rng, sp_impl):
+    """GRPO's [prompt_pad | completion] gap mask as segment ids, sharded
+    with the sequence (valid=1, pad=-1). Oracle: XLA with the same bias."""
+    from video_r2_tpu.models.decoder import causal_mask_bias
+
+    mesh = _mesh_sp(4)
+    B, S = 2, 128
+    q, k, v = _qkv(rng, B=B, S=S)
+    # mid-sequence gap: rows valid [0,30)+[60,S) and [0,50)+[80,S)
+    amask = np.ones((B, S), np.int32)
+    amask[0, 30:60] = 0
+    amask[1, 50:80] = 0
+    seg = jnp.where(jnp.asarray(amask) == 1, 1, -1).astype(jnp.int32)
+    lens = jnp.full((B,), S, jnp.int32)
+
+    def loss_sp(q, k, v):
+        o = sp_flash_attention(q, k, v, mesh, kv_lengths=lens,
+                               segment_ids=seg, sp_impl=sp_impl,
+                               block_q=32, block_k=32)
+        return o
+
+    out = jax.jit(loss_sp)(q, k, v)
+    bias = causal_mask_bias(S, jnp.asarray(amask))
+    ref = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    valid = np.asarray(amask, bool)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(out) * valid,
+                               np.asarray(ref) * valid, atol=2e-5, rtol=1e-4)
+
+    # grads: weight only valid rows (pad rows get zero upstream in GRPO)
+    w = jnp.asarray(valid, jnp.float32)
+    gs = jax.jit(jax.grad(lambda q, k, v: (loss_sp(q, k, v) * w).sum(),
+                          argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.grad(lambda q, k, v: (dot_product_attention(
+        q, k, v, bias=bias, impl="xla") * w).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gx):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-5)
+
+
+def test_sp_grpo_step_matches_single(rng):
+    """Sharded GRPO train step with the SP loss forward (segment-id gap
+    mask over sharded sequences) == single-device XLA loss."""
+    from video_r2_tpu.models import init_params, tiny_test_config
+    from video_r2_tpu.parallel import MeshConfig, make_mesh
+    from video_r2_tpu.train import OptimConfig, make_optimizer
+    from video_r2_tpu.train.grpo import (GRPOConfig, GRPOTrainState,
+                                         make_grpo_step)
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    opt = make_optimizer(OptimConfig(learning_rate=1e-4, total_steps=10),
+                         params)
+    gcfg = GRPOConfig(num_generations=4, beta=0.04, logp_chunk_size=32)
+    B, P, C = 4, 26, 6  # P+C=32 divides sp=2 shards of 16
+    ids = rng.integers(2, 400, size=(B, P + C))
+    amask = np.ones((B, P + C), np.int32)
+    amask[0, :7] = 0  # left-padded prompt: the mid-sequence gap
+    amask[2, :3] = 0
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "position_ids": jnp.asarray(np.broadcast_to(
+            np.arange(P + C)[None, None], (3, B, P + C)).copy()),
+        "attention_mask": jnp.asarray(amask),
+        "completion_mask": jnp.ones((B, C), jnp.int32),
+        "advantages": jnp.asarray(rng.normal(size=(B,)), jnp.float32),
+        "ref_per_token_logps": jnp.asarray(
+            rng.normal(size=(B, C)) - 5.0, jnp.float32),
+    }
+
+    step1 = make_grpo_step(cfg, gcfg, opt, attn_impl="xla", donate=False)
+    state1 = GRPOTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    _, m1 = step1(state1, batch)
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=2, sp=2, tp=2))
+    sparams = shard_params(params, mesh)
+    step2 = make_grpo_step(cfg, gcfg, opt, attn_impl="sp", mesh=mesh,
+                           donate=False)
+    state2 = GRPOTrainState(sparams, opt.init(sparams),
+                            jnp.zeros((), jnp.int32))
+    _, m2 = step2(state2, step2.shard_batch(batch))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m1["kl"]), float(m2["kl"]), rtol=1e-4)
+
+
 def test_sp_rejects_bad_shapes(rng):
     mesh = _mesh_sp(4)
     q, k, v = _qkv(rng, S=90)  # 90 % 4 != 0

@@ -56,7 +56,11 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 1,
         params = shard_params(params, mesh)
         logger.info("GRPO sharded over mesh %s", dict(mesh.shape))
     optimizer = make_optimizer(app.optim, params)
-    step = make_grpo_step(cfg, app.grpo, optimizer, attn_impl="xla", mesh=mesh)
+    # loss forward: xla expresses the [prompt_pad | completion] gap as a
+    # bias; with sp>1 the sp path expresses it as sharded segment ids
+    loss_impl = "sp" if app.run.sp > 1 else "xla"
+    step = make_grpo_step(cfg, app.grpo, optimizer, attn_impl=loss_impl,
+                          mesh=mesh)
     # ref policy must be a REAL copy (reference: fresh model copy,
     # grpo_trainer.py:329-339): the train state aliases `params`' buffers,
     # and the donated step deletes them — an aliased ref would die on cycle 2

@@ -41,11 +41,12 @@ def dot_product_attention(
             # registered context names the mesh + batch/head shardings
             from .sp_attention import get_sp_context, sp_flash_attention
 
-            assert bias is None and segment_ids is None and causal, \
-                "sp attention: causal prefix masking only"
+            assert bias is None and causal, \
+                "sp attention: causal prefix/segment masking only"
             ctx = get_sp_context()
             return sp_flash_attention(q, k, v, ctx["mesh"], axis=ctx["axis"],
                                       kv_lengths=kv_lengths, causal=True,
+                                      segment_ids=segment_ids,
                                       batch_axes=ctx["batch_axes"],
                                       head_axis=ctx["head_axis"],
                                       sp_impl=ctx.get("sp_impl", "gather"))

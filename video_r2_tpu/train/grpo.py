@@ -163,14 +163,15 @@ def per_token_logps(
     else:
         h = embed_inputs(params, cfg, input_ids, video_patches, video_layout)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
-    if attn_impl == "flash":
+    if attn_impl in ("flash", "sp"):
         # the [prompt_pad | completion] mid-sequence gap is expressed as
-        # segment ids: valid tokens segment 1, pads -1
+        # segment ids: valid tokens segment 1, pads -1 ("sp" additionally
+        # shards the sequence axis — segments shard with it)
         bias = None
         seg = jnp.where(attention_mask == 1, 1, -1).astype(jnp.int32)
         hidden, _ = decoder_forward(
             params["model"], cfg.text, h, cos, sin, None,
-            attn_impl="flash",
+            attn_impl=attn_impl,
             kv_lengths=jnp.full((h.shape[0],), h.shape[1], jnp.int32),
             causal=True, segment_ids=seg, remat=True)
     else:
@@ -274,6 +275,16 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
     if mesh is None:
         return jitted
 
+    # sequence-parallel GRPO loss: long prompts (the reference trains 32k,
+    # train_grpo.sh:24) shard over "sp"; the gap mask shards with them
+    seq_axis = None
+    if attn_impl == "sp":
+        from ..ops.sp_attention import set_sp_context
+
+        set_sp_context(mesh, batch_axes=("dp", "fsdp"),
+                       head_axis="tp" if mesh.shape.get("tp", 1) > 1 else None)
+        seq_axis = "sp" if mesh.shape.get("sp", 1) > 1 else None
+
     from ..parallel.sharding import batch_sharding, replicated
 
     def shard_batch(batch):
@@ -299,9 +310,15 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
             nd = np.asarray(v).ndim if not hasattr(v, "ndim") else v.ndim
             if k == "position_ids":          # [3, B, S] — batch is dim 1
                 sh = jax.sharding.NamedSharding(
-                    mesh, jax.sharding.PartitionSpec(None, ("dp", "fsdp")))
+                    mesh, jax.sharding.PartitionSpec(None, ("dp", "fsdp"),
+                                                     seq_axis))
             elif k == "video_embeds":        # ragged token-concat, no batch dim
                 sh = replicated(mesh)
+            elif k in ("input_ids", "attention_mask") and seq_axis:
+                # full-sequence [B, P+C] tensors shard S over "sp";
+                # completion-length tensors ([B, C]) stay batch-only
+                sh = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(("dp", "fsdp"), seq_axis))
             else:
                 sh = batch_sharding(mesh, nd)
             out[k] = jax.device_put(v, sh)

@@ -39,6 +39,7 @@ class RunConfig:
     dtype: str = "bfloat16"
     # mesh
     dp: int = 1
+    pp: int = 1                       # pipeline parallel stages (training)
     fsdp: int = 1
     sp: int = 1                       # sequence (context) parallel degree
     tp: int = 1

@@ -4,6 +4,9 @@ Axes:
 - "dp"   : pure data parallel (replicated params)
 - "fsdp" : sharded-parameter data parallel (ZeRO-3 equivalent; params and
            optimizer state sharded, all-gathered per layer by XLA)
+- "pp"   : pipeline parallel — the stacked decoder-layer axis sharded into
+           stages; activations hop stage-to-stage via ppermute
+           (parallel/pipeline.py GPipe schedule)
 - "sp"   : sequence (context) parallel — long-video activations sharded
            along the sequence axis; attention mixes shards through
            ops/sp_attention.py (all-gather KV + LSE merge)
@@ -11,7 +14,9 @@ Axes:
 
 Collectives ride ICI inside a slice; the mesh axis order puts "tp" innermost so
 its all-reduces stay on the fastest links, with "sp" just outside it (its
-per-layer KV gathers are the next-chattiest).
+per-layer KV gathers are the next-chattiest). "pp" sits outermost after "dp":
+its once-per-tick activation handoff is the least bandwidth-hungry axis, the
+one that tolerates DCN between slices.
 """
 
 from __future__ import annotations
@@ -26,13 +31,14 @@ from jax.sharding import Mesh
 @dataclass(frozen=True)
 class MeshConfig:
     dp: int = 1
+    pp: int = 1
     fsdp: int = 1
     sp: int = 1
     tp: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.dp * self.fsdp * self.sp * self.tp
+        return self.dp * self.pp * self.fsdp * self.sp * self.tp
 
 
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
@@ -42,8 +48,9 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     n = cfg.num_devices
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(cfg.dp, cfg.fsdp, cfg.sp, cfg.tp)
-    return Mesh(arr, ("dp", "fsdp", "sp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(cfg.dp, cfg.pp, cfg.fsdp, cfg.sp,
+                                          cfg.tp)
+    return Mesh(arr, ("dp", "pp", "fsdp", "sp", "tp"))
 
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,

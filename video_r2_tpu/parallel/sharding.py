@@ -76,9 +76,11 @@ def _path_tuple(keypath) -> tuple[str, ...]:
 
 def param_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings matching `params`."""
+    pp = dict(mesh.shape).get("pp", 1)
 
     def f(keypath, leaf):
-        spec = _spec_for(_path_tuple(keypath), leaf)
+        path = _path_tuple(keypath)
+        spec = _spec_for(path, leaf)
         # drop axes that don't divide evenly -> replicate that dim
         fixed = []
         for dim, axis in enumerate(spec):
@@ -88,6 +90,14 @@ def param_shardings(params, mesh: Mesh):
             size = mesh.shape[axis] if isinstance(axis, str) else int(
                 np.prod([mesh.shape[a] for a in axis]))
             fixed.append(axis if leaf.shape[dim] % size == 0 else None)
+        # pipeline parallelism: the text decoder's stacked layer axis is the
+        # stage axis — every leaf under model/layers (kernels, biases, norm
+        # scales) shards its leading L dim over "pp" so each stage holds a
+        # contiguous L/pp block (parallel/pipeline.py consumes this layout)
+        if (pp > 1 and len(path) >= 2 and path[:2] == ("model", "layers")
+                and leaf.ndim >= 1 and leaf.shape[0] % pp == 0):
+            fixed += [None] * (leaf.ndim - len(fixed))
+            fixed[0] = "pp"
         return NamedSharding(mesh, P(*fixed) if fixed else P())
 
     return jax.tree_util.tree_map_with_path(f, params)

@@ -32,6 +32,7 @@ class SFTConfig:
     attn_impl: str = "xla"
     sp_impl: str = "gather"           # "gather" | "ring" (attn_impl="sp")
     gradient_checkpointing: bool = True
+    pp_microbatches: int = 0          # 0 -> min(B, 2*pp) when pp>1
 
 
 class TrainState(NamedTuple):
@@ -69,15 +70,50 @@ def sft_loss(params, cfg: ModelConfig, batch: dict, scfg: SFTConfig,
     return fused_linear_cross_entropy(hs, w, labels, scfg.ce_chunk_size)
 
 
+def pipeline_sft_loss(params, cfg: ModelConfig, batch: dict, scfg: SFTConfig,
+                      mesh, video_layout=None, image_layout=None):
+    """sft_loss with the decoder run as a GPipe pipeline over the "pp" mesh
+    axis (parallel/pipeline.py). Embedding / lm_head / CE stay outside the
+    pipeline, replicated over pp."""
+    h = embed_inputs(params, cfg, batch["input_ids"],
+                     batch.get("video_patches"), video_layout,
+                     batch.get("image_patches"), image_layout)
+    cos, sin = mrope_cos_sin(batch["position_ids"], cfg, dtype=h.dtype)
+    from ..parallel.pipeline import pipeline_decoder_forward
+
+    hidden = pipeline_decoder_forward(
+        params["model"], cfg.text, h, cos, sin, mesh,
+        num_microbatches=scfg.pp_microbatches or None,
+        attn_impl="flash" if scfg.attn_impl == "flash" else "xla",
+        attention_mask=batch.get("attention_mask"),
+        remat=scfg.gradient_checkpointing)
+    hs = hidden[:, :-1].reshape(-1, hidden.shape[-1])
+    labels = batch["labels"][:, 1:].reshape(-1)
+    from ..models.model import lm_head_weight
+
+    w = lm_head_weight(params, cfg)
+    return fused_linear_cross_entropy(hs, w, labels, scfg.ce_chunk_size)
+
+
 def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
                   video_layout=None, image_layout=None, donate: bool = True):
     """Build the jitted train step. With a mesh, params/opt state are
     FSDP/TP-sharded and batches are (dp,fsdp)-sharded; XLA inserts the
-    reduce-scatter/all-gather collectives."""
+    reduce-scatter/all-gather collectives. A mesh with pp>1 runs the decoder
+    through the GPipe pipeline (parallel/pipeline.py)."""
+    pp = dict(mesh.shape).get("pp", 1) if mesh is not None else 1
+    if pp > 1 and scfg.attn_impl == "sp":
+        raise ValueError("pp and sp cannot combine: the sp shard_map cannot "
+                         "nest inside the pp stage schedule")
+
+    def loss_fn(params, batch):
+        if pp > 1:
+            return pipeline_sft_loss(params, cfg, batch, scfg, mesh,
+                                     video_layout, image_layout)
+        return sft_loss(params, cfg, batch, scfg, video_layout, image_layout)
 
     def step_fn(state: TrainState, batch: dict):
-        loss, grads = jax.value_and_grad(sft_loss)(
-            state.params, cfg, batch, scfg, video_layout, image_layout)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

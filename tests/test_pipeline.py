@@ -161,6 +161,53 @@ def test_pp_sft_overfits(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.parametrize("impl", ["xla", "flash"])
+def test_pp_grpo_step_matches_single(rng, impl):
+    """Pipelined GRPO loss forward: the [prompt_pad | completion] gap rides
+    per microbatch (segment ids under flash, mask bias under xla) and the
+    sharded step's loss/kl match single-device."""
+    from video_r2_tpu.train.grpo import (
+        GRPOConfig,
+        GRPOTrainState,
+        make_grpo_step,
+    )
+
+    cfg = _cfg()
+    params = init_params(cfg, dtype="float32")
+    opt = make_optimizer(OptimConfig(learning_rate=1e-3, total_steps=10),
+                         params)
+    gcfg = GRPOConfig(num_generations=4, beta=0.04, logp_chunk_size=32,
+                      pp_microbatches=4)
+    B, P, C = 8, 10, 6
+    ids = rng.integers(2, 400, size=(B, P + C))
+    mask = np.ones((B, P + C), np.int32)
+    mask[:, 2:4] = 0  # mid-sequence prompt-pad gap
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "position_ids": jnp.asarray(np.broadcast_to(
+            np.arange(P + C)[None, None], (3, B, P + C)).copy()),
+        "attention_mask": jnp.asarray(mask),
+        "completion_mask": jnp.ones((B, C), jnp.int32),
+        "advantages": jnp.asarray(rng.normal(size=(B,)), jnp.float32),
+        "ref_per_token_logps": jnp.asarray(rng.normal(size=(B, C)) - 5.0,
+                                           jnp.float32),
+    }
+
+    step1 = make_grpo_step(cfg, gcfg, opt, donate=False)
+    state1 = GRPOTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    _, m1 = step1(state1, batch)
+
+    mesh = make_mesh(MeshConfig(pp=4, dp=2))
+    sp = shard_params(params, mesh)
+    step2 = make_grpo_step(cfg, gcfg, opt, mesh=mesh, donate=False,
+                           attn_impl=impl)
+    state2 = GRPOTrainState(sp, opt.init(sp), jnp.zeros((), jnp.int32))
+    _, m2 = step2(state2, step2.shard_batch(batch))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m1["kl"]), float(m2["kl"]), rtol=2e-4)
+
+
 def test_pp_sp_combination_rejected():
     cfg = _cfg()
     params = init_params(cfg, dtype="float32")

@@ -59,6 +59,7 @@ class GRPOConfig:
     buffer_seconds: float = 2.0
     similarity_threshold: float = 0.75
     logp_chunk_size: int = 1024
+    pp_microbatches: int = 0       # GPipe microbatches when the mesh has pp>1
     # rollout infrastructure (TRL's use_vllm analog): "batch" = static batch
     # generate; "paged" = continuous batching over the paged KV pool, so
     # rollouts that hit EOS early free their slot for the next request
@@ -150,11 +151,14 @@ def per_token_logps(
     params, cfg: ModelConfig, input_ids, position_ids, attention_mask,
     completion_len: int, temperature: float, chunk_size: int = 1024,
     video_patches=None, video_layout=None, video_embeds=None,
-    attn_impl: str = "xla",
+    attn_impl: str = "xla", pp_mesh=None, pp_microbatches: int = 0,
 ):
     """log p(token) for the last `completion_len` tokens. [B, completion_len].
     `video_embeds` short-circuits the ViT with precomputed merged embeddings
-    (rollouts and loss share one vision pass per prompt)."""
+    (rollouts and loss share one vision pass per prompt). With `pp_mesh`
+    (a mesh whose "pp" axis is >1) the decoder runs as a GPipe pipeline
+    (parallel/pipeline.py); the [prompt_pad | completion] gap rides as
+    segment ids (flash) or the mask bias (xla) per microbatch."""
     if video_embeds is not None:
         from ..models.model import merge_vision_embeddings
 
@@ -163,7 +167,22 @@ def per_token_logps(
     else:
         h = embed_inputs(params, cfg, input_ids, video_patches, video_layout)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
-    if attn_impl in ("flash", "sp"):
+    if pp_mesh is not None:
+        from ..parallel.pipeline import pipeline_decoder_forward
+
+        flash = attn_impl == "flash"
+        hidden = pipeline_decoder_forward(
+            params["model"], cfg.text, h, cos, sin, pp_mesh,
+            num_microbatches=pp_microbatches or None,
+            attn_impl="flash" if flash else "xla",
+            attention_mask=attention_mask,
+            # flash expresses the mid-sequence gap via segment ids over the
+            # FULL kv span; xla builds the mask bias per microbatch
+            kv_lengths=(jnp.full((h.shape[0],), h.shape[1], jnp.int32)
+                        if flash else None),
+            segment_ids=(jnp.where(attention_mask == 1, 1, -1).astype(jnp.int32)
+                         if flash else None))
+    elif attn_impl in ("flash", "sp"):
         # the [prompt_pad | completion] mid-sequence gap is expressed as
         # segment ids: valid tokens segment 1, pads -1 ("sp" additionally
         # shards the sequence axis — segments shard with it)
@@ -196,6 +215,7 @@ def grpo_loss(
     batch: dict,
     video_layout=None,
     attn_impl: str = "xla",
+    pp_mesh=None,
 ):
     """batch keys: input_ids [B, P+C] (prompt+completion), position_ids,
     attention_mask, completion_mask [B, C], advantages [B],
@@ -206,7 +226,8 @@ def grpo_loss(
         params, cfg, batch["input_ids"], batch["position_ids"],
         batch["attention_mask"], C, gcfg.temperature, gcfg.logp_chunk_size,
         batch.get("video_patches"), video_layout,
-        batch.get("video_embeds"), attn_impl)
+        batch.get("video_embeds"), attn_impl,
+        pp_mesh, gcfg.pp_microbatches)
 
     cmask = batch["completion_mask"].astype(jnp.float32)
     adv = batch["advantages"].astype(jnp.float32)
@@ -260,11 +281,17 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
     """Build the jitted GRPO step. With a mesh, params/opt state are
     FSDP/TP-sharded (reference bar: 8-way ZeRO-3 GRPO, train_grpo.sh:41-42,
     grpo_trainer.py:329,579-585) and batches shard over (dp, fsdp); XLA
-    inserts the reduce-scatter/all-gather collectives from the annotations."""
+    inserts the reduce-scatter/all-gather collectives from the annotations.
+    A mesh with pp>1 runs the loss forward through the GPipe pipeline."""
+    pp = dict(mesh.shape).get("pp", 1) if mesh is not None else 1
+    if pp > 1 and attn_impl == "sp":
+        raise ValueError("pp and sp cannot combine: the sp shard_map cannot "
+                         "nest inside the pp stage schedule")
+    pp_mesh = mesh if pp > 1 else None
 
     def step_fn(state: GRPOTrainState, batch: dict):
         (loss, metrics), grads = jax.value_and_grad(grpo_loss, has_aux=True)(
-            state.params, cfg, gcfg, batch, video_layout, attn_impl)
+            state.params, cfg, gcfg, batch, video_layout, attn_impl, pp_mesh)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["loss"] = loss

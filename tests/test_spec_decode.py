@@ -1,0 +1,89 @@
+"""Speculative decoding (engine/spec_decode.py): token-exact parity with
+plain greedy decode, acceptance actually reduces dispatch count, EOS/budget
+edges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_r2_tpu.engine import SamplingParams
+from video_r2_tpu.engine.generate import generate, prefill
+from video_r2_tpu.engine.spec_decode import spec_decode
+from video_r2_tpu.models import init_params, tiny_test_config
+
+
+def _prompts(rng, B=4, S=24):
+    lens = np.array([S, S - 4, S - 7, S])[:B]
+    ids = rng.integers(2, 400, size=(B, S))
+    for b in range(B):
+        ids[b, lens[b]:] = 0
+    return ids, lens
+
+
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_spec_matches_plain_greedy(rng, spec_k):
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32", seed=3)
+    ids, lens = _prompts(rng)
+    ids[0, :24] = np.tile(rng.integers(2, 400, size=6), 4)  # lookup-friendly
+    sp = SamplingParams(max_new_tokens=16, pad_token_id=0, eos_token_ids=())
+    r1 = generate(params, cfg, ids, lens, sp)
+    r2 = generate(params, cfg, ids, lens, sp, spec_decode=spec_k)
+    np.testing.assert_array_equal(r1.sequences, r2.sequences)
+    np.testing.assert_array_equal(r1.lengths, r2.lengths)
+    np.testing.assert_allclose(r1.logprobs, r2.logprobs, atol=1e-5)
+
+
+def test_spec_matches_plain_with_eos(rng):
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32", seed=3)
+    ids, lens = _prompts(rng)
+    sp0 = SamplingParams(max_new_tokens=16, pad_token_id=0, eos_token_ids=())
+    base = generate(params, cfg, ids, lens, sp0)
+    eos_tok = int(base.sequences[0, 5])  # a token the model actually emits
+    sp = SamplingParams(max_new_tokens=16, pad_token_id=0,
+                        eos_token_ids=(eos_tok,))
+    r1 = generate(params, cfg, ids, lens, sp)
+    r2 = generate(params, cfg, ids, lens, sp, spec_decode=4)
+    np.testing.assert_array_equal(r1.sequences, r2.sequences)
+    np.testing.assert_array_equal(r1.lengths, r2.lengths)
+
+
+def test_spec_acceptance_cuts_dispatches(rng):
+    """A maximally self-repetitive model (zero params -> constant argmax)
+    must accept essentially every draft: the verify loop runs ~T/(K+1)
+    iterations, not T."""
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32", method="zeros")
+    ids, lens = _prompts(rng, B=2)
+    T, K = 24, 4
+    sp = SamplingParams(max_new_tokens=T, pad_token_id=0, eos_token_ids=())
+    max_cache = ids.shape[1] + T + K + 1
+    pos = np.broadcast_to(np.arange(ids.shape[1])[None, None],
+                          (3,) + ids.shape).copy()
+    logits, cache = prefill(params, cfg, jnp.asarray(ids), jnp.asarray(pos),
+                            jnp.asarray(lens), max_cache)
+    toks, _, gen_len, iters = spec_decode(
+        params, cfg, sp, logits, cache, jnp.asarray(lens),
+        jnp.asarray(np.zeros_like(lens)), jnp.asarray(ids),
+        s_pad=ids.shape[1], spec_k=K)
+    assert int(iters) <= 2 + T // (K + 1), int(iters)  # ~5x fewer dispatches
+    assert np.all(np.asarray(gen_len) == T)
+    # constant-argmax model emits one repeated token
+    assert len(np.unique(np.asarray(toks))) == 1
+
+
+def test_spec_rejects_sampling_and_quant_cache(rng):
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    ids, lens = _prompts(rng)
+    with pytest.raises(ValueError, match="greedy-only"):
+        generate(params, cfg, ids, lens,
+                 SamplingParams(do_sample=True, max_new_tokens=4,
+                                pad_token_id=0),
+                 spec_decode=4)
+    with pytest.raises(ValueError, match="seq-major"):
+        generate(params, cfg, ids, lens,
+                 SamplingParams(max_new_tokens=4, pad_token_id=0),
+                 spec_decode=4, kv_quant="int8")

@@ -246,9 +246,21 @@ def generate(
     prefill_chunk: int | None = None,  # prefill in batch chunks of this size
                                    # (B=256 prefill OOMs; 2x128 chunks fit),
                                    # then decode the full batch together
+    spec_decode: int = 0,          # >0: speculative decoding — verify this
+                                   # many n-gram prompt-lookup drafts per
+                                   # dispatch (greedy only; token-exact vs
+                                   # plain decode). See engine/spec_decode.py
 ) -> GenerationResult:
     """Host-orchestrated batched generation."""
     B, S = input_ids.shape
+    if spec_decode:
+        if sp.do_sample:
+            raise ValueError("spec_decode is greedy-only (draft acceptance "
+                             "is argmax equality)")
+        if kv_quant is not None or mesh is not None:
+            raise ValueError("spec_decode needs the unquantized seq-major "
+                             "cache on a single device (no kv_quant/mesh)")
+        decode_impl = "xla"
     if decode_impl == "auto":
         # measured on v5e (CLAUDE.md decode history): at decode shapes the
         # XLA path's fused slice+attention already runs near the HBM
@@ -278,7 +290,10 @@ def generate(
         max_cache = -(-(S + sp.max_new_tokens) // BLOCK_S) * BLOCK_S
         layout, s_pad = "head", S
     else:
-        max_cache = S + sp.max_new_tokens
+        # spec decode scatters W-token verify chunks at per-row frontiers;
+        # the last chunk can reach s_pad + T + K, so pad the width
+        max_cache = S + sp.max_new_tokens + (spec_decode + 1 if spec_decode
+                                             else 0)
         layout, s_pad = "seq", None
 
     def run_prefill(ids_c, pos_c, len_c, embeds_c=None):
@@ -333,6 +348,15 @@ def generate(
                                     vision_embeds)
     if decode_act_quant == "auto":
         decode_act_quant = "int8" if (act_quant == "int8" and B >= 192) else None
+    if spec_decode:
+        from .spec_decode import spec_decode as spec_decode_loop
+
+        toks, logps, gen_len, _ = spec_decode_loop(
+            params, cfg, sp, logits, cache, jnp.asarray(lengths),
+            jnp.asarray(rope_deltas), jnp.asarray(input_ids), s_pad=S,
+            spec_k=spec_decode, act_quant=decode_act_quant)
+        return GenerationResult(np.asarray(toks), np.asarray(gen_len),
+                                np.asarray(logps))
     toks, logps, gen_len, _ = decode(
         params, cfg, sp, logits, cache, jnp.asarray(lengths),
         jnp.asarray(rope_deltas), jax.random.PRNGKey(seed), attn_impl=attn_impl,

@@ -177,7 +177,15 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
         return x + swiglu_mlp(p["mlp"], h, act_quant), (ck, cv, ksc, vsc)
     elif cache_kv is not None:
         ck, cv = cache_kv
-        if isinstance(cache_position, jax.Array) and cache_position.ndim == 1:
+        if (isinstance(cache_position, jax.Array) and cache_position.ndim == 1
+                and S > 1):
+            # per-sample multi-token write (speculative-decode verify chunks:
+            # row b's W tokens land at [pos_b, pos_b + W))
+            b_idx = jnp.arange(B)
+            pos = cache_position[:, None] + jnp.arange(S)[None, :]
+            ck = ck.at[layer_idx, b_idx[:, None], pos].set(k.astype(ck.dtype))
+            cv = cv.at[layer_idx, b_idx[:, None], pos].set(v.astype(cv.dtype))
+        elif isinstance(cache_position, jax.Array) and cache_position.ndim == 1:
             # per-sample positions (continuous-batching decode, S==1)
             b_idx = jnp.arange(B)
             ck = ck.at[layer_idx, b_idx, cache_position].set(k[:, 0])

@@ -107,6 +107,28 @@ def main():
               f"{base_worst/dt_w:.2f}x, verify iters (best) = "
               f"{int(iters)} vs {T} plain steps", flush=True)
 
+    # acceptance-0 floor: _reject_all forces every draft wrong, so each
+    # verify round emits exactly one token — T rounds of W-row work
+    ids = prompts(False)
+    pos = np.broadcast_to(np.arange(S)[None, None], (3, B, S)).copy()
+    for k in (4, 8):
+        def floor_run(seed):
+            lg, cache = prefill(params, cfg, jnp.asarray(ids),
+                                jnp.asarray(pos), jnp.asarray(lengths),
+                                S + T + k + 1, attn_impl="flash",
+                                act_quant="int8")
+            toks, _, _, it = spec_decode(
+                params, cfg, sp, lg, cache, jnp.asarray(lengths),
+                jnp.asarray(np.zeros(B, np.int64)), jnp.asarray(ids),
+                s_pad=S, spec_k=k, _reject_all=True)
+            return float(jnp.sum(toks)), int(it)
+        floor_run(0)
+        t0 = time.perf_counter()
+        _, it = floor_run(1)
+        dt = time.perf_counter() - t0
+        print(f"  k={k} reject-all floor: {dt*1e3:.0f} ms "
+              f"({base_worst/dt:.2f}x vs plain, {it} iters)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -74,6 +74,32 @@ def test_spec_acceptance_cuts_dispatches(rng):
     assert len(np.unique(np.asarray(toks))) == 1
 
 
+def test_chat_engine_spec_matches_plain():
+    """ChatEngine(spec_decode=K): chat and chat_batch outputs are identical
+    to the non-speculative engine; EngineJudge.chat_many routes a burst
+    through one batched speculative generate."""
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine
+    from video_r2_tpu.rewards import EngineJudge
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32", seed=5)
+    plain = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=6)
+    spec = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=6,
+                      spec_decode=3)
+    msgs = [[{"role": "user", "content": "judge: is A == A? answer yes/no"}],
+            [{"role": "user", "content": "extract the final letter: B"}]]
+    assert spec.chat(msgs[0]) == plain.chat(msgs[0])
+    assert spec.chat_batch(msgs) == [plain.chat(m) for m in msgs]
+    # sampling requests fall back to the plain path (no error)
+    spec.chat(msgs[0], temperature=0.7)
+    judge = EngineJudge(spec, max_tokens=6)
+    outs = judge.chat_many([("sys", "u1"), ("sys", "u2")])
+    ref = EngineJudge(plain, max_tokens=6)
+    assert outs == ref.chat_many([("sys", "u1"), ("sys", "u2")])
+
+
 def test_spec_rejects_sampling_and_quant_cache(rng):
     cfg = tiny_test_config()
     params = init_params(cfg, dtype="float32")

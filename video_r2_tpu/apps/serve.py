@@ -26,6 +26,7 @@ def main(argv=None):
     port = 8000
     continuous = False
     engine_kind = "slots"
+    spec_decode = 0  # --spec-decode K: n-gram speculative greedy decode
     rest = []
     i = 0
     while i < len(argv):
@@ -35,6 +36,9 @@ def main(argv=None):
         elif argv[i] == "--continuous":
             continuous = True
             i += 1
+        elif argv[i] == "--spec-decode":
+            spec_decode = int(argv[i + 1])
+            i += 2
         elif argv[i] == "--paged":
             continuous = True
             engine_kind = "paged"
@@ -49,7 +53,8 @@ def main(argv=None):
     # serve_qwen3.sh:13): params shard at engine construction
     mesh = build_mesh(app)
     engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app), mesh=mesh,
-                        continuous=continuous, engine_kind=engine_kind)
+                        continuous=continuous, engine_kind=engine_kind,
+                        spec_decode=spec_decode)
     logger.info("serving OpenAI-compatible API on :%d%s", port,
                 f" (mesh {dict(mesh.shape)})" if mesh is not None else "")
     serve(engine, port=port)

@@ -35,7 +35,8 @@ class ChatEngine:
                  act_quant: str | None = None,
                  continuous: bool = False, num_slots: int = 8,
                  max_len: int = 4096, mesh=None, engine_kind: str = "slots",
-                 page_size: int = 128, kv_quant: str | None = None):
+                 page_size: int = 128, kv_quant: str | None = None,
+                 spec_decode: int = 0):
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
         # parallel.sharding rules; the KV cache shards on heads over "tp".
@@ -51,6 +52,12 @@ class ChatEngine:
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl
         self.act_quant = act_quant  # "int8": W8A8 prefill (integer MXU)
+        # speculative decoding for greedy judge requests (temp 0 is the
+        # TAC/VAS contract): verify K prompt-lookup drafts per dispatch —
+        # judge outputs echo the prompt's answer/format strings, the
+        # workload n-gram lookup is built for. Non-continuous mode only
+        # (the slot loop decodes token-wise); sampling requests fall back.
+        self.spec_decode = spec_decode if mesh is None else 0
         self._lock = threading.Lock()
         self._seed = 0
         self._queue = None
@@ -165,9 +172,54 @@ class ChatEngine:
             res = generate(self.params, self.cfg, packed.input_ids,
                            packed.lengths, sp, seed=self._seed,
                            attn_impl=self.attn_impl,
-                           act_quant=self.act_quant, mesh=self.mesh)
+                           act_quant=self.act_quant, mesh=self.mesh,
+                           spec_decode=0 if sp.do_sample else self.spec_decode)
         out_ids = res.sequences[0][: res.lengths[0]]
         return self.tok.decode(out_ids, skip_special_tokens=True)
+
+    def chat_batch(self, messages_list: list[list[dict]],
+                   temperature: float = 0.0, top_p: float = 1.0,
+                   top_k: int = 0, max_tokens: int | None = None) -> list[str]:
+        """A burst of chats in one batched generate (the TAC/VAS judge
+        pattern: many same-shape prompts at temp 0). Continuous mode submits
+        them all to the shared loop and waits; non-continuous mode packs one
+        batch — with speculative decoding when greedy and enabled."""
+        mnt = max_tokens or self.max_new_tokens
+        sp = SamplingParams(
+            do_sample=temperature > 0, temperature=max(temperature, 1e-6),
+            top_p=top_p, top_k=top_k, max_new_tokens=mnt,
+            eos_token_ids=(self.cfg.eos_token_id,),
+            pad_token_id=self.cfg.pad_token_id)
+        ids_list = [self.tok.encode(render_messages(
+            m, add_generation_prompt=True, default_system=None))
+            for m in messages_list]
+        if self._queue is not None:
+            boxes = []
+            for ids in ids_list:
+                done = threading.Event()
+                box = {}
+
+                def cb(rid, toks, box=box, done=done):
+                    box["tokens"] = toks
+                    done.set()
+
+                self._queue.put((ids, mnt, cb, sp))
+                boxes.append((box, done))
+            for _, done in boxes:
+                done.wait()
+            return [self.tok.decode(b["tokens"], skip_special_tokens=True)
+                    for b, _ in boxes]
+        packed = pack_prompts(ids_list, pad_id=self.cfg.pad_token_id)
+        with self._lock:
+            self._seed += 1
+            res = generate(self.params, self.cfg, packed.input_ids,
+                           packed.lengths, sp, seed=self._seed,
+                           attn_impl=self.attn_impl,
+                           act_quant=self.act_quant, mesh=self.mesh,
+                           spec_decode=0 if sp.do_sample else self.spec_decode)
+        return [self.tok.decode(res.sequences[i][: res.lengths[i]],
+                                skip_special_tokens=True)
+                for i in range(len(ids_list))]
 
 
 def make_handler(engine: ChatEngine):

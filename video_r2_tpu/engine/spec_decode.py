@@ -46,7 +46,7 @@ from .sampling import SamplingParams
 
 
 @partial(jax.jit, static_argnames=("cfg", "sp", "s_pad", "spec_k",
-                                   "act_quant"),
+                                   "act_quant", "_reject_all"),
          donate_argnums=(4,))
 def spec_decode(
     params: dict,
@@ -60,6 +60,8 @@ def spec_decode(
     s_pad: int,                  # decode slots start here (prompt pad width)
     spec_k: int = 4,             # drafts verified per dispatch
     act_quant: str | None = None,
+    _reject_all: bool = False,   # profiling: force acceptance ~0 to measure
+                                 # the verify-overhead floor
 ):
     """Greedy speculative decode. Returns (tokens [B,T], logprobs [B,T],
     gen_lengths [B]) — token-identical to the plain greedy decode loop."""
@@ -112,6 +114,8 @@ def spec_decode(
         lse0 = jax.scipy.special.logsumexp(logits, axis=-1)
         lp0 = logits[b_idx, tok0] - lse0
         drafts = draft(hist, tok0, gen_len)
+        if _reject_all:
+            drafts = jnp.full_like(drafts, V - 1)
         chunk = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, W]
 
         # one verify forward over the W-token chunk at each row's frontier

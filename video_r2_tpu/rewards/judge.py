@@ -106,9 +106,22 @@ class EngineJudge:
 
     def chat_many(self, requests: list[tuple[str, str]],
                   on_error: str = "raise") -> list[str]:
-        # concurrent submissions drain through the engine's continuous loop
+        # a non-continuous engine with chat_batch runs the whole burst as
+        # ONE batched (speculative) generate; otherwise concurrent
+        # submissions drain through the engine's continuous loop
         # (batched/packed admission); order restored by index.
         # on_error="empty": per-request isolation (a failed call yields "")
+        batch = getattr(self.engine, "chat_batch", None)
+        if batch is not None and getattr(self.engine, "_queue", None) is None:
+            msgs = [[{"role": "system", "content": s},
+                     {"role": "user", "content": u}] for s, u in requests]
+            try:
+                return batch(msgs, temperature=self.temperature,
+                             max_tokens=self.max_tokens)
+            except Exception:
+                if on_error != "empty":
+                    raise
+                # fall through to per-request isolation
         from concurrent.futures import ThreadPoolExecutor
 
         def one(r):

@@ -100,7 +100,7 @@ def test_chat_engine_spec_matches_plain():
     assert outs == ref.chat_many([("sys", "u1"), ("sys", "u2")])
 
 
-def test_spec_rejects_sampling_and_quant_cache(rng):
+def test_spec_rejects_sampling(rng):
     cfg = tiny_test_config()
     params = init_params(cfg, dtype="float32")
     ids, lens = _prompts(rng)
@@ -109,7 +109,22 @@ def test_spec_rejects_sampling_and_quant_cache(rng):
                  SamplingParams(do_sample=True, max_new_tokens=4,
                                 pad_token_id=0),
                  spec_decode=4)
-    with pytest.raises(ValueError, match="seq-major"):
-        generate(params, cfg, ids, lens,
-                 SamplingParams(max_new_tokens=4, pad_token_id=0),
-                 spec_decode=4, kv_quant="int8")
+
+
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_spec_int8_kv_matches_plain_int8_kv(rng, spec_k):
+    """int8-KV speculative decode == plain int8-KV greedy, token for token:
+    both paths quantize each new token's K/V with the same per-token absmax
+    and attend through the quantized cache, so the verify-chunk frontier
+    scatter changes nothing about the numerics."""
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32", seed=3)
+    ids, lens = _prompts(rng)
+    ids[0, :24] = np.tile(rng.integers(2, 400, size=6), 4)  # lookup-friendly
+    sp = SamplingParams(max_new_tokens=16, pad_token_id=0, eos_token_ids=())
+    r1 = generate(params, cfg, ids, lens, sp, kv_quant="int8")
+    r2 = generate(params, cfg, ids, lens, sp, kv_quant="int8",
+                  spec_decode=spec_k)
+    np.testing.assert_array_equal(r1.sequences, r2.sequences)
+    np.testing.assert_array_equal(r1.lengths, r2.lengths)
+    np.testing.assert_allclose(r1.logprobs, r2.logprobs, atol=1e-5)

@@ -35,10 +35,11 @@ def build_tokenizer(app: AppConfig):
 
 def build_mesh(app: AppConfig):
     r = app.run
-    if r.dp * r.pp * r.fsdp * r.sp * r.tp <= 1:
+    ep = getattr(r, "ep", 1)
+    if r.dp * r.pp * r.fsdp * r.sp * ep * r.tp <= 1:
         return None
     return make_mesh(MeshConfig(dp=r.dp, pp=r.pp, fsdp=r.fsdp, sp=r.sp,
-                                tp=r.tp))
+                                ep=ep, tp=r.tp))
 
 
 def attn_impl(app: AppConfig) -> str:

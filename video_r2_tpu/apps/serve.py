@@ -27,6 +27,7 @@ def main(argv=None):
     continuous = False
     engine_kind = "slots"
     spec_decode = 0  # --spec-decode K: n-gram speculative greedy decode
+    kv_quant = None  # --kv-quant int8: quantized KV cache (composes w/ spec)
     rest = []
     i = 0
     while i < len(argv):
@@ -38,6 +39,9 @@ def main(argv=None):
             i += 1
         elif argv[i] == "--spec-decode":
             spec_decode = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--kv-quant":
+            kv_quant = argv[i + 1]
             i += 2
         elif argv[i] == "--paged":
             continuous = True
@@ -54,7 +58,7 @@ def main(argv=None):
     mesh = build_mesh(app)
     engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app), mesh=mesh,
                         continuous=continuous, engine_kind=engine_kind,
-                        spec_decode=spec_decode)
+                        spec_decode=spec_decode, kv_quant=kv_quant)
     logger.info("serving OpenAI-compatible API on :%d%s", port,
                 f" (mesh {dict(mesh.shape)})" if mesh is not None else "")
     serve(engine, port=port)

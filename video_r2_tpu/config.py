@@ -14,7 +14,8 @@ from dataclasses import dataclass, field
 from typing import Any, get_args, get_origin
 
 from .data.config import DataConfig
-from .models.config import ModelConfig, qwen25vl_3b, qwen25vl_7b, tiny_test_config
+from .models.config import (ModelConfig, qwen3_moe_30b_a3b, qwen25vl_3b,
+                            qwen25vl_7b, qwen25vl_72b, tiny_test_config)
 from .train.grpo import GRPOConfig
 from .train.lora import LoRAConfig
 from .train.optim import OptimConfig
@@ -23,6 +24,8 @@ from .train.sft import SFTConfig
 MODEL_PRESETS = {
     "qwen25vl-7b": qwen25vl_7b,
     "qwen25vl-3b": qwen25vl_3b,
+    "qwen25vl-72b": qwen25vl_72b,
+    "qwen3-moe-30b-a3b": qwen3_moe_30b_a3b,  # judge-class MoE (text-only)
     "tiny-test": tiny_test_config,
 }
 
@@ -42,6 +45,7 @@ class RunConfig:
     pp: int = 1                       # pipeline parallel stages (training)
     fsdp: int = 1
     sp: int = 1                       # sequence (context) parallel degree
+    ep: int = 1                       # expert parallel degree (MoE models)
     tp: int = 1
     # training loop
     max_steps: int = 1000

@@ -550,7 +550,8 @@ def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
     pid = jnp.where(active, pid, trash_page)
     off = cur_len % page_size
 
-    from ..models.layers import apply_rotary, linear, rms_norm, swiglu_mlp
+    from ..models.decoder import _mlp, _qk_norm
+    from ..models.layers import apply_rotary, linear, rms_norm
 
     quant = len(kv) == 4
 
@@ -561,6 +562,7 @@ def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
         q = linear(p["attn"]["q"], h).reshape(N, 1, nh, hd)
         k = linear(p["attn"]["k"], h).reshape(N, 1, kh, hd)
         v = linear(p["attn"]["v"], h).reshape(N, 1, kh, hd)
+        q, k = _qk_norm(p["attn"], q, k, cfg_t)
         q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
         # mixed basic/advanced indexing puts the broadcast (slot) axis first:
         # target shape is [N, kh, hd]
@@ -588,7 +590,7 @@ def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
         x = x + linear(p["attn"]["o"], attn.reshape(N, 1, nh * hd))
         h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
                       cfg_t.rms_norm_eps)
-        return (x + swiglu_mlp(p["mlp"], h2), kv_c), None
+        return (x + _mlp(p["mlp"], h2, cfg_t), kv_c), None
 
     (x, kv), _ = jax.lax.scan(
         body, (emb, kv), (jnp.arange(n_layers), layers))

@@ -257,9 +257,10 @@ def generate(
         if sp.do_sample:
             raise ValueError("spec_decode is greedy-only (draft acceptance "
                              "is argmax equality)")
-        if kv_quant is not None or mesh is not None:
-            raise ValueError("spec_decode needs the unquantized seq-major "
-                             "cache on a single device (no kv_quant/mesh)")
+        if mesh is not None:
+            raise ValueError("spec_decode needs a single device (no mesh)")
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"spec_decode: unsupported kv_quant={kv_quant!r}")
         decode_impl = "xla"
     if decode_impl == "auto":
         # measured on v5e (CLAUDE.md decode history): at decode shapes the

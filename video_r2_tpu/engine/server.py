@@ -58,6 +58,9 @@ class ChatEngine:
         # workload n-gram lookup is built for. Non-continuous mode only
         # (the slot loop decodes token-wise); sampling requests fall back.
         self.spec_decode = spec_decode if mesh is None else 0
+        # int8 KV cache in batch (non-continuous) mode too — composes with
+        # speculative decoding (the verify chunks quantize at row frontiers)
+        self.kv_quant = kv_quant if mesh is None else None
         self._lock = threading.Lock()
         self._seed = 0
         self._queue = None
@@ -173,6 +176,7 @@ class ChatEngine:
                            packed.lengths, sp, seed=self._seed,
                            attn_impl=self.attn_impl,
                            act_quant=self.act_quant, mesh=self.mesh,
+                           kv_quant=self.kv_quant,
                            spec_decode=0 if sp.do_sample else self.spec_decode)
         out_ids = res.sequences[0][: res.lengths[0]]
         return self.tok.decode(out_ids, skip_special_tokens=True)
@@ -216,6 +220,7 @@ class ChatEngine:
                            packed.lengths, sp, seed=self._seed,
                            attn_impl=self.attn_impl,
                            act_quant=self.act_quant, mesh=self.mesh,
+                           kv_quant=self.kv_quant,
                            spec_decode=0 if sp.do_sample else self.spec_decode)
         return [self.tok.decode(res.sequences[i][: res.lengths[i]],
                                 skip_special_tokens=True)

@@ -53,7 +53,10 @@ def spec_decode(
     cfg: ModelConfig,
     sp: SamplingParams,
     first_logits: jax.Array,     # [B, V] from prefill
-    cache: KVCache,              # seq-major, width >= s_pad + T + K + 1
+    cache: KVCache,              # seq-major (or QuantKVCache — int8-KV spec:
+                                 # verify chunks quantize per token and
+                                 # scatter values+scales at row frontiers),
+                                 # width >= s_pad + T + K + 1
     lengths: jax.Array,          # [B] prompt lengths
     rope_deltas: jax.Array,      # [B] shifted as in generate()
     input_ids: jax.Array,        # [B, S] right-padded prompt (draft source)

@@ -54,9 +54,22 @@ class TextConfig:
     mrope_section: tuple[int, int, int] = (16, 24, 24)
     max_position_embeddings: int = 128_000
     tie_word_embeddings: bool = False
+    # Qwen3 family (the judge model's shape): explicit head_dim decoupled
+    # from hidden/heads, per-head q/k RMS norm, no attention bias
+    head_dim_override: int = 0
+    qk_norm: bool = False
+    attention_bias: bool = True
+    # MoE (num_experts > 0 makes every layer's MLP a sparse MoE block —
+    # Qwen3MoeSparseMoeBlock semantics; experts shard over the "ep" axis)
+    num_experts: int = 0
+    num_experts_per_tok: int = 8
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
 
     @property
@@ -77,6 +90,9 @@ class ModelConfig:
     eos_token_id: int = 151645   # <|im_end|>
     pad_token_id: int = 151643
     dtype: str = "bfloat16"
+    # Text-only families (the judge role): no vision tower is initialized,
+    # loaded, or expected in checkpoints.
+    has_vision: bool = True
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
@@ -94,6 +110,26 @@ def qwen25vl_3b() -> ModelConfig:
                         num_key_value_heads=2, vocab_size=151936,
                         tie_word_embeddings=True),
         vision=VisionConfig(out_hidden_size=2048),
+    )
+
+
+def qwen3_moe_30b_a3b() -> ModelConfig:
+    """Qwen3-30B-A3B (MoE) — the servable judge-class model family (the
+    reference's judge Qwen3-Next-80B-A3B is this family's shape: sparse MoE,
+    qk-norm, bias-free attention — serve_qwen3.sh:11-17 runs it on vLLM;
+    our engine hosts it natively, experts sharded over "ep"). Text-only:
+    the vision tower is never materialized for the judge role."""
+    return ModelConfig(
+        text=TextConfig(
+            vocab_size=151936, hidden_size=2048, intermediate_size=6144,
+            num_hidden_layers=48, num_attention_heads=32,
+            num_key_value_heads=4, head_dim_override=128, qk_norm=True,
+            attention_bias=False, num_experts=128, num_experts_per_tok=8,
+            moe_intermediate_size=768, norm_topk_prob=True,
+            mrope_section=(22, 21, 21),  # text-only: plain RoPE (equal pos)
+            rope_theta=1_000_000.0,
+        ),
+        eos_token_id=151645, pad_token_id=151643, has_vision=False,
     )
 
 

@@ -57,7 +57,7 @@ def convert_hf_state_dict(state: dict, cfg: ModelConfig,
         return jnp.asarray(a, dtype=dtype)
 
     v, t = cfg.vision, cfg.text
-    visual = {
+    visual = None if not cfg.has_vision else {
         "patch_embed": {
             "kernel": jnp.asarray(
                 _np(sd["visual.patch_embed.proj.weight"]).astype(np.float32)
@@ -90,30 +90,60 @@ def convert_hf_state_dict(state: dict, cfg: ModelConfig,
         },
     }
     L = t.num_hidden_layers
+    attn = {
+        "q": {"kernel": stack("model.layers.{}.self_attn.q_proj.weight", L, True)},
+        "k": {"kernel": stack("model.layers.{}.self_attn.k_proj.weight", L, True)},
+        "v": {"kernel": stack("model.layers.{}.self_attn.v_proj.weight", L, True)},
+        "o": {"kernel": stack("model.layers.{}.self_attn.o_proj.weight", L, True)},
+    }
+    if t.attention_bias:
+        for proj in ("q", "k", "v"):
+            attn[proj]["bias"] = stack(
+                "model.layers.{}.self_attn.%s_proj.bias" % proj, L)
+    if t.qk_norm:  # Qwen3 family: per-head q/k RMS norm weights [head_dim]
+        attn["q_norm"] = {"scale": stack("model.layers.{}.self_attn.q_norm.weight", L)}
+        attn["k_norm"] = {"scale": stack("model.layers.{}.self_attn.k_norm.weight", L)}
+    if t.num_experts:
+        # HF Qwen3MoeForCausalLM naming: mlp.gate (router, [E, H]) +
+        # mlp.experts.{e}.{gate,up,down}_proj
+        E = t.num_experts
+
+        def stack2(fmt, transpose_last=True):
+            a = np.stack([
+                np.stack([_np(sd[fmt.format(i, e)]).astype(np.float32)
+                          for e in range(E)]) for i in range(L)])
+            if transpose_last:
+                a = a.transpose(0, 1, 3, 2)
+            return jnp.asarray(a, dtype=dtype)
+
+        mlp = {
+            "router": {"kernel": stack("model.layers.{}.mlp.gate.weight", L, True)},
+            "experts": {
+                "gate": {"kernel": stack2("model.layers.{}.mlp.experts.{}.gate_proj.weight")},
+                "up": {"kernel": stack2("model.layers.{}.mlp.experts.{}.up_proj.weight")},
+                "down": {"kernel": stack2("model.layers.{}.mlp.experts.{}.down_proj.weight")},
+            },
+        }
+    else:
+        mlp = {
+            "gate": {"kernel": stack("model.layers.{}.mlp.gate_proj.weight", L, True)},
+            "up": {"kernel": stack("model.layers.{}.mlp.up_proj.weight", L, True)},
+            "down": {"kernel": stack("model.layers.{}.mlp.down_proj.weight", L, True)},
+        }
     model = {
         "embed_tokens": {"embedding": get("model.embed_tokens.weight")},
         "layers": {
             "input_layernorm": {"scale": stack("model.layers.{}.input_layernorm.weight", L)},
             "post_attention_layernorm": {
                 "scale": stack("model.layers.{}.post_attention_layernorm.weight", L)},
-            "attn": {
-                "q": {"kernel": stack("model.layers.{}.self_attn.q_proj.weight", L, True),
-                      "bias": stack("model.layers.{}.self_attn.q_proj.bias", L)},
-                "k": {"kernel": stack("model.layers.{}.self_attn.k_proj.weight", L, True),
-                      "bias": stack("model.layers.{}.self_attn.k_proj.bias", L)},
-                "v": {"kernel": stack("model.layers.{}.self_attn.v_proj.weight", L, True),
-                      "bias": stack("model.layers.{}.self_attn.v_proj.bias", L)},
-                "o": {"kernel": stack("model.layers.{}.self_attn.o_proj.weight", L, True)},
-            },
-            "mlp": {
-                "gate": {"kernel": stack("model.layers.{}.mlp.gate_proj.weight", L, True)},
-                "up": {"kernel": stack("model.layers.{}.mlp.up_proj.weight", L, True)},
-                "down": {"kernel": stack("model.layers.{}.mlp.down_proj.weight", L, True)},
-            },
+            "attn": attn,
+            "mlp": mlp,
         },
         "norm": {"scale": get("model.norm.weight")},
     }
-    params = {"visual": visual, "model": model}
+    params = {"model": model}
+    if visual is not None:
+        params["visual"] = visual
     if not t.tie_word_embeddings:
         params["lm_head"] = {"kernel": get("lm_head.weight", True)}
     return params
@@ -158,7 +188,7 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype: str | None = None,
         return jnp.ones(shape, dtype=dtype)
 
     D, I_, nh = v.hidden_size, v.intermediate_size, v.num_heads
-    visual = {
+    visual = None if not cfg.has_vision else {
         "patch_embed": {"kernel": w(v.patch_input_dim, D)},
         "blocks": {
             "norm1": {"scale": ones(v.depth, D)},
@@ -180,27 +210,53 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype: str | None = None,
         },
     }
     H, Ht, L = t.hidden_size, t.intermediate_size, t.num_hidden_layers
+    qd = t.num_attention_heads * t.head_dim
     kvd = t.num_key_value_heads * t.head_dim
+    # embedding drawn FIRST: keeps the sequential-RNG draw order identical to
+    # the historical layout (tolerance-tuned tests seed on it)
+    embed = {"embedding": w(t.vocab_size, H, scale=0.02)}
+    attn = {
+        "q": {"kernel": w(L, H, qd)},
+        "k": {"kernel": w(L, H, kvd)},
+        "v": {"kernel": w(L, H, kvd)},
+        "o": {"kernel": w(L, qd, H)},
+    }
+    if t.attention_bias:
+        attn["q"]["bias"] = zeros(L, qd)
+        attn["k"]["bias"] = zeros(L, kvd)
+        attn["v"]["bias"] = zeros(L, kvd)
+    if t.qk_norm:
+        attn["q_norm"] = {"scale": ones(L, t.head_dim)}
+        attn["k_norm"] = {"scale": ones(L, t.head_dim)}
+    if t.num_experts:
+        E, Im = t.num_experts, t.moe_intermediate_size
+        mlp = {
+            "router": {"kernel": w(L, H, E)},
+            "experts": {
+                "gate": {"kernel": w(L, E, H, Im)},
+                "up": {"kernel": w(L, E, H, Im)},
+                "down": {"kernel": w(L, E, Im, H)},
+            },
+        }
+    else:
+        mlp = {
+            "gate": {"kernel": w(L, H, Ht)},
+            "up": {"kernel": w(L, H, Ht)},
+            "down": {"kernel": w(L, Ht, H)},
+        }
     model = {
-        "embed_tokens": {"embedding": w(t.vocab_size, H, scale=0.02)},
+        "embed_tokens": embed,
         "layers": {
             "input_layernorm": {"scale": ones(L, H)},
             "post_attention_layernorm": {"scale": ones(L, H)},
-            "attn": {
-                "q": {"kernel": w(L, H, H), "bias": zeros(L, H)},
-                "k": {"kernel": w(L, H, kvd), "bias": zeros(L, kvd)},
-                "v": {"kernel": w(L, H, kvd), "bias": zeros(L, kvd)},
-                "o": {"kernel": w(L, H, H)},
-            },
-            "mlp": {
-                "gate": {"kernel": w(L, H, Ht)},
-                "up": {"kernel": w(L, H, Ht)},
-                "down": {"kernel": w(L, Ht, H)},
-            },
+            "attn": attn,
+            "mlp": mlp,
         },
         "norm": {"scale": ones(H)},
     }
-    params = {"visual": visual, "model": model}
+    params = {"model": model}
+    if visual is not None:
+        params["visual"] = visual
     if not t.tie_word_embeddings:
         params["lm_head"] = {"kernel": w(H, t.vocab_size, scale=0.02)}
     return params

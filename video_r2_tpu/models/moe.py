@@ -1,0 +1,154 @@
+"""Mixture-of-Experts MLP with expert parallelism (the judge-model family).
+
+The reference's judge is Qwen3-Next-80B-A3B — a sparse MoE it can only serve
+through vLLM (serve_qwen3.sh:11-17). This module makes MoE decoders a
+first-class citizen of the engine so the judge role runs on our own stack:
+Qwen3-MoE-style top-k routing (softmax over all experts, top-k, optional
+renormalization — HF Qwen3MoeSparseMoeBlock semantics), experts stacked on
+an [E] axis that shards over the "ep" mesh axis.
+
+TPU-first dispatch (t5x/flax MoE layout, not a torch expert loop):
+- tokens are chunked into fixed-size GROUPS; each group computes a
+  [n, E, C] dispatch/combine tensor (C = per-group expert capacity), so the
+  routing tensors stay O(group) instead of O(batch*seq);
+- dispatch/expert-FFN/combine are einsums — under GSPMD the [*, E, ...]
+  operands shard over "ep" (propagated from the expert weights), and XLA
+  inserts the all_to_all pair that moves tokens to their experts' devices
+  and back; nothing is hand-scheduled;
+- position-in-expert comes from a cumsum over the slot-major one-hot;
+  tokens over capacity are DROPPED (contribute zero, standard GShard/Switch
+  behavior). capacity_factor=0 means full capacity (no drops — exactness
+  mode for tests and tiny judges); production serving uses ~1.25-2.0.
+
+Parity anchor: HF Qwen3MoeSparseMoeBlock (top_k softmax+renorm, silu-gated
+experts); the dense-vs-grouped equivalence is pinned by tests/test_moe.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _expert_w(leaf: dict, dtype) -> tuple[jax.Array, jax.Array | None]:
+    """Expert weight leaf -> (kernel [E, K, N], per-channel scale [E, N] or
+    None). int8 weight-only leaves ({kernel_q, scale}, models/quant.py) cast
+    inside the einsum — XLA fuses the convert into the dot — and the scale
+    multiplies the OUTPUT (factorable because it is per-output-channel), so
+    the dequantized [E, K, N] tensor never materializes in HBM."""
+    if "kernel_q" in leaf:
+        return leaf["kernel_q"].astype(dtype), leaf["scale"]
+    return leaf["kernel"], None
+
+
+def _scaled(y: jax.Array, scale: jax.Array | None) -> jax.Array:
+    if scale is None:
+        return y
+    return y * scale.astype(y.dtype)[None, :, None, :]   # [E, N] over [G,E,C,N]
+
+
+def _capacity(group: int, num_experts: int, k: int,
+              capacity_factor: float) -> int:
+    if capacity_factor <= 0:
+        return group * k                      # full: no token ever drops
+    c = int(-(-group * k * capacity_factor // num_experts))
+    return max(k, min(c, group * k))
+
+
+def route(router_kernel: jax.Array, x: jax.Array, k: int,
+          norm_topk_prob: bool) -> tuple[jax.Array, jax.Array]:
+    """Top-k routing. x [T, H] -> (weights [T, k] in x.dtype, ids [T, k]).
+    Router math runs in float32 (HF computes routing logits/softmax in
+    fp32 regardless of model dtype)."""
+    logits = x.astype(jnp.float32) @ router_kernel.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)
+    if norm_topk_prob:
+        topv = topv / jnp.clip(topv.sum(-1, keepdims=True), 1e-9)
+    return topv.astype(x.dtype), topi
+
+
+def moe_mlp(
+    p: dict,                     # {"router": {"kernel" [H,E]}, "experts":
+                                 #  {"gate"/"up" [E,H,I], "down" [E,I,H]}}
+    x: jax.Array,                # [B, S, H]
+    num_experts_per_tok: int,
+    norm_topk_prob: bool = True,
+    capacity_factor: float = 0.0,
+    group_size: int = 256,
+) -> jax.Array:
+    """Sparse MoE feed-forward. Drop-in for swiglu_mlp on MoE layers."""
+    B, S, H = x.shape
+    k = num_experts_per_tok
+    E = p["router"]["kernel"].shape[-1]
+    T = B * S
+    xt = x.reshape(T, H)
+
+    n = min(group_size, T)
+    G = -(-T // n)
+    Tp = G * n
+    if Tp != T:  # pad the tail group; padded tokens route but combine to 0
+        xt = jnp.pad(xt, ((0, Tp - T), (0, 0)))
+
+    topv, topi = route(p["router"]["kernel"], xt, k, norm_topk_prob)
+    C = _capacity(n, E, k, capacity_factor)
+
+    # group view; token-major flattening fixes intra-group priority
+    # (all of token i's slots claim capacity before token i+1's)
+    ids = topi.reshape(G, n * k)                       # [G, nk]
+    w = topv.reshape(G, n * k)
+    oh_e = jax.nn.one_hot(ids, E, dtype=jnp.int32)     # [G, nk, E]
+    pos = jnp.cumsum(oh_e, axis=1) - 1                 # position within expert
+    pos = jnp.take_along_axis(pos, ids[..., None], axis=2)[..., 0]  # [G, nk]
+    keep = pos < C
+    oh_c = jax.nn.one_hot(jnp.where(keep, pos, C), C, dtype=x.dtype)
+    disp = (jax.nn.one_hot(ids, E, dtype=x.dtype)[..., None]
+            * oh_c[..., None, :])                      # [G, nk, E, C]
+    comb = disp * w[..., None, None]
+
+    xg = xt.reshape(G, n, H)
+    disp_t = disp.reshape(G, n, k, E, C).sum(2)        # token -> (e, c) slots
+    expert_in = jnp.einsum("gnec,gnh->gech", disp_t, xg)
+    wg, sg = _expert_w(p["experts"]["gate"], x.dtype)  # [E, H, I]
+    wu, su = _expert_w(p["experts"]["up"], x.dtype)
+    wd, sd = _expert_w(p["experts"]["down"], x.dtype)  # [E, I, H]
+    hmid = (jax.nn.silu(_scaled(jnp.einsum("gech,ehi->geci", expert_in, wg), sg))
+            * _scaled(jnp.einsum("gech,ehi->geci", expert_in, wu), su))
+    expert_out = _scaled(jnp.einsum("geci,eih->gech", hmid, wd), sd)
+    comb_t = comb.reshape(G, n, k, E, C).sum(2)
+    out = jnp.einsum("gnec,gech->gnh", comb_t, expert_out)
+    return out.reshape(Tp, H)[:T].reshape(B, S, H)
+
+
+def moe_mlp_dense_oracle(p: dict, x: jax.Array, num_experts_per_tok: int,
+                         norm_topk_prob: bool = True) -> jax.Array:
+    """Reference semantics (HF Qwen3MoeSparseMoeBlock expert loop): every
+    token's top-k experts computed densely. Test oracle only."""
+    B, S, H = x.shape
+    xt = x.reshape(-1, H)
+    topv, topi = route(p["router"]["kernel"], xt,
+                       num_experts_per_tok, norm_topk_prob)
+    wg = p["experts"]["gate"]["kernel"]
+    wu = p["experts"]["up"]["kernel"]
+    wd = p["experts"]["down"]["kernel"]
+    out = jnp.zeros_like(xt)
+    for e in range(wg.shape[0]):
+        fe = (jax.nn.silu(xt @ wg[e]) * (xt @ wu[e])) @ wd[e]
+        we = jnp.sum(jnp.where(topi == e, topv, 0.0), axis=-1)
+        out = out + fe * we[:, None]
+    return out.reshape(B, S, H)
+
+
+def load_balancing_loss(router_kernel: jax.Array, x: jax.Array, k: int) -> jax.Array:
+    """Switch-style auxiliary load-balance loss: E * sum_e f_e * P_e, where
+    f_e is the fraction of tokens whose top-k includes expert e and P_e the
+    mean router probability. For MoE fine-tuning; the reference never trains
+    its judge, so this is opt-in."""
+    T = x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]
+    xt = x.reshape(T, -1)
+    logits = xt.astype(jnp.float32) @ router_kernel.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    E = probs.shape[-1]
+    _, topi = jax.lax.top_k(probs, k)
+    f = jnp.mean(jax.nn.one_hot(topi, E, dtype=jnp.float32).sum(1), axis=0)
+    return E * jnp.sum(f * probs.mean(0)) / k

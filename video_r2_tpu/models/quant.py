@@ -23,6 +23,15 @@ QUANT_SUFFIXES = (
     ("lm_head", "kernel"),
 )
 
+# MoE expert FFNs (models/moe.py): int8 weight-only regardless of the
+# requested bits — the grouped expert einsum consumes {kernel_q, scale}
+# (per-output-channel) and XLA fuses the convert into the dot; the int4
+# packed-nibble kernel path is 2D-stacked-only.
+MOE_SUFFIXES = (
+    ("experts", "gate", "kernel"), ("experts", "up", "kernel"),
+    ("experts", "down", "kernel"),
+)
+
 
 def quantize_kernel(w: jax.Array) -> dict:
     """[.., in, out] -> int8 + per-out-channel scale."""
@@ -78,18 +87,19 @@ def quantize_params(params: dict, include_embedding: bool = False,
     lm_head do; ViT fc dims don't and stay int8)."""
     assert bits in (4, 8), bits
 
-    def quant_leaf(w):
-        if bits == 4 and w.shape[-2] % (2 * group_size) == 0:
+    def quant_leaf(w, moe=False):
+        if not moe and bits == 4 and w.shape[-2] % (2 * group_size) == 0:
             return quantize_kernel_int4(w, group_size)
         return quantize_kernel(w)
 
     def walk(node, path):
         if isinstance(node, dict):
+            kp = path + ("kernel",)
+            moe = any(kp[-len(s):] == s for s in MOE_SUFFIXES)
             if "kernel" in node and not isinstance(node["kernel"], dict) and (
-                    any((path + ("kernel",))[-len(s):] == s
-                        for s in QUANT_SUFFIXES)):
+                    moe or any(kp[-len(s):] == s for s in QUANT_SUFFIXES)):
                 out = {k: v for k, v in node.items() if k != "kernel"}
-                out.update(quant_leaf(node["kernel"]))
+                out.update(quant_leaf(node["kernel"], moe))
                 return out
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         return node
@@ -118,15 +128,16 @@ def init_params_quantized_zeros(cfg, bits: int = 8,
 
     def build(node, path):
         if isinstance(node, dict):
+            kp = path + ("kernel",)
+            moe = any(kp[-len(s):] == s for s in MOE_SUFFIXES)
             if "kernel" in node and not isinstance(node["kernel"], dict) and (
-                    any((path + ("kernel",))[-len(s):] == s
-                        for s in QUANT_SUFFIXES)):
+                    moe or any(kp[-len(s):] == s for s in QUANT_SUFFIXES)):
                 k = node["kernel"]
                 out = {kk: jnp.zeros(vv.shape, vv.dtype)
                        for kk, vv in node.items() if kk != "kernel"}
                 K, N = k.shape[-2], k.shape[-1]
                 lead = k.shape[:-2]
-                if bits == 4 and K % (2 * group_size) == 0:
+                if not moe and bits == 4 and K % (2 * group_size) == 0:
                     # packed zeros must decode to q=0, i.e. nibble value 8
                     out["kernel_q4"] = jnp.full(lead + (K // 2, N),
                                                 (8 | (8 << 4)) - 256, jnp.int8)

@@ -10,6 +10,9 @@ Axes:
 - "sp"   : sequence (context) parallel — long-video activations sharded
            along the sequence axis; attention mixes shards through
            ops/sp_attention.py (all-gather KV + LSE merge)
+- "ep"   : expert parallel — MoE expert axis sharded across devices; tokens
+           reach their experts through the all_to_all pair GSPMD inserts
+           around models/moe.py's dispatch/combine einsums
 - "tp"   : tensor parallel (megatron-style head/intermediate sharding)
 
 Collectives ride ICI inside a slice; the mesh axis order puts "tp" innermost so
@@ -34,11 +37,12 @@ class MeshConfig:
     pp: int = 1
     fsdp: int = 1
     sp: int = 1
+    ep: int = 1
     tp: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.dp * self.pp * self.fsdp * self.sp * self.tp
+        return self.dp * self.pp * self.fsdp * self.sp * self.ep * self.tp
 
 
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
@@ -49,8 +53,8 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
     arr = np.asarray(devices[:n]).reshape(cfg.dp, cfg.pp, cfg.fsdp, cfg.sp,
-                                          cfg.tp)
-    return Mesh(arr, ("dp", "pp", "fsdp", "sp", "tp"))
+                                          cfg.ep, cfg.tp)
+    return Mesh(arr, ("dp", "pp", "fsdp", "sp", "ep", "tp"))
 
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,

@@ -36,6 +36,14 @@ _TEXT_RULES: list[tuple[tuple[str, ...], P]] = [
     (("mlp", "gate", "bias"), P("tp")),
     (("mlp", "up", "bias"), P("tp")),
     (("mlp", "down", "bias"), P()),
+    # MoE (models/moe.py): experts stacked on a leading E axis shard over
+    # "ep"; within an expert the FFN shards like a dense MLP (in on "fsdp",
+    # intermediate on "tp"). The router is a small [H, E] matmul — replicate
+    # E so routing never pays a collective.
+    (("experts", "gate", "kernel"), P("ep", "fsdp", "tp")),
+    (("experts", "up", "kernel"), P("ep", "fsdp", "tp")),
+    (("experts", "down", "kernel"), P("ep", "tp", "fsdp")),
+    (("router", "kernel"), P("fsdp", None)),
     (("embed_tokens", "embedding"), P("tp", "fsdp")),
     (("lm_head", "kernel"), P("fsdp", "tp")),
     (("attn", "qkv", "kernel"), P("fsdp", "tp")),
@@ -81,14 +89,24 @@ def param_shardings(params, mesh: Mesh):
     def f(keypath, leaf):
         path = _path_tuple(keypath)
         spec = _spec_for(path, leaf)
-        # drop axes that don't divide evenly -> replicate that dim
+        # drop axes that don't divide evenly (or aren't in this mesh)
+        # -> replicate that dim
+        shape = dict(mesh.shape)
         fixed = []
         for dim, axis in enumerate(spec):
             if axis is None:
                 fixed.append(None)
                 continue
-            size = mesh.shape[axis] if isinstance(axis, str) else int(
-                np.prod([mesh.shape[a] for a in axis]))
+            if isinstance(axis, str):
+                if axis not in shape:
+                    fixed.append(None)
+                    continue
+                size = shape[axis]
+            else:
+                if any(a not in shape for a in axis):
+                    fixed.append(None)
+                    continue
+                size = int(np.prod([shape[a] for a in axis]))
             fixed.append(axis if leaf.shape[dim] % size == 0 else None)
         # pipeline parallelism: the text decoder's stacked layer axis is the
         # stage axis — every leaf under model/layers (kernels, biases, norm

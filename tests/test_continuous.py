@@ -228,7 +228,7 @@ def test_run_loop_admission_budget():
             self._next += 1
             return self._next - 1
 
-        def step(self):
+        def step(self, steps=1):
             self.events.append("step")
             for rid in list(self.remaining):
                 self.remaining[rid] -= 1
@@ -1146,3 +1146,96 @@ def test_prefix_cache_submit_batch_prepass(cfg_params, rng):
         C._prefill_suffix_into_pages = orig
     assert [out[r] for r in rids] == ref_tokens
     assert len(suffix_calls) == 3                   # the three shared-prefix hits
+
+
+# --------------------------------------------------- continuous spec decode
+
+
+def test_continuous_spec_matches_plain(cfg_params, rng):
+    """ContinuousEngine(spec_decode=K) emits token-identical streams to the
+    plain engine for greedy requests — repetitive (lookup-friendly) and
+    random prompts, ragged lengths, mid-stream admission."""
+    cfg, params = cfg_params
+    rep = list(np.tile(rng.integers(2, 400, size=5), 4))  # lookup-friendly
+    prompts = [rep, list(rng.integers(2, 400, size=9)),
+               list(rng.integers(2, 400, size=7))]
+    T = 10
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def run(spec):
+        eng = ContinuousEngine(params, cfg, num_slots=2, max_len=64, sp=sp,
+                               prompt_buckets=(32,), spec_decode=spec)
+        rids = [eng.submit(p, max_new_tokens=T) for p in prompts[:2]]
+        results = {}
+        admitted = 2
+        while eng.num_active or admitted < len(prompts):
+            for rid, toks in eng.step():
+                results[rid] = toks
+            if admitted < len(prompts):  # mid-stream admission into slot
+                r = eng.submit(prompts[admitted], max_new_tokens=T)
+                if r is not None:
+                    rids.append(r)
+                    admitted += 1
+        return [results[r] for r in rids]
+
+    assert run(0) == run(3)
+
+
+def test_continuous_spec_eos_and_budget(cfg_params, rng):
+    """EOS inside a committed chunk truncates the stream exactly where the
+    plain engine stops; budgets are honored."""
+    cfg, params = cfg_params
+    prompt = list(rng.integers(2, 400, size=8))
+    base = generate(params, cfg, np.asarray([prompt]), np.asarray([8]),
+                    SamplingParams(max_new_tokens=12,
+                                   pad_token_id=cfg.pad_token_id))
+    eos_tok = int(base.sequences[0, 4])
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id,
+                        eos_token_ids=(eos_tok,))
+
+    def run(spec):
+        eng = ContinuousEngine(params, cfg, num_slots=1, max_len=64, sp=sp,
+                               prompt_buckets=(16,), spec_decode=spec)
+        eng.submit(prompt, max_new_tokens=12)
+        out = []
+        while eng.num_active:
+            out += eng.step()
+        return [t for _, t in out]
+
+    assert run(0) == run(4)
+
+
+def test_continuous_spec_sampled_fallback(cfg_params, rng):
+    """A sampled request in the pool disables spec for that dispatch (falls
+    back to plain steps) without breaking anything; a greedy request running
+    alongside still matches the plain greedy stream."""
+    cfg, params = cfg_params
+    prompt = list(rng.integers(2, 400, size=7))
+    T = 6
+    ref = generate(params, cfg, np.asarray([prompt]), np.asarray([7]),
+                   SamplingParams(max_new_tokens=T,
+                                  pad_token_id=cfg.pad_token_id))
+    eng = ContinuousEngine(
+        params, cfg, num_slots=2, max_len=64,
+        sp=SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+        prompt_buckets=(16,), spec_decode=3)
+    rid = eng.submit(prompt, max_new_tokens=T)
+    rid_hot = eng.submit(list(rng.integers(2, 400, size=5)), max_new_tokens=T,
+                         sp=SamplingParams(do_sample=True, temperature=5.0,
+                                           pad_token_id=cfg.pad_token_id,
+                                           eos_token_ids=()))
+    results = {}
+    while eng.num_active:
+        for r, toks in eng.step():
+            results[r] = toks
+    assert results[rid] == list(ref.sequences[0][:T])
+    assert rid_hot in results
+
+
+def test_paged_engine_rejects_spec(cfg_params):
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    with pytest.raises(ValueError, match="contiguous slot engine"):
+        PagedContinuousEngine(params, cfg, num_slots=2, max_len=64,
+                              page_size=16, spec_decode=2)

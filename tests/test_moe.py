@@ -176,6 +176,29 @@ def test_moe_generate_golden(hf_moe, rng):
         np.testing.assert_array_equal(res.sequences[b, :T], ref_rows[b])
 
 
+def test_capacity_factor_serving_knob(hf_moe, rng):
+    """cfg.moe_capacity_factor plumbs into the decode/forward path: a
+    generous factor reproduces full-capacity logits; a tight one still
+    produces finite logits (drops, not garbage)."""
+    import dataclasses
+
+    from video_r2_tpu.models.model import forward
+
+    _, cfg, params = hf_moe
+    B, S = 2, 16
+    ids = rng.integers(2, 127, (B, S))
+    pos = np.broadcast_to(np.arange(S)[None, None, :], (3, B, S))
+    full = np.asarray(forward(params, cfg, ids, pos)[0])
+    loose = cfg.replace(text=dataclasses.replace(
+        cfg.text, moe_capacity_factor=8.0, moe_group_size=64))
+    out = np.asarray(forward(params, loose, ids, pos)[0])
+    np.testing.assert_allclose(out, full, rtol=1e-5, atol=1e-5)
+    tight = cfg.replace(text=dataclasses.replace(
+        cfg.text, moe_capacity_factor=0.5, moe_group_size=64))
+    out_t = np.asarray(forward(params, tight, ids, pos)[0])
+    assert np.isfinite(out_t).all()
+
+
 def test_moe_int8_experts(hf_moe, rng):
     """Weight-only int8 experts ({kernel_q, scale} consumed inside the
     grouped einsum, scale factored onto the output) stay close to fp32 and
@@ -225,7 +248,49 @@ def test_moe_judge_serving_paths(hf_moe):
     assert all(isinstance(t, str) for t in batch_out)
 
 
+def test_moe_hf_export_round_trip(hf_moe):
+    """params -> HF state dict -> params round-trips bit-exactly for the
+    text-only MoE tree (router, per-expert projections, q/k norms, no
+    biases, no visual.*) — the judge checkpoint lifecycle."""
+    import jax
+
+    from video_r2_tpu.train.checkpoint import params_to_hf_state_dict
+
+    _, cfg, params = hf_moe
+    sd = params_to_hf_state_dict(params, cfg)
+    assert not any(k.startswith("visual.") for k in sd)
+    assert "model.layers.0.mlp.experts.7.down_proj.weight" in sd
+    assert "model.layers.1.self_attn.k_norm.weight" in sd
+    assert "model.layers.0.self_attn.q_proj.bias" not in sd
+    back = convert_hf_state_dict(sd, cfg, dtype="float32")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, back)
+
+
 # ------------------------------------------------------------- EP sharding
+
+
+def test_ep_tp_sharded_generate_token_exact(hf_moe, rng):
+    """Sharded MoE generation (ep=2 x tp=2 x fsdp=2 — the judge deployment
+    shape: the reference runs its MoE judge on vLLM at TP=4,
+    serve_qwen3.sh:13) decodes token-for-token like a single device."""
+    from video_r2_tpu.engine.generate import SamplingParams, generate
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    _, cfg, params = hf_moe
+    B, S, T = 2, 9, 6
+    ids = rng.integers(2, 127, (B, S))
+    lengths = np.array([S, S - 2])
+    ids[1, S - 2:] = 0
+    sp = SamplingParams(max_new_tokens=T, do_sample=False)
+    ref = generate(params, cfg, ids, lengths, sp)
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    res = generate(shard_params(params, mesh), cfg, ids, lengths, sp,
+                   mesh=mesh)
+    np.testing.assert_array_equal(res.sequences, ref.sequences)
 
 
 def test_ep_sharded_parity(hf_moe, rng):

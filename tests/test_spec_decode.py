@@ -128,3 +128,28 @@ def test_spec_int8_kv_matches_plain_int8_kv(rng, spec_k):
     np.testing.assert_array_equal(r1.sequences, r2.sequences)
     np.testing.assert_array_equal(r1.lengths, r2.lengths)
     np.testing.assert_allclose(r1.logprobs, r2.logprobs, atol=1e-5)
+
+
+def test_chat_engine_continuous_spec_matches_plain():
+    """ChatEngine(continuous=True, spec_decode=K): the slot loop's per-slot
+    frontier verification produces the same judge outputs as the plain
+    continuous engine."""
+    from video_r2_tpu.engine import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine
+
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32", seed=5)
+    msgs = [[{"role": "user", "content": "judge: is A == A? answer yes/no"}],
+            [{"role": "user", "content": "extract the final letter: B"}]]
+
+    def run(spec):
+        eng = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=6,
+                         continuous=True, num_slots=2, max_len=128,
+                         spec_decode=spec)
+        try:
+            return eng.chat_batch(msgs)
+        finally:
+            eng.shutdown()
+
+    assert run(0) == run(3)

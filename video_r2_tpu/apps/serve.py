@@ -28,6 +28,9 @@ def main(argv=None):
     engine_kind = "slots"
     spec_decode = 0  # --spec-decode K: n-gram speculative greedy decode
     kv_quant = None  # --kv-quant int8: quantized KV cache (composes w/ spec)
+    decode_window = 1  # --decode-window N: tokens (or spec rounds) per
+                       # dispatch in continuous mode — raise for throughput
+                       # judge bursts on high-latency links
     rest = []
     i = 0
     while i < len(argv):
@@ -42,6 +45,9 @@ def main(argv=None):
             i += 2
         elif argv[i] == "--kv-quant":
             kv_quant = argv[i + 1]
+            i += 2
+        elif argv[i] == "--decode-window":
+            decode_window = int(argv[i + 1])
             i += 2
         elif argv[i] == "--paged":
             continuous = True
@@ -58,7 +64,8 @@ def main(argv=None):
     mesh = build_mesh(app)
     engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app), mesh=mesh,
                         continuous=continuous, engine_kind=engine_kind,
-                        spec_decode=spec_decode, kv_quant=kv_quant)
+                        spec_decode=spec_decode, kv_quant=kv_quant,
+                        decode_window=decode_window)
     logger.info("serving OpenAI-compatible API on :%d%s", port,
                 f" (mesh {dict(mesh.shape)})" if mesh is not None else "")
     serve(engine, port=port)

@@ -121,6 +121,86 @@ def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
     return toks, logits, cache, cur
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "spec_k", "rounds",
+                                              "_reject_all"),
+                   donate_argnums=(1, 8))
+def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
+                 active, pad_id, hist, spec_k: int, rounds: int = 1,
+                 _reject_all: bool = False):
+    """`rounds` speculative verifies for every slot in ONE dispatch
+    (greedy-only; the caller gates on all-active-slots-greedy). Per-slot
+    n-gram prompt-lookup drafts come from `hist` — the device-side [N, Lh]
+    token history (prompt + generated, contiguous in [0, cur_len)) — so
+    drafting needs no host round-trip. Each round verifies a [N, K+1] chunk
+    at each slot's frontier (the multi-token per-sample KV scatter in
+    models/decoder.py), emitting 1 + accepted tokens per slot; the in-jit
+    round scan amortizes dispatch latency exactly like the plain engine's
+    multi-step window, so zero acceptance costs verify overhead — not one
+    dispatch per token. Token-exact vs the plain greedy loop by construction
+    (engine/spec_decode.py has the scheme's full notes).
+
+    Returns (chunks [R, N, W], commits [R, N], new_logits, cache, hist,
+    new_len). The caller must guarantee cur_len + R*W < cache width.
+    """
+    N, V = last_logits.shape
+    K = spec_k
+    W = K + 1
+    Lh = hist.shape[1]
+    b_idx = jnp.arange(N)
+    max_len = cache.k.shape[2]
+
+    def round_body(carry, _):
+        logits, cache, hist, cur_len = carry
+        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok0 = jnp.where(active, tok0, pad_id)
+
+        # draft: latest p with hist[p] == last-token, hist[p+1] == tok0,
+        # and K followers inside the valid region [0, cur_len)
+        prev = hist[b_idx, jnp.maximum(cur_len - 1, 0)]
+        m = (hist[:, :-1] == prev[:, None]) & (hist[:, 1:] == tok0[:, None])
+        p = jnp.arange(Lh - 1)[None, :]
+        m = m & (p + 2 + K <= cur_len[:, None])
+        has = jnp.any(m, axis=1)
+        last = (Lh - 2) - jnp.argmax(m[:, ::-1], axis=1)
+        src = last[:, None] + 2 + jnp.arange(K)[None, :]
+        drafts = jnp.where(has[:, None], hist[b_idx[:, None], src],
+                           tok0[:, None])
+        if _reject_all:  # profiling: the zero-acceptance verify floor
+            drafts = jnp.full_like(drafts, V - 1)
+        chunk = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [N, W]
+
+        emb = params["model"]["embed_tokens"]["embedding"][chunk]
+        pos = (pos_base + cur_len)[:, None] + jnp.arange(W)[None, :]
+        pos3 = jnp.broadcast_to(pos[None], (3, N, W))
+        cos, sin = mrope_cos_sin(pos3, cfg, dtype=emb.dtype)
+        j = jnp.arange(max_len)[None, None, :]
+        i = jnp.arange(W)[None, :, None]
+        allowed = j <= cur_len[:, None, None] + i
+        bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
+        hidden, cache = decoder_forward(
+            params["model"], cfg.text, emb, cos, sin, bias,
+            cache=cache, cache_position=cur_len)
+        logits_w = lm_head(params, cfg, hidden).astype(jnp.float32)
+
+        g = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)
+        acc = jnp.cumprod((drafts == g[:, :K]).astype(jnp.int32), axis=1)
+        n_commit = jnp.where(active, 1 + acc.sum(axis=1), 0)
+        sel = jnp.clip(n_commit - 1, 0, K)
+        new_logits = jnp.where(active[:, None], logits_w[b_idx, sel], logits)
+        # committed tokens extend the history at the frontier (uncommitted
+        # chunk slots write junk beyond the new frontier — never matched,
+        # never attended, overwritten by later legitimate writes)
+        idxs = jnp.minimum(cur_len[:, None] + jnp.arange(W)[None, :], Lh - 1)
+        keep = jnp.arange(W)[None, :] < n_commit[:, None]
+        cur = hist[b_idx[:, None], idxs]
+        hist = hist.at[b_idx[:, None], idxs].set(jnp.where(keep, chunk, cur))
+        return (new_logits, cache, hist, cur_len + n_commit), (chunk, n_commit)
+
+    (new_logits, cache, hist, new_len), (chunks, commits) = jax.lax.scan(
+        round_body, (last_logits, cache, hist, cur_len), None, length=rounds)
+    return chunks, commits, new_logits, cache, hist, new_len
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _copy_page(kv, src, dst):
     """Copy one page's data across the whole layer stack (CoW for the shared
@@ -154,7 +234,20 @@ class ContinuousEngine:
     def __init__(self, params, cfg, num_slots: int = 8, max_len: int = 2048,
                  sp: SamplingParams | None = None, attn_impl: str = "xla",
                  prompt_buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048),
-                 embed_bucket: int = 256, seed: int = 0):
+                 embed_bucket: int = 256, seed: int = 0,
+                 spec_decode: int = 0, decode_window: int = 1):
+        # spec_decode=K: speculative decoding inside the continuous loop —
+        # when every active slot is greedy, each dispatch verifies K n-gram
+        # prompt-lookup drafts per slot at its own frontier (emits 1 +
+        # accepted tokens); mixed/sampled batches fall back to plain steps.
+        # Contiguous slot engine only (the paged kernel is single-query).
+        self.spec_decode = spec_decode
+        # tokens per run_loop dispatch: 1 = latency-optimal streaming;
+        # larger windows amortize dispatch latency for throughput workloads
+        # (judge bursts over high-latency links). With spec_decode, the
+        # window is the verify-round count (up to window*(K+1) tokens).
+        self.decode_window = decode_window
+        self.hist = None
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -169,6 +262,13 @@ class ContinuousEngine:
                                            if b <= max_len))
         dtype = jnp.dtype(cfg.dtype) if isinstance(cfg.dtype, str) else cfg.dtype
         self._init_cache(dtype)
+        if self.spec_decode:
+            if not isinstance(getattr(self, "cache", None), KVCache):
+                raise ValueError("spec_decode requires the contiguous slot "
+                                 "engine (paged decode is single-query)")
+            self.hist = jnp.full(
+                (num_slots, max_len + self.spec_decode + 2),
+                self.sp.pad_token_id, jnp.int32)
         self.last_logits = jnp.zeros((num_slots, cfg.text.vocab_size),
                                      jnp.float32)
         self.cur_len = np.zeros((num_slots,), np.int32)
@@ -247,6 +347,11 @@ class ContinuousEngine:
         self.slot_top_k[slot] = rsp.top_k
         self.slot_do_sample[slot] = rsp.do_sample
         self.slot_req[slot] = req
+        if self.hist is not None:
+            row = np.full((self.hist.shape[1],), self.cfg.pad_token_id,
+                          np.int32)
+            row[:bucket] = padded[0]
+            self.hist = self.hist.at[slot].set(jnp.asarray(row))
         return rid
 
     @property
@@ -307,6 +412,14 @@ class ContinuousEngine:
         start_len = self.cur_len.copy()
         room = int(min(self.max_len - 1 - self.cur_len[s]
                        for s in range(self.num_slots) if active[s]))
+        # spec only while a FULL rounds-window fits: one compiled variant
+        # per engine (the shrinking-tail fallback is the plain window, whose
+        # pow2 geometries are warm anyway — tail rounds variants each cost a
+        # fresh compile, measured dominating the zero-acceptance floor)
+        if (self.spec_decode
+                and (room - 1) // (self.spec_decode + 1) >= steps
+                and not self.slot_do_sample[active].any()):
+            return self._step_spec(active, steps)
         w = 1
         while w * 2 <= min(steps, max(room, 1)):
             w *= 2
@@ -333,6 +446,53 @@ class ContinuousEngine:
                     if req.done_cb:
                         req.done_cb(req.rid, list(req.tokens))
                     done[slot] = True
+        for slot, d in enumerate(done):
+            if d:
+                self.slot_req[slot] = None
+                self._release_slot(slot)
+        return finished
+
+    def _step_spec(self, active,
+                   steps: int) -> list[tuple[int, list[int]]]:
+        """One dispatch of `steps` speculative verify rounds for all
+        (greedy) active slots: each round emits 1 + accepted tokens per
+        slot, so a dispatch advances every slot by at least `steps` tokens
+        (the plain window's amortization) and by up to steps*(K+1). The
+        caller guarantees the full window fits every slot's cache room.
+        Same finish bookkeeping as step()."""
+        rounds = steps
+        self._rng, _ = jax.random.split(self._rng)  # keep the stream aligned
+        chunks, commits, self.last_logits, self.cache, self.hist, new_len = \
+            _decode_spec(self.params, self.cache, self.cfg, self.last_logits,
+                         jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+                         jnp.asarray(active), self.sp.pad_token_id,
+                         self.hist, self.spec_decode, rounds,
+                         getattr(self, "_spec_reject_all", False))
+        chunks = np.asarray(chunks)            # [R, N, W]
+        commits = np.asarray(commits)          # [R, N]
+        self.cur_len = np.array(new_len)
+
+        finished = []
+        done = [False] * self.num_slots
+        for ri in range(chunks.shape[0]):
+            for slot, req in enumerate(self.slot_req):
+                if req is None or done[slot]:
+                    continue
+                rsp = req.sp or self.sp
+                for i in range(int(commits[ri, slot])):
+                    t = int(chunks[ri, slot, i])
+                    req.tokens.append(t)
+                    if req.tok_cb:
+                        req.tok_cb(req.rid, t)
+                    self.budget[slot] -= 1
+                    out_of_room = self.cur_len[slot] >= self.max_len - 1
+                    if (t in rsp.eos_token_ids or self.budget[slot] <= 0
+                            or out_of_room):
+                        finished.append((req.rid, list(req.tokens)))
+                        if req.done_cb:
+                            req.done_cb(req.rid, list(req.tokens))
+                        done[slot] = True
+                        break  # later tokens/rounds past EOS: discard
         for slot, d in enumerate(done):
             if d:
                 self.slot_req[slot] = None
@@ -374,6 +534,8 @@ class ContinuousEngine:
 
     def _fork_kv(self, src: int, dst: int) -> None:
         self.cache = _copy_slot_kv(self.cache, jnp.int32(src), jnp.int32(dst))
+        if self.hist is not None:
+            self.hist = self.hist.at[dst].set(self.hist[src])
 
     # -- threaded server loop ---------------------------------------------
     def run_loop(self, request_queue: "queue.Queue", stop: threading.Event,
@@ -960,6 +1122,11 @@ class PagedContinuousEngine(ContinuousEngine):
         self.slot_top_k[slot] = rsp.top_k
         self.slot_do_sample[slot] = rsp.do_sample
         self.slot_req[slot] = req
+        if self.hist is not None:
+            row = np.full((self.hist.shape[1],), self.cfg.pad_token_id,
+                          np.int32)
+            row[:bucket] = padded[0]
+            self.hist = self.hist.at[slot].set(jnp.asarray(row))
         return rid
 
     def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens,
@@ -1379,6 +1546,6 @@ def _run_loop_impl(engine, request_queue: "queue.Queue",
                 if cb:
                     cb(-1, [])
         if engine.num_active:
-            engine.step()
+            engine.step(getattr(engine, "decode_window", 1))
         elif not admitted:
             time.sleep(idle_sleep)

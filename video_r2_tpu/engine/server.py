@@ -36,7 +36,7 @@ class ChatEngine:
                  continuous: bool = False, num_slots: int = 8,
                  max_len: int = 4096, mesh=None, engine_kind: str = "slots",
                  page_size: int = 128, kv_quant: str | None = None,
-                 spec_decode: int = 0):
+                 spec_decode: int = 0, decode_window: int = 1):
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
         # parallel.sharding rules; the KV cache shards on heads over "tp".
@@ -55,8 +55,10 @@ class ChatEngine:
         # speculative decoding for greedy judge requests (temp 0 is the
         # TAC/VAS contract): verify K prompt-lookup drafts per dispatch —
         # judge outputs echo the prompt's answer/format strings, the
-        # workload n-gram lookup is built for. Non-continuous mode only
-        # (the slot loop decodes token-wise); sampling requests fall back.
+        # workload n-gram lookup is built for. Batch mode and the slot
+        # continuous engine both support it (the slot loop verifies per-slot
+        # frontier chunks when every active slot is greedy); sampling
+        # requests and the paged engine fall back to plain decode.
         self.spec_decode = spec_decode if mesh is None else 0
         # int8 KV cache in batch (non-continuous) mode too — composes with
         # speculative decoding (the verify chunks quantize at row frontiers)
@@ -78,7 +80,9 @@ class ChatEngine:
             eng_cls = (PagedContinuousEngine if engine_kind == "paged"
                        else ContinuousEngine)
             kw = ({"page_size": page_size, "kv_quant": kv_quant}
-                  if engine_kind == "paged" else {})
+                  if engine_kind == "paged"
+                  else {"spec_decode": self.spec_decode})
+            kw["decode_window"] = decode_window
             self._cont = eng_cls(
                 params, cfg, num_slots=num_slots, max_len=max_len,
                 sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),

@@ -65,6 +65,13 @@ class TextConfig:
     num_experts_per_tok: int = 8
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # Serving knobs for the grouped dispatch (models/moe.py): 0.0 = full
+    # capacity (exact, no drops — HF parity; expert compute is E/k times the
+    # useful work). Production serving sets ~1.25-2.0: per-group expert
+    # capacity C = ceil(group * k * cf / E), over-capacity tokens drop
+    # (GShard semantics) and expert compute shrinks to ~cf x useful.
+    moe_capacity_factor: float = 0.0
+    moe_group_size: int = 256
 
     @property
     def head_dim(self) -> int:

@@ -94,7 +94,9 @@ def _mlp(p_mlp: dict, h, cfg: TextConfig, act_quant=None):
     if "router" in p_mlp:
         from .moe import moe_mlp
 
-        return moe_mlp(p_mlp, h, cfg.num_experts_per_tok, cfg.norm_topk_prob)
+        return moe_mlp(p_mlp, h, cfg.num_experts_per_tok, cfg.norm_topk_prob,
+                       capacity_factor=cfg.moe_capacity_factor,
+                       group_size=cfg.moe_group_size)
     return swiglu_mlp(p_mlp, h, act_quant)
 
 

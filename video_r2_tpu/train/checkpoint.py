@@ -89,11 +89,14 @@ def params_to_hf_state_dict(params: dict, cfg) -> dict[str, np.ndarray]:
         return np.asarray(jax.device_get(x), dtype=np.float32)
 
     v, tc = cfg.vision, cfg.text
-    vis = params["visual"]
-    sd["visual.patch_embed.proj.weight"] = t(vis["patch_embed"]["kernel"]).T.reshape(
-        v.hidden_size, v.in_channels, v.temporal_patch_size, v.patch_size, v.patch_size)
-    blocks = vis["blocks"]
-    for i in range(v.depth):
+    vis = params.get("visual")   # text-only families (the MoE judge) skip it
+    if vis is None:
+        blocks = None
+    else:
+        sd["visual.patch_embed.proj.weight"] = t(vis["patch_embed"]["kernel"]).T.reshape(
+            v.hidden_size, v.in_channels, v.temporal_patch_size, v.patch_size, v.patch_size)
+        blocks = vis["blocks"]
+    for i in range(v.depth if vis is not None else 0):
         p = f"visual.blocks.{i}"
         sd[f"{p}.norm1.weight"] = t(blocks["norm1"]["scale"][i])
         sd[f"{p}.norm2.weight"] = t(blocks["norm2"]["scale"][i])
@@ -104,11 +107,12 @@ def params_to_hf_state_dict(params: dict, cfg) -> dict[str, np.ndarray]:
         for hf, ours in (("gate_proj", "gate"), ("up_proj", "up"), ("down_proj", "down")):
             sd[f"{p}.mlp.{hf}.weight"] = t(blocks["mlp"][ours]["kernel"][i]).T
             sd[f"{p}.mlp.{hf}.bias"] = t(blocks["mlp"][ours]["bias"][i])
-    sd["visual.merger.ln_q.weight"] = t(vis["merger"]["ln_q"]["scale"])
-    sd["visual.merger.mlp.0.weight"] = t(vis["merger"]["fc1"]["kernel"]).T
-    sd["visual.merger.mlp.0.bias"] = t(vis["merger"]["fc1"]["bias"])
-    sd["visual.merger.mlp.2.weight"] = t(vis["merger"]["fc2"]["kernel"]).T
-    sd["visual.merger.mlp.2.bias"] = t(vis["merger"]["fc2"]["bias"])
+    if vis is not None:
+        sd["visual.merger.ln_q.weight"] = t(vis["merger"]["ln_q"]["scale"])
+        sd["visual.merger.mlp.0.weight"] = t(vis["merger"]["fc1"]["kernel"]).T
+        sd["visual.merger.mlp.0.bias"] = t(vis["merger"]["fc1"]["bias"])
+        sd["visual.merger.mlp.2.weight"] = t(vis["merger"]["fc2"]["kernel"]).T
+        sd["visual.merger.mlp.2.bias"] = t(vis["merger"]["fc2"]["bias"])
 
     model = params["model"]
     sd["model.embed_tokens.weight"] = t(model["embed_tokens"]["embedding"])
@@ -121,10 +125,23 @@ def params_to_hf_state_dict(params: dict, cfg) -> dict[str, np.ndarray]:
             lay["post_attention_layernorm"]["scale"][i])
         for hf, ours in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v")):
             sd[f"{p}.self_attn.{hf}.weight"] = t(lay["attn"][ours]["kernel"][i]).T
-            sd[f"{p}.self_attn.{hf}.bias"] = t(lay["attn"][ours]["bias"][i])
+            if "bias" in lay["attn"][ours]:
+                sd[f"{p}.self_attn.{hf}.bias"] = t(lay["attn"][ours]["bias"][i])
         sd[f"{p}.self_attn.o_proj.weight"] = t(lay["attn"]["o"]["kernel"][i]).T
-        for hf, ours in (("gate_proj", "gate"), ("up_proj", "up"), ("down_proj", "down")):
-            sd[f"{p}.mlp.{hf}.weight"] = t(lay["mlp"][ours]["kernel"][i]).T
+        if "q_norm" in lay["attn"]:   # Qwen3 family per-head q/k norms
+            sd[f"{p}.self_attn.q_norm.weight"] = t(lay["attn"]["q_norm"]["scale"][i])
+            sd[f"{p}.self_attn.k_norm.weight"] = t(lay["attn"]["k_norm"]["scale"][i])
+        if "router" in lay["mlp"]:    # MoE: router + per-expert projections
+            sd[f"{p}.mlp.gate.weight"] = t(lay["mlp"]["router"]["kernel"][i]).T
+            for hf, ours in (("gate_proj", "gate"), ("up_proj", "up"),
+                             ("down_proj", "down")):
+                w = t(lay["mlp"]["experts"][ours]["kernel"][i])  # [E, K, N]
+                for e in range(w.shape[0]):
+                    sd[f"{p}.mlp.experts.{e}.{hf}.weight"] = w[e].T
+        else:
+            for hf, ours in (("gate_proj", "gate"), ("up_proj", "up"),
+                             ("down_proj", "down")):
+                sd[f"{p}.mlp.{hf}.weight"] = t(lay["mlp"][ours]["kernel"][i]).T
     sd["model.norm.weight"] = t(model["norm"]["scale"])
     if not tc.tie_word_embeddings and "lm_head" in params:
         sd["lm_head.weight"] = t(params["lm_head"]["kernel"]).T

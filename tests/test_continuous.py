@@ -1232,10 +1232,64 @@ def test_continuous_spec_sampled_fallback(cfg_params, rng):
     assert rid_hot in results
 
 
-def test_paged_engine_rejects_spec(cfg_params):
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_paged_spec_matches_plain_paged(cfg_params, rng, kv_quant):
+    """PagedContinuousEngine(spec_decode=K) emits token-identical streams
+    to the plain paged engine (bf16 and int8 pages): chunk KV rides the
+    page pool at per-token (page, offset) coordinates and the multi-query
+    paged kernel applies the causal-within-chunk mask."""
     from video_r2_tpu.engine.continuous import PagedContinuousEngine
 
     cfg, params = cfg_params
-    with pytest.raises(ValueError, match="contiguous slot engine"):
-        PagedContinuousEngine(params, cfg, num_slots=2, max_len=64,
-                              page_size=16, spec_decode=2)
+    rep = list(np.tile(rng.integers(2, 400, size=5), 4))  # lookup-friendly
+    prompts = [rep, list(rng.integers(2, 400, size=9)),
+               list(rng.integers(2, 400, size=7))]
+    T = 10
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def run(spec):
+        eng = PagedContinuousEngine(
+            params, cfg, num_slots=2, max_len=64, sp=sp, page_size=16,
+            prompt_buckets=(32,), spec_decode=spec, kv_quant=kv_quant)
+        rids = [eng.submit(p, max_new_tokens=T) for p in prompts[:2]]
+        results = {}
+        admitted = 2
+        while eng.num_active or admitted < len(prompts):
+            for rid, toks in eng.step(steps=2):
+                results[rid] = toks
+            if admitted < len(prompts):
+                r = eng.submit(prompts[admitted], max_new_tokens=T)
+                if r is not None:
+                    rids.append(r)
+                    admitted += 1
+        return [results[r] for r in rids]
+
+    assert run(0) == run(3)
+
+
+def test_paged_spec_page_exhaustion_falls_back(cfg_params, rng):
+    """When the free list can't cover the spec window, the engine falls
+    back to plain paged decode instead of raising mid-flight."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+    # tiny pool: 6 pages of 16 = 96 tokens total for 2 slots
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=48, sp=sp, page_size=16,
+        num_pages=7, prompt_buckets=(16,), spec_decode=4)
+    ref = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=48, sp=sp, page_size=16,
+        num_pages=7, prompt_buckets=(16,))
+    prompts = [list(rng.integers(2, 400, size=9)),
+               list(rng.integers(2, 400, size=7))]
+
+    def drain(e):
+        rids = [e.submit(p, max_new_tokens=8) for p in prompts]
+        out = {}
+        while e.num_active:
+            for rid, toks in e.step(steps=4):
+                out[rid] = toks
+        return [out[r] for r in rids]
+
+    assert drain(eng) == drain(ref)

@@ -151,3 +151,68 @@ def test_quantized_cache_manager_append(rng):
     np.testing.assert_allclose(
         deq, np.asarray(jnp.swapaxes(k_new, 1, 2)[:, :, 0]),
         rtol=0.02, atol=0.02)
+
+
+def test_paged_decode_stacked_multi_query_matches_reference(rng):
+    """W-query verify chunks (speculative decoding on paged KV): query i at
+    position lengths[b]-1+i attends keys < lengths[b]+i — parity vs a dense
+    causal-within-chunk oracle, bf16-fp32 pages and int8 pages, including a
+    chunk that CROSSES a page boundary."""
+    from video_r2_tpu.models.decoder import quantize_kv
+    from video_r2_tpu.ops.paged_attention import paged_decode_attention_stacked
+
+    B, nh, kh, hd, ps, W, L_layers = 3, 4, 2, 64, 16, 5, 2
+    # lengths chosen so [L, L+W) stays inside / crosses / starts a page
+    lengths = np.asarray([37, 14, 32])
+    n_pages = 32
+    kf = rng.normal(size=(L_layers, kh, n_pages, ps, hd)).astype(np.float32)
+    vf = rng.normal(size=(L_layers, kh, n_pages, ps, hd)).astype(np.float32)
+    tables = np.zeros((B, 8), np.int32)
+    used = iter(range(1, n_pages))
+    for b in range(B):
+        for p in range(-(-(int(lengths[b]) + W - 1) // ps)):
+            tables[b, p] = next(used)
+    q = rng.normal(size=(B, W, nh, hd)).astype(np.float32)
+
+    def oracle(kp, vp, layer):
+        outs = []
+        max_len = int(lengths.max()) + W
+        for b in range(B):
+            k = np.zeros((1, max_len, kh, hd), np.float32)
+            v = np.zeros_like(k)
+            span = int(lengths[b]) + W - 1
+            for p in range(-(-span // ps)):
+                start = p * ps
+                cnt = min(ps, span - start)
+                k[0, start:start + cnt] = np.moveaxis(
+                    kp[layer, :, tables[b, p], :cnt], 0, 1)
+                v[0, start:start + cnt] = np.moveaxis(
+                    vp[layer, :, tables[b, p], :cnt], 0, 1)
+            j = np.arange(max_len)[None, :]
+            i = np.arange(W)[:, None]
+            bias = np.where(j < int(lengths[b]) + i, 0.0,
+                            -1e30).astype(np.float32)[None, None]
+            out = _xla_attention(jnp.asarray(q[b:b + 1]), jnp.asarray(k),
+                                 jnp.asarray(v), jnp.asarray(bias))
+            outs.append(np.asarray(out)[0])
+        return np.stack(outs)
+
+    for layer in range(L_layers):
+        out = paged_decode_attention_stacked(
+            jnp.asarray(q), jnp.asarray(kf), jnp.asarray(vf),
+            jnp.asarray(tables), jnp.asarray(lengths), jnp.int32(layer),
+            page_size=ps, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), oracle(kf, vf, layer),
+                                   rtol=2e-5, atol=2e-5)
+
+    # int8 pages: quantize, compare against the dequantized oracle
+    kq, ks = quantize_kv(jnp.asarray(kf))
+    vq, vs = quantize_kv(jnp.asarray(vf))
+    kdq = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    vdq = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    out = paged_decode_attention_stacked(
+        jnp.asarray(q), kq, vq, jnp.asarray(tables), jnp.asarray(lengths),
+        jnp.int32(0), page_size=ps, interpret=True,
+        k_scales=ks, v_scales=vs)
+    np.testing.assert_allclose(np.asarray(out), oracle(kdq, vdq, 0),
+                               rtol=2e-4, atol=2e-4)

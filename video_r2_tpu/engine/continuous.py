@@ -121,6 +121,57 @@ def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
     return toks, logits, cache, cur
 
 
+def _spec_draft(hist, logits, cur_len, active, pad_id, K: int,
+                _reject_all: bool):
+    """n-gram prompt-lookup drafting against the device-side history buffer
+    (prompt + generated, contiguous in [0, cur_len)): propose the K tokens
+    that followed the latest occurrence of the (last-token, pending-token)
+    bigram. Returns (chunk [N, K+1], drafts [N, K])."""
+    N, V = logits.shape
+    Lh = hist.shape[1]
+    b_idx = jnp.arange(N)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    tok0 = jnp.where(active, tok0, pad_id)
+    prev = hist[b_idx, jnp.maximum(cur_len - 1, 0)]
+    m = (hist[:, :-1] == prev[:, None]) & (hist[:, 1:] == tok0[:, None])
+    p = jnp.arange(Lh - 1)[None, :]
+    m = m & (p + 2 + K <= cur_len[:, None])
+    has = jnp.any(m, axis=1)
+    last = (Lh - 2) - jnp.argmax(m[:, ::-1], axis=1)
+    src = last[:, None] + 2 + jnp.arange(K)[None, :]
+    drafts = jnp.where(has[:, None], hist[b_idx[:, None], src],
+                       tok0[:, None])
+    if _reject_all:  # profiling: the zero-acceptance verify floor
+        drafts = jnp.full_like(drafts, V - 1)
+    return jnp.concatenate([tok0[:, None], drafts], axis=1), drafts
+
+
+def _spec_accept(logits_w, drafts, logits, active, K: int):
+    """Acceptance: draft i commits iff it equals the model argmax at its
+    position and all earlier drafts committed. Returns (n_commit [N],
+    new pending logits [N, V])."""
+    b_idx = jnp.arange(logits.shape[0])
+    g = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)
+    acc = jnp.cumprod((drafts == g[:, :K]).astype(jnp.int32), axis=1)
+    n_commit = jnp.where(active, 1 + acc.sum(axis=1), 0)
+    sel = jnp.clip(n_commit - 1, 0, K)
+    new_logits = jnp.where(active[:, None], logits_w[b_idx, sel], logits)
+    return n_commit, new_logits
+
+
+def _spec_hist_update(hist, chunk, cur_len, n_commit):
+    """Committed chunk tokens extend the history at the frontier
+    (uncommitted slots write junk beyond the new frontier — never matched,
+    never attended, overwritten by later legitimate writes)."""
+    W = chunk.shape[1]
+    Lh = hist.shape[1]
+    b_idx = jnp.arange(hist.shape[0])
+    idxs = jnp.minimum(cur_len[:, None] + jnp.arange(W)[None, :], Lh - 1)
+    keep = jnp.arange(W)[None, :] < n_commit[:, None]
+    cur = hist[b_idx[:, None], idxs]
+    return hist.at[b_idx[:, None], idxs].set(jnp.where(keep, chunk, cur))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "spec_k", "rounds",
                                               "_reject_all"),
                    donate_argnums=(1, 8))
@@ -145,30 +196,12 @@ def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
     N, V = last_logits.shape
     K = spec_k
     W = K + 1
-    Lh = hist.shape[1]
-    b_idx = jnp.arange(N)
     max_len = cache.k.shape[2]
 
     def round_body(carry, _):
         logits, cache, hist, cur_len = carry
-        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tok0 = jnp.where(active, tok0, pad_id)
-
-        # draft: latest p with hist[p] == last-token, hist[p+1] == tok0,
-        # and K followers inside the valid region [0, cur_len)
-        prev = hist[b_idx, jnp.maximum(cur_len - 1, 0)]
-        m = (hist[:, :-1] == prev[:, None]) & (hist[:, 1:] == tok0[:, None])
-        p = jnp.arange(Lh - 1)[None, :]
-        m = m & (p + 2 + K <= cur_len[:, None])
-        has = jnp.any(m, axis=1)
-        last = (Lh - 2) - jnp.argmax(m[:, ::-1], axis=1)
-        src = last[:, None] + 2 + jnp.arange(K)[None, :]
-        drafts = jnp.where(has[:, None], hist[b_idx[:, None], src],
-                           tok0[:, None])
-        if _reject_all:  # profiling: the zero-acceptance verify floor
-            drafts = jnp.full_like(drafts, V - 1)
-        chunk = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [N, W]
-
+        chunk, drafts = _spec_draft(hist, logits, cur_len, active, pad_id,
+                                    K, _reject_all)
         emb = params["model"]["embed_tokens"]["embedding"][chunk]
         pos = (pos_base + cur_len)[:, None] + jnp.arange(W)[None, :]
         pos3 = jnp.broadcast_to(pos[None], (3, N, W))
@@ -181,19 +214,9 @@ def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
             params["model"], cfg.text, emb, cos, sin, bias,
             cache=cache, cache_position=cur_len)
         logits_w = lm_head(params, cfg, hidden).astype(jnp.float32)
-
-        g = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)
-        acc = jnp.cumprod((drafts == g[:, :K]).astype(jnp.int32), axis=1)
-        n_commit = jnp.where(active, 1 + acc.sum(axis=1), 0)
-        sel = jnp.clip(n_commit - 1, 0, K)
-        new_logits = jnp.where(active[:, None], logits_w[b_idx, sel], logits)
-        # committed tokens extend the history at the frontier (uncommitted
-        # chunk slots write junk beyond the new frontier — never matched,
-        # never attended, overwritten by later legitimate writes)
-        idxs = jnp.minimum(cur_len[:, None] + jnp.arange(W)[None, :], Lh - 1)
-        keep = jnp.arange(W)[None, :] < n_commit[:, None]
-        cur = hist[b_idx[:, None], idxs]
-        hist = hist.at[b_idx[:, None], idxs].set(jnp.where(keep, chunk, cur))
+        n_commit, new_logits = _spec_accept(logits_w, drafts, logits,
+                                            active, K)
+        hist = _spec_hist_update(hist, chunk, cur_len, n_commit)
         return (new_logits, cache, hist, cur_len + n_commit), (chunk, n_commit)
 
     (new_logits, cache, hist, new_len), (chunks, commits) = jax.lax.scan(
@@ -263,9 +286,6 @@ class ContinuousEngine:
         dtype = jnp.dtype(cfg.dtype) if isinstance(cfg.dtype, str) else cfg.dtype
         self._init_cache(dtype)
         if self.spec_decode:
-            if not isinstance(getattr(self, "cache", None), KVCache):
-                raise ValueError("spec_decode requires the contiguous slot "
-                                 "engine (paged decode is single-query)")
             self.hist = jnp.full(
                 (num_slots, max_len + self.spec_decode + 2),
                 self.sp.pad_token_id, jnp.int32)
@@ -418,7 +438,8 @@ class ContinuousEngine:
         # fresh compile, measured dominating the zero-acceptance floor)
         if (self.spec_decode
                 and (room - 1) // (self.spec_decode + 1) >= steps
-                and not self.slot_do_sample[active].any()):
+                and not self.slot_do_sample[active].any()
+                and self._spec_ready(active, steps)):
             return self._step_spec(active, steps)
         w = 1
         while w * 2 <= min(steps, max(room, 1)):
@@ -460,14 +481,8 @@ class ContinuousEngine:
         (the plain window's amortization) and by up to steps*(K+1). The
         caller guarantees the full window fits every slot's cache room.
         Same finish bookkeeping as step()."""
-        rounds = steps
         self._rng, _ = jax.random.split(self._rng)  # keep the stream aligned
-        chunks, commits, self.last_logits, self.cache, self.hist, new_len = \
-            _decode_spec(self.params, self.cache, self.cfg, self.last_logits,
-                         jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
-                         jnp.asarray(active), self.sp.pad_token_id,
-                         self.hist, self.spec_decode, rounds,
-                         getattr(self, "_spec_reject_all", False))
+        chunks, commits, new_len = self._spec_dispatch(active, steps)
         chunks = np.asarray(chunks)            # [R, N, W]
         commits = np.asarray(commits)          # [R, N]
         self.cur_len = np.array(new_len)
@@ -500,6 +515,18 @@ class ContinuousEngine:
         return finished
 
     # -- KV-layout hooks (contiguous implementation) ------------------------
+    def _spec_ready(self, active, steps: int) -> bool:
+        return True   # the contiguous cache is pre-sized for max_len
+
+    def _spec_dispatch(self, active, rounds: int):
+        chunks, commits, self.last_logits, self.cache, self.hist, new_len = \
+            _decode_spec(self.params, self.cache, self.cfg, self.last_logits,
+                         jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+                         jnp.asarray(active), self.sp.pad_token_id,
+                         self.hist, self.spec_decode, rounds,
+                         getattr(self, "_spec_reject_all", False))
+        return chunks, commits, new_len
+
     def _init_cache(self, dtype) -> None:
         self.cache = KVCache.init(self.cfg.text, self.num_slots, self.max_len,
                                   dtype)
@@ -867,6 +894,106 @@ def _paged_decode_step(params, kv, cfg, sp: SamplingParams,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("cfg", "spec_k", "rounds", "page_size",
+                                    "interpret", "_reject_all"),
+                   donate_argnums=(1, 7))
+def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
+                       active, hist, pad_id, page_tables, trash_page,
+                       spec_k: int, rounds: int = 1, page_size: int = 128,
+                       interpret: bool = False, _reject_all: bool = False):
+    """Speculative verify rounds over the PAGED pool (vLLM ships n-gram
+    spec on paged KV; this is that, TPU-style): per round, each slot's
+    [K+1]-token chunk KV is quantized/written into its pages at per-token
+    (page, offset) coordinates (chunks may cross page boundaries — the
+    caller pre-allocates pages for the full window via ensure_capacity),
+    then ONE multi-query pass of the stacked paged kernel verifies all
+    chunks (causal-within-chunk handled by the kernel's per-row offset
+    mask). Same drafting/acceptance as _decode_spec, same page-table
+    sanitization contract as _paged_decode_body.
+
+    Returns (chunks [R, N, W], commits [R, N], new_logits, kv, hist,
+    new_len)."""
+    from ..models.decoder import _mlp, _qk_norm
+    from ..models.layers import apply_rotary, linear, rms_norm
+    from ..ops.paged_attention import paged_decode_attention_stacked
+
+    N, V = last_logits.shape
+    K = spec_k
+    W = K + 1
+    cfg_t = cfg.text
+    nh, kh, hd = (cfg_t.num_attention_heads, cfg_t.num_key_value_heads,
+                  cfg_t.head_dim)
+    layers = params["model"]["layers"]
+    n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    b_idx = jnp.arange(N)
+    quant = len(kv) == 4
+
+    def round_body(carry, _):
+        logits, kv_c, hist, cur_len = carry
+        chunk, drafts = _spec_draft(hist, logits, cur_len, active, pad_id,
+                                    K, _reject_all)
+        emb = params["model"]["embed_tokens"]["embedding"][chunk]  # [N,W,H]
+        pos = (pos_base + cur_len)[:, None] + jnp.arange(W)[None, :]
+        pos3 = jnp.broadcast_to(pos[None], (3, N, W))
+        cos, sin = mrope_cos_sin(pos3, cfg, dtype=emb.dtype)
+        tokpos = cur_len[:, None] + jnp.arange(W)[None, :]        # [N, W]
+        pid = page_tables[b_idx[:, None], tokpos // page_size]
+        pid = jnp.where(active[:, None], pid, trash_page)
+        off = tokpos % page_size
+
+        def body(carry, inp):
+            x, kv_l = carry
+            l, p = inp
+            h = rms_norm(p["input_layernorm"]["scale"], x, cfg_t.rms_norm_eps)
+            q = linear(p["attn"]["q"], h).reshape(N, W, nh, hd)
+            k = linear(p["attn"]["k"], h).reshape(N, W, kh, hd)
+            v = linear(p["attn"]["v"], h).reshape(N, W, kh, hd)
+            q, k = _qk_norm(p["attn"], q, k, cfg_t)
+            q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
+            # mixed basic/advanced indexing: advanced dims (N, W) lead, so
+            # the value is [N, W, kh, hd] and lands at
+            # kv[l, :, pid[n,w], off[n,w]]
+            if quant:
+                kp, vp, ksp, vsp = kv_l
+                kq, ks = quantize_kv(k)
+                vq, vs = quantize_kv(v)
+                kp = kp.at[l, :, pid, off].set(kq)
+                vp = vp.at[l, :, pid, off].set(vq)
+                ksp = ksp.at[l, :, pid, off].set(ks)
+                vsp = vsp.at[l, :, pid, off].set(vs)
+                attn = paged_decode_attention_stacked(
+                    q, kp, vp, page_tables, cur_len + 1, l,
+                    page_size=page_size, interpret=interpret,
+                    k_scales=ksp, v_scales=vsp)
+                kv_l = (kp, vp, ksp, vsp)
+            else:
+                kp, vp = kv_l
+                kp = kp.at[l, :, pid, off].set(k.astype(kp.dtype))
+                vp = vp.at[l, :, pid, off].set(v.astype(vp.dtype))
+                attn = paged_decode_attention_stacked(
+                    q, kp, vp, page_tables, cur_len + 1, l,
+                    page_size=page_size, interpret=interpret)
+                kv_l = (kp, vp)
+            x = x + linear(p["attn"]["o"], attn.reshape(N, W, nh * hd))
+            h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
+                          cfg_t.rms_norm_eps)
+            return (x + _mlp(p["mlp"], h2, cfg_t), kv_l), None
+
+        (x, kv_c), _ = jax.lax.scan(
+            body, (emb, kv_c), (jnp.arange(n_layers), layers))
+        x = rms_norm(params["model"]["norm"]["scale"], x, cfg_t.rms_norm_eps)
+        logits_w = lm_head(params, cfg, x).astype(jnp.float32)    # [N, W, V]
+        n_commit, new_logits = _spec_accept(logits_w, drafts, logits,
+                                            active, K)
+        hist = _spec_hist_update(hist, chunk, cur_len, n_commit)
+        return (new_logits, kv_c, hist, cur_len + n_commit), (chunk, n_commit)
+
+    (new_logits, kv, hist, new_len), (chunks, commits) = jax.lax.scan(
+        round_body, (last_logits, kv, hist, cur_len), None, length=rounds)
+    return chunks, commits, new_logits, kv, hist, new_len
+
+
+@functools.partial(jax.jit,
                    static_argnames=("cfg", "sp", "page_size", "interpret",
                                     "n_steps"),
                    donate_argnums=(1,))
@@ -1156,6 +1283,42 @@ class PagedContinuousEngine(ContinuousEngine):
         self._register_prefix(np.asarray(padded)[0, :true_len],
                               pids[:np_used], media_key=self._media_key)
         return logits
+
+    def _spec_ready(self, active, steps: int) -> bool:
+        """Spec needs pages for the FULL verify window (rounds x (K+1)
+        tokens per active slot) up front — fall back to plain decode when
+        the free list can't cover the worst case."""
+        pc = self.pcache
+        ps = self._page_size
+        span = steps * (self.spec_decode + 1)
+        need = 0
+        for slot, is_active in enumerate(active):
+            if is_active:
+                have = int((pc.page_tables[slot] >= 0).sum())
+                need += max(0, -(-(int(self.cur_len[slot]) + span) // ps)
+                            - have)
+        return pc.available_pages() >= need
+
+    def _spec_dispatch(self, active, rounds: int):
+        pc = self.pcache
+        pc.lengths[:] = self.cur_len
+        span = rounds * (self.spec_decode + 1)
+        for slot, is_active in enumerate(active):
+            if is_active:
+                pc.ensure_capacity(slot, span)
+        tables = np.where(pc.page_tables >= 0, pc.page_tables,
+                          self.trash_page).astype(np.int32)
+        chunks, commits, self.last_logits, kv, self.hist, new_len = \
+            _paged_decode_spec(
+                self.params, self._kv(), self.cfg, self.last_logits,
+                jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+                jnp.asarray(active), self.hist, self.sp.pad_token_id,
+                jnp.asarray(tables), jnp.int32(self.trash_page),
+                self.spec_decode, rounds, page_size=self._page_size,
+                interpret=self._interpret,
+                _reject_all=getattr(self, "_spec_reject_all", False))
+        self._set_kv(kv)
+        return chunks, commits, new_len
 
     def _decode_all(self, active, rng, steps: int = 1):
         pc = self.pcache
@@ -1472,6 +1635,8 @@ class PagedContinuousEngine(ContinuousEngine):
             old, new = cow
             self._set_kv(_copy_page(self._kv(), jnp.int32(old),
                                     jnp.int32(new)))
+        if self.hist is not None:
+            self.hist = self.hist.at[dst].set(self.hist[src])
 
 
 def _run_loop_impl(engine, request_queue: "queue.Queue",

@@ -91,15 +91,22 @@ def _paged_decode_kernel(lengths_ref, tables_ref, q_ref, kp_ref, vp_ref,
 def _paged_decode_kernel_stacked(lengths_ref, tables_ref, layer_ref, q_ref,
                                  kp_ref, vp_ref, o_ref, k_scratch, v_scratch,
                                  sem, *, page_size: int, scale: float,
-                                 max_pages: int):
+                                 max_pages: int, num_queries: int = 1):
+    """num_queries > 1 (speculative verify chunks): the q block carries W
+    stacked query tokens as [W*g, hd] rows; query i sits at cache position
+    L-1+i and may attend keys < L+i (causal within the chunk), expressed as
+    a per-row offset on the page mask. W=1 reproduces plain decode."""
     b = pl.program_id(0)
     h = pl.program_id(1)
     L = lengths_ref[b]
     lyr = layer_ref[0]
-    n_pages = pl.cdiv(L, page_size)
+    n_pages = pl.cdiv(L + num_queries - 1, page_size)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [g, hd]
-    g, hd = q.shape
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # [W*g, hd]
+    rows, hd = q.shape
+    g = rows // num_queries
+    # query index per q row (rows are [W, g] flattened)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rows, page_size), 0) // g
 
     def dma(slot, p_idx):
         page_id = tables_ref[b, p_idx]
@@ -137,8 +144,8 @@ def _paged_decode_kernel_stacked(lengths_ref, tables_ref, layer_ref, q_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         kpos = p * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (g, page_size), 1)
-        s = jnp.where(kpos < L, s, NEG_INF)
+            jnp.int32, (rows, page_size), 1)
+        s = jnp.where(kpos < L + qi, s, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         pexp = jnp.exp(s - m_new)
@@ -149,9 +156,9 @@ def _paged_decode_kernel_stacked(lengths_ref, tables_ref, layer_ref, q_ref,
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
-    acc = jnp.zeros((g, hd), jnp.float32)
-    m_i = jnp.full((g, 1), NEG_INF, jnp.float32)
-    l_i = jnp.zeros((g, 1), jnp.float32)
+    acc = jnp.zeros((rows, hd), jnp.float32)
+    m_i = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((rows, 1), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, n_pages, body, (acc, m_i, l_i))
     o_ref[0, 0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
 
@@ -161,7 +168,7 @@ def _paged_decode_kernel_stacked_quant(lengths_ref, tables_ref, layer_ref,
                                        o_ref, k_scratch, v_scratch,
                                        ks_scratch, vs_scratch, sem, *,
                                        page_size: int, scale: float,
-                                       max_pages: int):
+                                       max_pages: int, num_queries: int = 1):
     """int8-page variant: per-(token, head) absmax scales ride in their own
     scale pages and factor OUT of both dots (quant_dot_product_attention
     math — q.(k_q*s) == (q.k_q)*s and sum p*(v_q*s) == sum (p*s)*v_q), so
@@ -171,10 +178,12 @@ def _paged_decode_kernel_stacked_quant(lengths_ref, tables_ref, layer_ref,
     h = pl.program_id(1)
     L = lengths_ref[b]
     lyr = layer_ref[0]
-    n_pages = pl.cdiv(L, page_size)
+    n_pages = pl.cdiv(L + num_queries - 1, page_size)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [g, hd]
-    g, hd = q.shape
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # [W*g, hd]
+    rows, hd = q.shape
+    g = rows // num_queries
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rows, page_size), 0) // g
 
     def dma(slot, p_idx):
         page_id = tables_ref[b, p_idx]
@@ -217,8 +226,8 @@ def _paged_decode_kernel_stacked_quant(lengths_ref, tables_ref, layer_ref,
                                 preferred_element_type=jnp.float32)
         s = s * ks[None, :]                              # factored k scales
         kpos = p * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (g, page_size), 1)
-        s = jnp.where(kpos < L, s, NEG_INF)
+            jnp.int32, (rows, page_size), 1)
+        s = jnp.where(kpos < L + qi, s, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         pexp = jnp.exp(s - m_new)
@@ -229,9 +238,9 @@ def _paged_decode_kernel_stacked_quant(lengths_ref, tables_ref, layer_ref,
             preferred_element_type=jnp.float32)          # factored v scales
         return acc, m_new, l_new
 
-    acc = jnp.zeros((g, hd), jnp.float32)
-    m_i = jnp.full((g, 1), NEG_INF, jnp.float32)
-    l_i = jnp.zeros((g, 1), jnp.float32)
+    acc = jnp.zeros((rows, hd), jnp.float32)
+    m_i = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((rows, 1), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, n_pages, body, (acc, m_i, l_i))
     o_ref[0, 0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
 
@@ -253,18 +262,31 @@ def paged_decode_attention_stacked(
     page pool (scalar-prefetched index) — the pool stays put in HBM inside
     the decode layer scan, no per-layer slice materialization. With
     k_scales/v_scales the pages are int8 (half the KV bytes -> ~2x page
-    capacity per HBM GB) and the scales factor out of both dots."""
-    B, nh, hd = q.shape
+    capacity per HBM GB) and the scales factor out of both dots.
+
+    q may also be [B, W, nh, hd] — a W-token speculative verify chunk whose
+    token i sits at position lengths[b]-1+i (its K/V already written to the
+    pages); the kernel applies the causal-within-chunk mask per query row.
+    Returns [B, W, nh, hd] in that case."""
+    if q.ndim == 4:
+        B, W, nh, hd = q.shape
+        multi = True
+    else:
+        B, nh, hd = q.shape
+        W, multi = 1, False
     kh = k_pages.shape[1]
     g = nh // kh
     max_pages = page_tables.shape[1]
-    qg = q.reshape(B, kh, g, hd)
+    # [B, W, kh, g, hd] -> [B, kh, W*g, hd]: rows ordered [W, g] so the
+    # kernel recovers the query index as row // g
+    qg = (q.reshape(B, W, kh, g, hd).transpose(0, 2, 1, 3, 4)
+          .reshape(B, kh, W * g, hd))
     quant = k_scales is not None
 
     if quant:
         kernel = functools.partial(
             _paged_decode_kernel_stacked_quant, page_size=page_size,
-            scale=hd ** -0.5, max_pages=max_pages)
+            scale=hd ** -0.5, max_pages=max_pages, num_queries=W)
         extra_in = [pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY)]
         extra_args = (k_scales, v_scales)
@@ -278,7 +300,7 @@ def paged_decode_attention_stacked(
     else:
         kernel = functools.partial(
             _paged_decode_kernel_stacked, page_size=page_size,
-            scale=hd ** -0.5, max_pages=max_pages)
+            scale=hd ** -0.5, max_pages=max_pages, num_queries=W)
         extra_in = []
         extra_args = ()
         scratch = [
@@ -292,20 +314,24 @@ def paged_decode_attention_stacked(
             num_scalar_prefetch=3,
             grid=(B, kh),
             in_specs=[
-                pl.BlockSpec((1, 1, g, hd), lambda b, h, L, T, lyr: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, W * g, hd),
+                             lambda b, h, L, T, lyr: (b, h, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 *extra_in,
             ],
-            out_specs=pl.BlockSpec((1, 1, g, hd),
+            out_specs=pl.BlockSpec((1, 1, W * g, hd),
                                    lambda b, h, L, T, lyr: (b, h, 0, 0)),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, kh, g, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, kh, W * g, hd), q.dtype),
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
       jnp.asarray(layer, jnp.int32).reshape(1), qg, k_pages, v_pages,
       *extra_args)
+    if multi:
+        return (out.reshape(B, kh, W, g, hd).transpose(0, 2, 1, 3, 4)
+                .reshape(B, W, nh, hd))
     return out.reshape(B, nh, hd)
 
 

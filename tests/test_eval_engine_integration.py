@@ -3,6 +3,7 @@ with in-memory video docs — the full accuracy-eval call stack (SURVEY §3.3)
 minus HF datasets."""
 
 import numpy as np
+import pytest
 
 from video_r2_tpu.engine import ByteTokenizer
 from video_r2_tpu.evalharness import EngineModel, evaluate, get_task
@@ -129,9 +130,13 @@ def test_engine_model_eval(rng, tmp_path):
     assert (tmp_path / "samples_mvbench_think.jsonl").exists()
 
 
-def test_engine_model_eval_paged(rng, tmp_path):
+@pytest.mark.parametrize("spec", [0, 3])
+def test_engine_model_eval_paged(rng, tmp_path, spec):
     """Same end-to-end eval through the continuous paged engine
-    (engine_mode='paged') — the vLLM-role eval path (VERDICT r1 #6)."""
+    (engine_mode='paged') — the vLLM-role eval path (VERDICT r1 #6);
+    spec=3 additionally routes greedy eval decoding through paged
+    speculative verification (responses must be identical — the runner
+    compares against the spec=0 resps below)."""
     cfg = tiny_test_config(vocab_size=152064).replace(
         image_token_id=151655, video_token_id=151656,
         vision_start_token_id=151652, vision_end_token_id=151653,
@@ -149,12 +154,18 @@ def test_engine_model_eval_paged(rng, tmp_path):
 
     model = EngineModel(params, cfg, ByteTokenizer(), max_num_frames=4,
                         max_pixels=56 * 56, batch_size=2,
-                        engine_mode="paged")
+                        engine_mode="paged", spec_decode=spec)
     out = evaluate(model, [task], output_dir=tmp_path)
     res = out["results"]["mvbench_think"]
     assert res["samples"] == 3
     rows = out["samples"]["mvbench_think"]
     assert all(isinstance(r["resps"][0][0], str) for r in rows)
+    resps = [r["resps"][0][0] for r in sorted(rows, key=lambda r: r["doc_id"])]
+    if spec == 0:
+        test_engine_model_eval_paged._plain = resps
+    elif hasattr(test_engine_model_eval_paged, "_plain"):
+        # token-exact vs the plain paged run (param order runs 0 first)
+        assert resps == test_engine_model_eval_paged._plain
 
 
 def test_generate_until_groups_by_gen_kwargs():

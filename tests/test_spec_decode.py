@@ -143,13 +143,16 @@ def test_chat_engine_continuous_spec_matches_plain():
     msgs = [[{"role": "user", "content": "judge: is A == A? answer yes/no"}],
             [{"role": "user", "content": "extract the final letter: B"}]]
 
-    def run(spec):
+    def run(spec, kind="slots"):
         eng = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=6,
                          continuous=True, num_slots=2, max_len=128,
-                         spec_decode=spec)
+                         spec_decode=spec, engine_kind=kind, page_size=32)
         try:
             return eng.chat_batch(msgs)
         finally:
             eng.shutdown()
 
-    assert run(0) == run(3)
+    plain = run(0)
+    assert plain == run(3)
+    # the paged serving core speculates too (multi-query paged kernel)
+    assert plain == run(3, kind="paged")

@@ -58,7 +58,7 @@ def main(argv=None):
         act_quant=ev.act_quant or None, kv_quant=ev.kv_quant or None,
         vit_act_quant=ev.vit_act_quant or None,
         window_divisible=ev.window_divisible, decode_steps=ev.decode_steps,
-        patch_dtype=ev.patch_dtype,
+        patch_dtype=ev.patch_dtype, spec_decode=ev.spec_decode,
         mesh=build_mesh(app))  # --run.dp/fsdp/tp shard the eval model
     out = evaluate(model, tasks, limit=limit, output_dir=app.run.output_dir,
                    cache_dir=f"{app.run.output_dir}/cache")  # resumable

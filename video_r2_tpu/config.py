@@ -76,6 +76,9 @@ class EvalConfig:
     window_divisible: bool = False    # ViT-window resize bucketing
     patch_dtype: str = "float32"      # "float16": half the patch transfer
     decode_steps: int = 8             # paged: tokens per decode dispatch
+    spec_decode: int = 0              # paged: K-draft speculative decoding
+                                      # (greedy eval generation quotes
+                                      # options/subtitles — high acceptance)
 
 
 @dataclass(frozen=True)

@@ -80,8 +80,8 @@ class ChatEngine:
             eng_cls = (PagedContinuousEngine if engine_kind == "paged"
                        else ContinuousEngine)
             kw = ({"page_size": page_size, "kv_quant": kv_quant}
-                  if engine_kind == "paged"
-                  else {"spec_decode": self.spec_decode})
+                  if engine_kind == "paged" else {})
+            kw["spec_decode"] = self.spec_decode
             kw["decode_window"] = decode_window
             self._cont = eng_cls(
                 params, cfg, num_slots=num_slots, max_len=max_len,

@@ -28,7 +28,7 @@ class EngineBackend:
                  engine_mode="batch", engine_max_len=None, page_size=128,
                  window_divisible=False, vit_act_quant=None,
                  prefill_rows="auto", decode_steps=8,
-                 patch_dtype="float32", mesh=None):
+                 patch_dtype="float32", mesh=None, spec_decode=0):
         # mesh: multi-chip eval — params shard per parallel.sharding rules
         # (FSDP/TP) and generate() runs sharded; the ViT executes on the
         # mesh via GSPMD from the weight shardings. The reference evals on
@@ -72,6 +72,12 @@ class EngineBackend:
         self.engine_mode = engine_mode
         self.engine_max_len = engine_max_len
         self.page_size = page_size
+        # spec_decode=K: speculative decoding in paged continuous eval —
+        # eval generation is GREEDY and answers quote options/subtitles,
+        # the n-gram lookup's best workload. Batch-mode eval keeps plain
+        # decode (spec's seq-major cache conflicts with the batch path's
+        # prefill-chunk/kv-quant configs; the paged pool has no such clash)
+        self.spec_decode = spec_decode
         # snap resize targets to 112-px ViT windows: zero window padding in
         # the ViT and far fewer compile-shape buckets (video/geometry.py
         # snap_to_window). Changes input resolution inside the same pixel
@@ -365,7 +371,8 @@ class EngineBackend:
             sp=SamplingParams(eos_token_ids=(self.cfg.eos_token_id,),
                               pad_token_id=self.cfg.pad_token_id),
             attn_impl=self.attn_impl, prompt_buckets=tuple(buckets),
-            page_size=ps, kv_quant=self.kv_quant)
+            page_size=ps, kv_quant=self.kv_quant,
+            spec_decode=self.spec_decode)
         return self._cont
 
     def _run_continuous(self, loader, indices, gen_kwargs):

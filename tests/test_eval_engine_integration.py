@@ -130,13 +130,11 @@ def test_engine_model_eval(rng, tmp_path):
     assert (tmp_path / "samples_mvbench_think.jsonl").exists()
 
 
-@pytest.mark.parametrize("spec", [0, 3])
-def test_engine_model_eval_paged(rng, tmp_path, spec):
+def test_engine_model_eval_paged(rng, tmp_path):
     """Same end-to-end eval through the continuous paged engine
-    (engine_mode='paged') — the vLLM-role eval path (VERDICT r1 #6);
-    spec=3 additionally routes greedy eval decoding through paged
-    speculative verification (responses must be identical — the runner
-    compares against the spec=0 resps below)."""
+    (engine_mode='paged') — the vLLM-role eval path (VERDICT r1 #6) — run
+    twice, plain and with spec_decode=3 (greedy eval decoding through paged
+    speculative verification): responses must be response-exact identical."""
     cfg = tiny_test_config(vocab_size=152064).replace(
         image_token_id=151655, video_token_id=151656,
         vision_start_token_id=151652, vision_end_token_id=151653,
@@ -152,20 +150,19 @@ def test_engine_model_eval_paged(rng, tmp_path, spec):
     task = get_task("mvbench_think", docs=docs)
     task.config.generation_kwargs["max_new_tokens"] = 8
 
-    model = EngineModel(params, cfg, ByteTokenizer(), max_num_frames=4,
-                        max_pixels=56 * 56, batch_size=2,
-                        engine_mode="paged", spec_decode=spec)
-    out = evaluate(model, [task], output_dir=tmp_path)
-    res = out["results"]["mvbench_think"]
-    assert res["samples"] == 3
-    rows = out["samples"]["mvbench_think"]
-    assert all(isinstance(r["resps"][0][0], str) for r in rows)
-    resps = [r["resps"][0][0] for r in sorted(rows, key=lambda r: r["doc_id"])]
-    if spec == 0:
-        test_engine_model_eval_paged._plain = resps
-    elif hasattr(test_engine_model_eval_paged, "_plain"):
-        # token-exact vs the plain paged run (param order runs 0 first)
-        assert resps == test_engine_model_eval_paged._plain
+    def run(spec):
+        model = EngineModel(params, cfg, ByteTokenizer(), max_num_frames=4,
+                            max_pixels=56 * 56, batch_size=2,
+                            engine_mode="paged", spec_decode=spec)
+        out = evaluate(model, [task], output_dir=tmp_path / f"s{spec}")
+        res = out["results"]["mvbench_think"]
+        assert res["samples"] == 3
+        rows = out["samples"]["mvbench_think"]
+        assert all(isinstance(r["resps"][0][0], str) for r in rows)
+        return [r["resps"][0][0]
+                for r in sorted(rows, key=lambda r: r["doc_id"])]
+
+    assert run(0) == run(3)
 
 
 def test_generate_until_groups_by_gen_kwargs():

@@ -8,6 +8,7 @@ Parity anchors:
 - expert-parallel sharding ("ep" axis) == single device.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -317,3 +318,72 @@ def test_ep_sharded_parity(hf_moe, rng):
     sharded_params = jax.tree_util.tree_map(jax.device_put, params, shardings)
     out = np.asarray(forward(sharded_params, cfg, ids, pos)[0])
     np.testing.assert_allclose(out, single, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_w8a8_experts(hf_moe, rng):
+    """act_quant="int8" actually quantizes MoE expert activations (int8 x
+    int8 -> int32 dot, scales factored out) instead of silently no-opping:
+    the result differs from weight-only int8 but stays within int8 error of
+    fp32."""
+    from video_r2_tpu.models.model import forward
+    from video_r2_tpu.models.moe import moe_mlp
+    from video_r2_tpu.models.quant import quantize_params
+
+    _, cfg, params = hf_moe
+    qparams = quantize_params(params)
+    B, S = 2, 12
+    ids = rng.integers(2, 127, (B, S))
+    pos = np.broadcast_to(np.arange(S)[None, None, :], (3, B, S))
+    ref = np.asarray(forward(params, cfg, ids, pos)[0])
+    w8a8 = np.asarray(forward(qparams, cfg, ids, pos, attn_impl="xla",
+                              )[0])  # weight-only baseline
+    # direct block check: W8A8 != weight-only (the branch runs) and close
+    qlayer = {k: (v[0] if hasattr(v, "shape") else
+                  jax.tree_util.tree_map(lambda a: a[0], v))
+              for k, v in qparams["model"]["layers"]["mlp"].items()}
+    x = rng.normal(0, 1, (1, 16, 32)).astype(np.float32)
+    wo = np.asarray(moe_mlp(qlayer, x, 2))
+    aq = np.asarray(moe_mlp(qlayer, x, 2, act_quant="int8"))
+    assert not np.array_equal(wo, aq)
+    assert np.abs(aq - wo).max() < 0.1 * max(np.abs(wo).max(), 1.0)
+    assert np.isfinite(w8a8).all() and np.abs(w8a8 - ref).max() < 0.2
+
+
+def test_quantized_leaves_shard_like_kernels(hf_moe, rng):
+    """int8 leaves ({kernel_q, scale}) inherit the kernel's sharding rule —
+    the int8 MoE judge's experts must shard over "ep" (replicated experts
+    defeat EP's memory scaling on exactly the 30B-class model the feature
+    exists for); dense attn/mlp int8 leaves shard like their bf16 kernels,
+    and sharded int8 generation stays token-exact."""
+    import jax
+
+    from video_r2_tpu.engine.generate import SamplingParams, generate
+    from video_r2_tpu.models.quant import quantize_params
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+    from video_r2_tpu.parallel.sharding import param_shardings, shard_params
+
+    _, cfg, params = hf_moe
+    qp = quantize_params(params)
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    sh = param_shardings(qp, mesh)
+    lay = sh["model"]["layers"]
+    assert lay["mlp"]["experts"]["gate"]["kernel_q"].spec == jax.sharding.PartitionSpec(
+        None, "ep", "fsdp", "tp")
+    assert lay["mlp"]["experts"]["gate"]["scale"].spec == jax.sharding.PartitionSpec(
+        None, "ep", "tp")
+    assert lay["mlp"]["experts"]["down"]["scale"].spec == jax.sharding.PartitionSpec(
+        None, "ep", "fsdp")
+    assert lay["attn"]["q"]["kernel_q"].spec == jax.sharding.PartitionSpec(
+        None, "fsdp", "tp")
+    # norm scales keep replicating (the "scale" translation must not touch
+    # paths whose parent has no kernel rule)
+    assert lay["input_layernorm"]["scale"].spec == jax.sharding.PartitionSpec()
+
+    B, S, T = 2, 9, 5
+    ids = rng.integers(2, 127, (B, S))
+    lengths = np.array([S, S - 2])
+    ids[1, S - 2:] = 0
+    sp = SamplingParams(max_new_tokens=T, do_sample=False)
+    ref = generate(qp, cfg, ids, lengths, sp)
+    res = generate(shard_params(qp, mesh), cfg, ids, lengths, sp, mesh=mesh)
+    np.testing.assert_array_equal(res.sequences, ref.sequences)

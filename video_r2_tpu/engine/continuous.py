@@ -286,8 +286,11 @@ class ContinuousEngine:
         dtype = jnp.dtype(cfg.dtype) if isinstance(cfg.dtype, str) else cfg.dtype
         self._init_cache(dtype)
         if self.spec_decode:
+            # self.max_len, not the constructor arg: the paged engine's
+            # _init_cache rounds max_len up to a page multiple, and hist
+            # must cover every frontier the cache can reach
             self.hist = jnp.full(
-                (num_slots, max_len + self.spec_decode + 2),
+                (num_slots, self.max_len + self.spec_decode + 2),
                 self.sp.pad_token_id, jnp.int32)
         self.last_logits = jnp.zeros((num_slots, cfg.text.vocab_size),
                                      jnp.float32)
@@ -367,11 +370,7 @@ class ContinuousEngine:
         self.slot_top_k[slot] = rsp.top_k
         self.slot_do_sample[slot] = rsp.do_sample
         self.slot_req[slot] = req
-        if self.hist is not None:
-            row = np.full((self.hist.shape[1],), self.cfg.pad_token_id,
-                          np.int32)
-            row[:bucket] = padded[0]
-            self.hist = self.hist.at[slot].set(jnp.asarray(row))
+        self._write_hist_row(slot, padded[0])
         return rid
 
     @property
@@ -513,6 +512,18 @@ class ContinuousEngine:
                 self.slot_req[slot] = None
                 self._release_slot(slot)
         return finished
+
+    def _write_hist_row(self, slot: int, ids) -> None:
+        """Reset the spec-decode history row for a newly admitted request:
+        [prompt | pad...]; generated tokens extend it at the frontier. Every
+        admission path must call this or drafting reads the previous
+        occupant's tokens (acceptance collapses; tokens stay exact)."""
+        if self.hist is None:
+            return
+        ids = np.asarray(ids, np.int32).reshape(-1)
+        row = np.full((self.hist.shape[1],), self.cfg.pad_token_id, np.int32)
+        row[:ids.shape[0]] = ids
+        self.hist = self.hist.at[slot].set(jnp.asarray(row))
 
     # -- KV-layout hooks (contiguous implementation) ------------------------
     def _spec_ready(self, active, steps: int) -> bool:
@@ -711,6 +722,69 @@ def _prefill_suffix_into_pages(params, kv, cfg, prefix_pids, new_pids, ids,
     return logits.astype(jnp.float32), kv
 
 
+def _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
+                        page_tables, cur_len, page_size: int,
+                        interpret: bool):
+    """Run the stacked decoder over [N, S] tokens whose KV appends into the
+    page pool at per-token (pid, off) coordinates (pid/off are [N, S] —
+    mixed basic/advanced indexing puts those dims first, so the write value
+    is [N, S, kh, hd] landing at kv[l, :, pid[n,s], off[n,s]]). S == 1 is
+    plain single-token decode; S > 1 is a speculative verify chunk (the
+    multi-query paged kernel masks causally within the chunk). Returns
+    (hidden [N, S, H], kv)."""
+    from ..models.decoder import _mlp, _qk_norm
+    from ..models.layers import apply_rotary, linear, rms_norm
+    from ..ops.paged_attention import paged_decode_attention_stacked
+
+    cfg_t = cfg.text
+    N, S, _ = emb.shape
+    nh, kh, hd = (cfg_t.num_attention_heads, cfg_t.num_key_value_heads,
+                  cfg_t.head_dim)
+    layers = params["model"]["layers"]
+    n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    quant = len(kv) == 4
+
+    def body(carry, inp):
+        x, kv_c = carry
+        l, p = inp
+        h = rms_norm(p["input_layernorm"]["scale"], x, cfg_t.rms_norm_eps)
+        q = linear(p["attn"]["q"], h).reshape(N, S, nh, hd)
+        k = linear(p["attn"]["k"], h).reshape(N, S, kh, hd)
+        v = linear(p["attn"]["v"], h).reshape(N, S, kh, hd)
+        q, k = _qk_norm(p["attn"], q, k, cfg_t)
+        q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
+        if quant:
+            kp, vp, ksp, vsp = kv_c
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            kp = kp.at[l, :, pid, off].set(kq)
+            vp = vp.at[l, :, pid, off].set(vq)
+            ksp = ksp.at[l, :, pid, off].set(ks)
+            vsp = vsp.at[l, :, pid, off].set(vs)
+            attn = paged_decode_attention_stacked(
+                q, kp, vp, page_tables, cur_len + 1, l,
+                page_size=page_size, interpret=interpret,
+                k_scales=ksp, v_scales=vsp)
+            kv_c = (kp, vp, ksp, vsp)
+        else:
+            kp, vp = kv_c
+            kp = kp.at[l, :, pid, off].set(k.astype(kp.dtype))
+            vp = vp.at[l, :, pid, off].set(v.astype(vp.dtype))
+            attn = paged_decode_attention_stacked(
+                q, kp, vp, page_tables, cur_len + 1, l,
+                page_size=page_size, interpret=interpret)
+            kv_c = (kp, vp)
+        x = x + linear(p["attn"]["o"], attn.reshape(N, S, nh * hd))
+        h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
+                      cfg_t.rms_norm_eps)
+        return (x + _mlp(p["mlp"], h2, cfg_t), kv_c), None
+
+    (x, kv), _ = jax.lax.scan(
+        body, (emb, kv), (jnp.arange(n_layers), layers))
+    return rms_norm(params["model"]["norm"]["scale"], x,
+                    cfg_t.rms_norm_eps), kv
+
+
 def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
                        last_logits, cur_len, pos_base, active, page_tables,
                        trash_page, samp, rng, page_size: int = 128,
@@ -718,8 +792,6 @@ def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
     """One token for every slot, KV appended into pages, attention through
     the stacked paged kernel. page_tables must be sanitized (no -1 entries —
     inactive/unallocated rows point at trash_page)."""
-    from ..ops.paged_attention import paged_decode_attention_stacked
-
     N = last_logits.shape[0]
     tok = sample_token_per_slot(last_logits, rng, *samp)
     tok = jnp.where(active, tok, sp.pad_token_id)
@@ -728,62 +800,13 @@ def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
     pos = pos_base + cur_len
     pos3 = jnp.broadcast_to(pos[None, :, None], (3, N, 1))
     cos, sin = mrope_cos_sin(pos3, cfg, dtype=emb.dtype)
-
-    layers = params["model"]["layers"]
-    n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
-    cfg_t = cfg.text
-    nh, kh, hd = (cfg_t.num_attention_heads, cfg_t.num_key_value_heads,
-                  cfg_t.head_dim)
     b_idx = jnp.arange(N)
     pid = page_tables[b_idx, cur_len // page_size]
-    pid = jnp.where(active, pid, trash_page)
-    off = cur_len % page_size
+    pid = jnp.where(active, pid, trash_page)[:, None]
+    off = (cur_len % page_size)[:, None]
 
-    from ..models.decoder import _mlp, _qk_norm
-    from ..models.layers import apply_rotary, linear, rms_norm
-
-    quant = len(kv) == 4
-
-    def body(carry, inp):
-        x, kv_c = carry
-        l, p = inp
-        h = rms_norm(p["input_layernorm"]["scale"], x, cfg_t.rms_norm_eps)
-        q = linear(p["attn"]["q"], h).reshape(N, 1, nh, hd)
-        k = linear(p["attn"]["k"], h).reshape(N, 1, kh, hd)
-        v = linear(p["attn"]["v"], h).reshape(N, 1, kh, hd)
-        q, k = _qk_norm(p["attn"], q, k, cfg_t)
-        q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
-        # mixed basic/advanced indexing puts the broadcast (slot) axis first:
-        # target shape is [N, kh, hd]
-        if quant:
-            kp, vp, ksp, vsp = kv_c
-            kq, ks = quantize_kv(k[:, 0])
-            vq, vs = quantize_kv(v[:, 0])
-            kp = kp.at[l, :, pid, off].set(kq)
-            vp = vp.at[l, :, pid, off].set(vq)
-            ksp = ksp.at[l, :, pid, off].set(ks)
-            vsp = vsp.at[l, :, pid, off].set(vs)
-            attn = paged_decode_attention_stacked(
-                q[:, 0], kp, vp, page_tables, cur_len + 1, l,
-                page_size=page_size, interpret=interpret,
-                k_scales=ksp, v_scales=vsp)
-            kv_c = (kp, vp, ksp, vsp)
-        else:
-            kp, vp = kv_c
-            kp = kp.at[l, :, pid, off].set(k[:, 0].astype(kp.dtype))
-            vp = vp.at[l, :, pid, off].set(v[:, 0].astype(vp.dtype))
-            attn = paged_decode_attention_stacked(
-                q[:, 0], kp, vp, page_tables, cur_len + 1, l,
-                page_size=page_size, interpret=interpret)
-            kv_c = (kp, vp)
-        x = x + linear(p["attn"]["o"], attn.reshape(N, 1, nh * hd))
-        h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
-                      cfg_t.rms_norm_eps)
-        return (x + _mlp(p["mlp"], h2, cfg_t), kv_c), None
-
-    (x, kv), _ = jax.lax.scan(
-        body, (emb, kv), (jnp.arange(n_layers), layers))
-    x = rms_norm(params["model"]["norm"]["scale"], x, cfg_t.rms_norm_eps)
+    x, kv = _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
+                                page_tables, cur_len, page_size, interpret)
     next_logits = lm_head(params, cfg, x[:, 0]).astype(jnp.float32)
     new_len = jnp.where(active, cur_len + 1, cur_len)
     return tok, next_logits, kv, new_len
@@ -913,20 +936,10 @@ def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
 
     Returns (chunks [R, N, W], commits [R, N], new_logits, kv, hist,
     new_len)."""
-    from ..models.decoder import _mlp, _qk_norm
-    from ..models.layers import apply_rotary, linear, rms_norm
-    from ..ops.paged_attention import paged_decode_attention_stacked
-
     N, V = last_logits.shape
     K = spec_k
     W = K + 1
-    cfg_t = cfg.text
-    nh, kh, hd = (cfg_t.num_attention_heads, cfg_t.num_key_value_heads,
-                  cfg_t.head_dim)
-    layers = params["model"]["layers"]
-    n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
     b_idx = jnp.arange(N)
-    quant = len(kv) == 4
 
     def round_body(carry, _):
         logits, kv_c, hist, cur_len = carry
@@ -941,47 +954,9 @@ def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
         pid = jnp.where(active[:, None], pid, trash_page)
         off = tokpos % page_size
 
-        def body(carry, inp):
-            x, kv_l = carry
-            l, p = inp
-            h = rms_norm(p["input_layernorm"]["scale"], x, cfg_t.rms_norm_eps)
-            q = linear(p["attn"]["q"], h).reshape(N, W, nh, hd)
-            k = linear(p["attn"]["k"], h).reshape(N, W, kh, hd)
-            v = linear(p["attn"]["v"], h).reshape(N, W, kh, hd)
-            q, k = _qk_norm(p["attn"], q, k, cfg_t)
-            q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
-            # mixed basic/advanced indexing: advanced dims (N, W) lead, so
-            # the value is [N, W, kh, hd] and lands at
-            # kv[l, :, pid[n,w], off[n,w]]
-            if quant:
-                kp, vp, ksp, vsp = kv_l
-                kq, ks = quantize_kv(k)
-                vq, vs = quantize_kv(v)
-                kp = kp.at[l, :, pid, off].set(kq)
-                vp = vp.at[l, :, pid, off].set(vq)
-                ksp = ksp.at[l, :, pid, off].set(ks)
-                vsp = vsp.at[l, :, pid, off].set(vs)
-                attn = paged_decode_attention_stacked(
-                    q, kp, vp, page_tables, cur_len + 1, l,
-                    page_size=page_size, interpret=interpret,
-                    k_scales=ksp, v_scales=vsp)
-                kv_l = (kp, vp, ksp, vsp)
-            else:
-                kp, vp = kv_l
-                kp = kp.at[l, :, pid, off].set(k.astype(kp.dtype))
-                vp = vp.at[l, :, pid, off].set(v.astype(vp.dtype))
-                attn = paged_decode_attention_stacked(
-                    q, kp, vp, page_tables, cur_len + 1, l,
-                    page_size=page_size, interpret=interpret)
-                kv_l = (kp, vp)
-            x = x + linear(p["attn"]["o"], attn.reshape(N, W, nh * hd))
-            h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
-                          cfg_t.rms_norm_eps)
-            return (x + _mlp(p["mlp"], h2, cfg_t), kv_l), None
-
-        (x, kv_c), _ = jax.lax.scan(
-            body, (emb, kv_c), (jnp.arange(n_layers), layers))
-        x = rms_norm(params["model"]["norm"]["scale"], x, cfg_t.rms_norm_eps)
+        x, kv_c = _paged_decoder_pass(params, cfg, kv_c, emb, cos, sin,
+                                      pid, off, page_tables, cur_len,
+                                      page_size, interpret)
         logits_w = lm_head(params, cfg, x).astype(jnp.float32)    # [N, W, V]
         n_commit, new_logits = _spec_accept(logits_w, drafts, logits,
                                             active, K)
@@ -1249,11 +1224,7 @@ class PagedContinuousEngine(ContinuousEngine):
         self.slot_top_k[slot] = rsp.top_k
         self.slot_do_sample[slot] = rsp.do_sample
         self.slot_req[slot] = req
-        if self.hist is not None:
-            row = np.full((self.hist.shape[1],), self.cfg.pad_token_id,
-                          np.int32)
-            row[:bucket] = padded[0]
-            self.hist = self.hist.at[slot].set(jnp.asarray(row))
+        self._write_hist_row(slot, padded[0])
         return rid
 
     def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens,
@@ -1485,6 +1456,7 @@ class PagedContinuousEngine(ContinuousEngine):
                     self.slot_top_p[slot] = rsp.top_p
                     self.slot_top_k[slot] = rsp.top_k
                     self.slot_do_sample[slot] = rsp.do_sample
+                    self._write_hist_row(slot, padded[r])
                     rids[n] = rid
                 # one batched scatter (K serial .at[slot].set dispatches
                 # would each copy the [slots, V] array)
@@ -1618,6 +1590,7 @@ class PagedContinuousEngine(ContinuousEngine):
             self.slot_top_p[slot] = rsp.top_p
             self.slot_top_k[slot] = rsp.top_k
             self.slot_do_sample[slot] = rsp.do_sample
+            self._write_hist_row(slot, ids)
             rids[n] = rid
         self.last_logits = self.last_logits.at[
             jnp.asarray(free[:len(placements)])].set(logits)

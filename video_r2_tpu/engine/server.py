@@ -55,10 +55,11 @@ class ChatEngine:
         # speculative decoding for greedy judge requests (temp 0 is the
         # TAC/VAS contract): verify K prompt-lookup drafts per dispatch —
         # judge outputs echo the prompt's answer/format strings, the
-        # workload n-gram lookup is built for. Batch mode and the slot
-        # continuous engine both support it (the slot loop verifies per-slot
-        # frontier chunks when every active slot is greedy); sampling
-        # requests and the paged engine fall back to plain decode.
+        # workload n-gram lookup is built for. All three engines support
+        # it: batch generate, the slot continuous engine, and the paged
+        # continuous engine (per-slot frontier verify chunks when every
+        # active slot is greedy); sampling requests fall back to plain
+        # decode.
         self.spec_decode = spec_decode if mesh is None else 0
         # int8 KV cache in batch (non-continuous) mode too — composes with
         # speculative decoding (the verify chunks quantize at row frontiers)
@@ -70,6 +71,10 @@ class ChatEngine:
             raise ValueError(
                 f"engine_kind={engine_kind!r} requires continuous=True "
                 "(non-continuous mode serializes whole generate() calls)")
+        if continuous and engine_kind == "slots" and kv_quant:
+            raise ValueError(
+                "kv_quant with continuous=True requires the paged engine "
+                "(--paged): the slot engine's contiguous cache is bf16-only")
         if continuous:
             import queue as queue_mod
 

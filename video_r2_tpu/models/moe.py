@@ -68,6 +68,33 @@ def route(router_kernel: jax.Array, x: jax.Array, k: int,
     return topv.astype(x.dtype), topi
 
 
+def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row absmax int8 over the last axis (the MoE counterpart of
+    layers.quantize_act, kept n-d)."""
+    x32 = x.astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                    1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x32 / a), -127, 127).astype(jnp.int8)
+    return xq, a
+
+
+def _expert_matmul(x: jax.Array, leaf: dict, eq: str,
+                   act_quant: str | None) -> jax.Array:
+    """x [G,E,C,K] @ expert kernels [E,K,N] -> [G,E,C,N]. int8 weight
+    leaves dequantize inside the dot (scales factored onto outputs); with
+    act_quant="int8" the dot itself runs int8 x int8 -> int32 on the
+    integer MXU (the MoE counterpart of layers._w8a8_linear)."""
+    if act_quant == "int8" and "kernel_q" in leaf:
+        xq, a = _quantize_rows(x)
+        y = jnp.einsum(eq, xq, leaf["kernel_q"],
+                       preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * a
+             * leaf["scale"].astype(jnp.float32)[None, :, None, :])
+        return y.astype(x.dtype)
+    w, scale = _expert_w(leaf, x.dtype)
+    return _scaled(jnp.einsum(eq, x, w), scale)
+
+
 def moe_mlp(
     p: dict,                     # {"router": {"kernel" [H,E]}, "experts":
                                  #  {"gate"/"up" [E,H,I], "down" [E,I,H]}}
@@ -76,6 +103,7 @@ def moe_mlp(
     norm_topk_prob: bool = True,
     capacity_factor: float = 0.0,
     group_size: int = 256,
+    act_quant: str | None = None,
 ) -> jax.Array:
     """Sparse MoE feed-forward. Drop-in for swiglu_mlp on MoE layers."""
     B, S, H = x.shape
@@ -109,12 +137,12 @@ def moe_mlp(
     xg = xt.reshape(G, n, H)
     disp_t = disp.reshape(G, n, k, E, C).sum(2)        # token -> (e, c) slots
     expert_in = jnp.einsum("gnec,gnh->gech", disp_t, xg)
-    wg, sg = _expert_w(p["experts"]["gate"], x.dtype)  # [E, H, I]
-    wu, su = _expert_w(p["experts"]["up"], x.dtype)
-    wd, sd = _expert_w(p["experts"]["down"], x.dtype)  # [E, I, H]
-    hmid = (jax.nn.silu(_scaled(jnp.einsum("gech,ehi->geci", expert_in, wg), sg))
-            * _scaled(jnp.einsum("gech,ehi->geci", expert_in, wu), su))
-    expert_out = _scaled(jnp.einsum("geci,eih->gech", hmid, wd), sd)
+    hmid = (jax.nn.silu(_expert_matmul(expert_in, p["experts"]["gate"],
+                                       "gech,ehi->geci", act_quant))
+            * _expert_matmul(expert_in, p["experts"]["up"],
+                             "gech,ehi->geci", act_quant))
+    expert_out = _expert_matmul(hmid, p["experts"]["down"],
+                                "geci,eih->gech", act_quant)
     comb_t = comb.reshape(G, n, k, E, C).sum(2)
     out = jnp.einsum("gnec,gech->gnh", comb_t, expert_out)
     return out.reshape(Tp, H)[:T].reshape(B, S, H)

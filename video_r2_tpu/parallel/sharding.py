@@ -59,14 +59,30 @@ _TEXT_RULES: list[tuple[tuple[str, ...], P]] = [
 
 
 def _spec_for(path: tuple[str, ...], leaf) -> P:
-    stacked = False
+    # quantized leaves (models/quant.py) inherit the kernel's rule:
+    # kernel_q matches the kernel's shape; kernel_q4 [.., K/2, N] and
+    # scale4 [.., K/g, N] keep its rank; a per-output-channel "scale"
+    # [.., N] drops the K axis. Norm "scale" paths fall through (their
+    # parent has no kernel rule) and stay replicated as before.
+    name = path[-1] if path else ""
+    reduce_k = False
+    if name in ("kernel_q", "kernel_q4", "scale4"):
+        lookup = path[:-1] + ("kernel",)
+    elif name == "scale":
+        lookup = path[:-1] + ("kernel",)
+        reduce_k = True
+    else:
+        lookup = path
     for suffix, spec in _TEXT_RULES:
-        if path[-len(suffix):] == suffix:
-            base = len([a for a in spec])
+        if lookup[-len(suffix):] == suffix:
+            axes = list(spec)
+            if reduce_k and len(axes) >= 2:
+                axes = axes[:-2] + [axes[-1]]
+            base = len(axes)
             if leaf.ndim == base + 1:       # stacked over layers
-                return P(None, *spec)
+                return P(None, *axes)
             if leaf.ndim == base:
-                return P(*spec)
+                return P(*axes)
     return P()  # norms, scalars: replicated
 
 

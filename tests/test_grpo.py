@@ -160,8 +160,13 @@ def test_grpo_loss_types(rng):
     np.testing.assert_allclose(vals["dr_grpo"], vals["bnpo"] * 5 / 8, rtol=1e-5)
 
 
-def test_grpo_end_to_end_cycle(rng):
-    """Full cycle on the tiny model: rollout, rewards, advantage, train step."""
+@pytest.mark.parametrize("spec", [0, 2])
+def test_grpo_end_to_end_cycle(rng, spec):
+    """Full cycle on the tiny model: rollout, rewards, advantage, train step.
+    spec=2 routes the SAMPLED rollouts through rejection-sampling
+    speculative decoding (distribution-exact; parity pinned at the generate
+    level in test_spec_decode.py) — the cycle must train identically in
+    structure."""
     from video_r2_tpu.engine import ByteTokenizer
     from video_r2_tpu.rewards import format_reward
     from video_r2_tpu.train import make_grpo_step
@@ -174,7 +179,8 @@ def test_grpo_end_to_end_cycle(rng):
     params = init_params(cfg, dtype="float32")
     gcfg = GRPOConfig(num_generations=2, beta=0.04, max_completion_length=8,
                       max_prompt_length=128, temperature=1.0,
-                      logp_chunk_size=64, num_iterations=2)
+                      logp_chunk_size=64, num_iterations=2,
+                      rollout_spec_decode=spec)
     opt = make_optimizer(OptimConfig(learning_rate=1e-4, total_steps=10), params)
     step = make_grpo_step(cfg, gcfg, opt, donate=False)
 

@@ -248,15 +248,17 @@ def generate(
                                    # then decode the full batch together
     spec_decode: int = 0,          # >0: speculative decoding — verify this
                                    # many n-gram prompt-lookup drafts per
-                                   # dispatch (greedy only; token-exact vs
-                                   # plain decode). See engine/spec_decode.py
+                                   # dispatch (greedy: token-exact vs plain
+                                   # decode; sampled: rejection-sampling
+                                   # verification, exact distribution). See
+                                   # engine/spec_decode.py
 ) -> GenerationResult:
     """Host-orchestrated batched generation."""
     B, S = input_ids.shape
     if spec_decode:
-        if sp.do_sample:
-            raise ValueError("spec_decode is greedy-only (draft acceptance "
-                             "is argmax equality)")
+        # sampled requests use rejection-sampling verification (exact
+        # target distribution, engine/spec_decode.py) — greedy stays
+        # token-identical to plain decode
         if mesh is not None:
             raise ValueError("spec_decode needs a single device (no mesh)")
         if kv_quant not in (None, "int8"):
@@ -355,7 +357,8 @@ def generate(
         toks, logps, gen_len, _ = spec_decode_loop(
             params, cfg, sp, logits, cache, jnp.asarray(lengths),
             jnp.asarray(rope_deltas), jnp.asarray(input_ids), s_pad=S,
-            spec_k=spec_decode, act_quant=decode_act_quant)
+            spec_k=spec_decode, act_quant=decode_act_quant,
+            rng=jax.random.PRNGKey(seed))
         return GenerationResult(np.asarray(toks), np.asarray(gen_len),
                                 np.asarray(logps))
     toks, logps, gen_len, _ = decode(

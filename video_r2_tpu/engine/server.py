@@ -56,10 +56,11 @@ class ChatEngine:
         # TAC/VAS contract): verify K prompt-lookup drafts per dispatch —
         # judge outputs echo the prompt's answer/format strings, the
         # workload n-gram lookup is built for. All three engines support
-        # it: batch generate, the slot continuous engine, and the paged
-        # continuous engine (per-slot frontier verify chunks when every
-        # active slot is greedy); sampling requests fall back to plain
-        # decode.
+        # it: batch generate (greedy token-exact; sampled requests use
+        # rejection-sampling verification — exact distribution), and the
+        # slot/paged continuous engines (per-slot frontier verify chunks
+        # when every active slot is greedy; sampled slots fall back to
+        # plain decode there).
         self.spec_decode = spec_decode if mesh is None else 0
         # int8 KV cache in batch (non-continuous) mode too — composes with
         # speculative decoding (the verify chunks quantize at row frontiers)
@@ -186,7 +187,7 @@ class ChatEngine:
                            attn_impl=self.attn_impl,
                            act_quant=self.act_quant, mesh=self.mesh,
                            kv_quant=self.kv_quant,
-                           spec_decode=0 if sp.do_sample else self.spec_decode)
+                           spec_decode=self.spec_decode)
         out_ids = res.sequences[0][: res.lengths[0]]
         return self.tok.decode(out_ids, skip_special_tokens=True)
 
@@ -230,7 +231,7 @@ class ChatEngine:
                            attn_impl=self.attn_impl,
                            act_quant=self.act_quant, mesh=self.mesh,
                            kv_quant=self.kv_quant,
-                           spec_decode=0 if sp.do_sample else self.spec_decode)
+                           spec_decode=self.spec_decode)
         return [self.tok.decode(res.sequences[i][: res.lengths[i]],
                                 skip_special_tokens=True)
                 for i in range(len(ids_list))]

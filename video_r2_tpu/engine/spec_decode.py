@@ -45,6 +45,15 @@ from ..models.mrope import mrope_cos_sin
 from .sampling import SamplingParams
 
 
+def _filtered(logits: jax.Array, sp: SamplingParams) -> jax.Array:
+    """The TARGET sampling distribution's logits: temperature + top-k +
+    top-p, exactly as engine/sampling.sample_token applies them."""
+    from .sampling import apply_top_k, apply_top_p
+
+    scaled = logits.astype(jnp.float32) / max(sp.temperature, 1e-6)
+    return apply_top_p(apply_top_k(scaled, sp.top_k), sp.top_p)
+
+
 @partial(jax.jit, static_argnames=("cfg", "sp", "s_pad", "spec_k",
                                    "act_quant", "_reject_all"),
          donate_argnums=(4,))
@@ -65,9 +74,27 @@ def spec_decode(
     act_quant: str | None = None,
     _reject_all: bool = False,   # profiling: force acceptance ~0 to measure
                                  # the verify-overhead floor
+    rng: jax.Array | None = None,  # required when sp.do_sample
 ):
-    """Greedy speculative decode. Returns (tokens [B,T], logprobs [B,T],
-    gen_lengths [B]) — token-identical to the plain greedy decode loop."""
+    """Speculative decode — greedy or SAMPLED.
+
+    Greedy (sp.do_sample False): drafts accept iff they equal the model's
+    argmax — the emitted stream is token-identical to plain greedy decode.
+
+    Sampled (sp.do_sample True): rejection-sampling verification
+    (Leviathan/Chen speculative sampling, specialized to a DETERMINISTIC
+    n-gram proposal q = delta_d): draft d at position i accepts with
+    probability p_i(d) where p_i is the target distribution (temperature +
+    top-k/top-p filtered softmax); on rejection the next pending token is
+    sampled from the exact residual norm(max(0, p - q)) — for a delta
+    proposal that is p with d's mass removed, implemented by masking d in
+    the NEXT round's filtered logits (the filters are part of p, so they
+    are computed on the unmasked logits first). The emitted stream is an
+    exact sample from the same distribution as the plain sampling loop —
+    distributional parity, not bitwise (rng consumption differs);
+    tests/test_spec_decode.py pins both.
+
+    Returns (tokens [B,T], logprobs [B,T], gen_lengths [B], iters)."""
     B, V = first_logits.shape
     T = sp.max_new_tokens
     K = spec_k
@@ -108,12 +135,23 @@ def spec_decode(
         return jnp.where(has[:, None], drafts, tok0[:, None])
 
     def cond(carry):
-        _, _, _, gen_len, done, _, _, it = carry
+        gen_len, done, it = carry[3], carry[4], carry[7]
         return (it < T) & jnp.any(~done & (gen_len < T))
 
     def body(carry):
-        logits, cache, hist, gen_len, done, out, outlp, it = carry
-        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        (logits, cache, hist, gen_len, done, out, outlp, it,
+         rng_k, rej_tok) = carry
+        if sp.do_sample:
+            rng_k, k_tok, k_acc = jax.random.split(rng_k, 3)
+            l0 = _filtered(logits, sp)
+            # residual after a rejected draft: p with that token's mass
+            # removed (mask AFTER filtering — the filters define p)
+            l0 = jnp.where(
+                (jnp.arange(V)[None, :] == rej_tok[:, None])
+                & (rej_tok[:, None] >= 0), -jnp.inf, l0)
+            tok0 = jax.random.categorical(k_tok, l0, axis=-1).astype(jnp.int32)
+        else:
+            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         lse0 = jax.scipy.special.logsumexp(logits, axis=-1)
         lp0 = logits[b_idx, tok0] - lse0
         drafts = draft(hist, tok0, gen_len)
@@ -138,11 +176,20 @@ def spec_decode(
             act_quant=act_quant)
         logits_w = lm_head(params, cfg, hidden, act_quant).astype(jnp.float32)
 
-        g = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)      # [B, W]
         lse_w = jax.scipy.special.logsumexp(logits_w, axis=-1)
-        # draft i is accepted iff it equals the model's argmax at its
-        # position AND every earlier draft was accepted
-        match = (drafts == g[:, :K]).astype(jnp.int32)
+        if sp.do_sample:
+            # rejection sampling: accept draft i with prob p_i(d_i) under
+            # the FILTERED target distribution (deterministic proposal)
+            pf = _filtered(logits_w[:, :K], sp)                  # [B, K, V]
+            ld = (jnp.take_along_axis(pf, drafts[..., None], axis=-1)[..., 0]
+                  - jax.scipy.special.logsumexp(pf, axis=-1))
+            u = jax.random.uniform(k_acc, (B, K))
+            match = (jnp.log(u) < ld).astype(jnp.int32)
+        else:
+            # draft i is accepted iff it equals the model's argmax at its
+            # position AND every earlier draft was accepted
+            g = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)  # [B, W]
+            match = (drafts == g[:, :K]).astype(jnp.int32)
         acc = jnp.cumprod(match, axis=1)
         a = acc.sum(axis=1)                                      # [B]
         n_commit = 1 + a
@@ -182,15 +229,25 @@ def spec_decode(
         # next pending distribution = verify logits after the last emitted
         # token; rows that emitted nothing keep their stale logits (done)
         sel = jnp.clip(n_emit - 1, 0, K)
-        new_logits = jnp.where((n_emit > 0)[:, None], logits_w[b_idx, sel],
+        advanced = n_emit > 0
+        new_logits = jnp.where(advanced[:, None], logits_w[b_idx, sel],
                                logits)
+        if sp.do_sample:
+            # a rejection at draft index `a` (only when the full commit was
+            # emitted — an EOS/budget truncation invalidates the frontier)
+            rejected = advanced & (a < K) & (n_emit == n_commit)
+            new_rej = jnp.where(
+                rejected, drafts[b_idx, jnp.minimum(a, K - 1)], -1)
+            rej_tok = jnp.where(advanced, new_rej, rej_tok)
         return (new_logits, cache, hist, new_gen, new_done, out, outlp,
-                it + 1)
+                it + 1, rng_k, rej_tok)
 
     out0 = jnp.full((B, T + W), sp.pad_token_id, jnp.int32)
     outlp0 = jnp.zeros((B, T + W), jnp.float32)
+    rng0 = rng if rng is not None else jax.random.PRNGKey(0)
     carry = (first_logits, cache, hist0, jnp.zeros(B, jnp.int32),
-             jnp.zeros(B, bool), out0, outlp0, jnp.zeros((), jnp.int32))
-    _, _, _, gen_len, _, out, outlp, iters = jax.lax.while_loop(
+             jnp.zeros(B, bool), out0, outlp0, jnp.zeros((), jnp.int32),
+             rng0, jnp.full((B,), -1, jnp.int32))
+    (_, _, _, gen_len, _, out, outlp, iters, _, _) = jax.lax.while_loop(
         cond, body, carry)
     return out[:, :T], outlp[:, :T], gen_len, iters

@@ -175,7 +175,9 @@ class GRPORunner:
                                vision_token_id=self.cfg.video_token_id,
                                seed=self._seed, attn_impl=self.attn_impl,
                                act_quant=self.act_quant,
-                               kv_quant=self.kv_quant, mesh=self.mesh)
+                               kv_quant=self.kv_quant, mesh=self.mesh,
+                               spec_decode=(0 if self.mesh is not None else
+                                            self.gcfg.rollout_spec_decode))
                 completion_ids, gen_lengths = res.sequences, res.lengths
 
         cmask = completion_mask_from_ids(

@@ -1205,10 +1205,11 @@ def test_continuous_spec_eos_and_budget(cfg_params, rng):
     assert run(0) == run(4)
 
 
-def test_continuous_spec_sampled_fallback(cfg_params, rng):
-    """A sampled request in the pool disables spec for that dispatch (falls
-    back to plain steps) without breaking anything; a greedy request running
-    alongside still matches the plain greedy stream."""
+def test_continuous_spec_mixed_pool(cfg_params, rng):
+    """A sampled request and a greedy request speculate TOGETHER: the
+    greedy slot's acceptance is argmax equality, so its stream stays
+    token-exact vs plain greedy regardless of the sampled neighbor (whose
+    own stream is rejection-sampling verified)."""
     cfg, params = cfg_params
     prompt = list(rng.integers(2, 400, size=7))
     T = 6
@@ -1293,3 +1294,42 @@ def test_paged_spec_page_exhaustion_falls_back(cfg_params, rng):
         return [out[r] for r in rids]
 
     assert drain(eng) == drain(ref)
+
+
+def test_continuous_spec_sampled_distribution(cfg_params, rng):
+    """Sampled slots under continuous spec draw from the SAME distribution
+    as the plain continuous engine (per-slot rejection-sampling
+    verification): per-position marginals over many identical-prompt slots
+    agree within the plain-vs-plain finite-sample noise floor."""
+    cfg, params = cfg_params
+    N, T = 192, 3
+    row = list(np.tile(rng.integers(2, 400, size=5), 4))
+    sp = SamplingParams(do_sample=True, temperature=0.8, top_k=8,
+                        pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def run(spec, seed):
+        eng = ContinuousEngine(params, cfg, num_slots=N, max_len=64,
+                               sp=sp, prompt_buckets=(32,),
+                               spec_decode=spec, seed=seed)
+        rids = [eng.submit(row, max_new_tokens=T) for _ in range(N)]
+        out = {}
+        while eng.num_active:
+            for rid, toks in eng.step(steps=2):
+                out[rid] = toks
+        return np.asarray([out[r] for r in rids])
+
+    plain = run(0, 11)
+    plain2 = run(0, 77)
+    spec = run(3, 23)
+
+    def tv(a, b, t):
+        vals = np.union1d(a[:, t], b[:, t])
+        pa = np.array([(a[:, t] == v).mean() for v in vals])
+        pb = np.array([(b[:, t] == v).mean() for v in vals])
+        return 0.5 * np.abs(pa - pb).sum()
+
+    for t in range(T):
+        floor = tv(plain, plain2, t)
+        assert tv(spec, plain, t) < floor + 0.12, (t, tv(spec, plain, t),
+                                                   floor)
+    assert len(np.unique(plain[:, 0])) >= 3

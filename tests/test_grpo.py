@@ -214,7 +214,8 @@ def test_grpo_end_to_end_cycle(rng, spec):
     assert "kl" in metrics
 
 
-def test_grpo_paged_rollout_cycle(rng):
+@pytest.mark.parametrize("spec", [0, 2])
+def test_grpo_paged_rollout_cycle(rng, spec):
     """rollout_backend='paged': the full GRPO cycle runs on the continuous
     paged engine (VERDICT r1 #6), including video prompts."""
     from video_r2_tpu.engine import ByteTokenizer
@@ -228,7 +229,8 @@ def test_grpo_paged_rollout_cycle(rng):
     params = init_params(cfg, dtype="float32")
     gcfg = GRPOConfig(num_generations=2, beta=0.04, max_completion_length=8,
                       max_prompt_length=128, temperature=1.0,
-                      logp_chunk_size=64, rollout_backend="paged")
+                      logp_chunk_size=64, rollout_backend="paged",
+                      rollout_spec_decode=spec)
     opt = make_optimizer(OptimConfig(learning_rate=1e-4, total_steps=10), params)
     step = make_grpo_step(cfg, gcfg, opt, donate=False)
 

@@ -121,17 +121,31 @@ def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
     return toks, logits, cache, cur
 
 
-def _spec_draft(hist, logits, cur_len, active, pad_id, K: int,
-                _reject_all: bool):
+def _spec_tok0(logits, key, samp, active, pad_id, rej_tok):
+    """The pending token: per-slot sampled (from the filtered target
+    distribution, with a rejected draft's mass masked — the exact residual)
+    or greedy argmax."""
+    from .sampling import filter_logits_per_slot
+
+    temperature, top_p, top_k, do_sample = samp
+    V = logits.shape[-1]
+    greedy = jnp.argmax(logits, axis=-1)
+    filtered = filter_logits_per_slot(logits, temperature, top_p, top_k)
+    filtered = jnp.where(
+        (jnp.arange(V)[None, :] == rej_tok[:, None])
+        & (rej_tok[:, None] >= 0), -jnp.inf, filtered)
+    sampled = jax.random.categorical(key, filtered, axis=-1)
+    tok0 = jnp.where(do_sample, sampled, greedy).astype(jnp.int32)
+    return jnp.where(active, tok0, pad_id)
+
+
+def _spec_draft(hist, tok0, cur_len, K: int, _reject_all: bool):
     """n-gram prompt-lookup drafting against the device-side history buffer
     (prompt + generated, contiguous in [0, cur_len)): propose the K tokens
     that followed the latest occurrence of the (last-token, pending-token)
     bigram. Returns (chunk [N, K+1], drafts [N, K])."""
-    N, V = logits.shape
-    Lh = hist.shape[1]
+    N, Lh = hist.shape
     b_idx = jnp.arange(N)
-    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    tok0 = jnp.where(active, tok0, pad_id)
     prev = hist[b_idx, jnp.maximum(cur_len - 1, 0)]
     m = (hist[:, :-1] == prev[:, None]) & (hist[:, 1:] == tok0[:, None])
     p = jnp.arange(Lh - 1)[None, :]
@@ -142,21 +156,44 @@ def _spec_draft(hist, logits, cur_len, active, pad_id, K: int,
     drafts = jnp.where(has[:, None], hist[b_idx[:, None], src],
                        tok0[:, None])
     if _reject_all:  # profiling: the zero-acceptance verify floor
-        drafts = jnp.full_like(drafts, V - 1)
+        drafts = jnp.full_like(drafts, -2)  # matches no real token
     return jnp.concatenate([tok0[:, None], drafts], axis=1), drafts
 
 
-def _spec_accept(logits_w, drafts, logits, active, K: int):
-    """Acceptance: draft i commits iff it equals the model argmax at its
-    position and all earlier drafts committed. Returns (n_commit [N],
-    new pending logits [N, V])."""
-    b_idx = jnp.arange(logits.shape[0])
+def _spec_accept(logits_w, drafts, logits, active, K: int, samp, key):
+    """Per-slot acceptance. Greedy slots: draft i commits iff it equals the
+    model argmax at its position (token-exact). Sampled slots: rejection
+    sampling — draft i accepts with probability p_i(d_i) under that slot's
+    filtered target distribution (exact distribution; the rejected draft is
+    returned so the next pending token samples from the residual). Both
+    require every earlier draft committed. Returns (n_commit [N], new
+    pending logits [N, V], rejected-draft token [N] or -1)."""
+    from .sampling import filter_logits_per_slot
+
+    temperature, top_p, top_k, do_sample = samp
+    B, W, V = logits_w.shape
+    b_idx = jnp.arange(B)
     g = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)
-    acc = jnp.cumprod((drafts == g[:, :K]).astype(jnp.int32), axis=1)
-    n_commit = jnp.where(active, 1 + acc.sum(axis=1), 0)
+    greedy_match = drafts == g[:, :K]
+    pf = filter_logits_per_slot(logits_w[:, :K], temperature, top_p, top_k)
+    dsafe = jnp.clip(drafts, 0, V - 1)
+    ld = (jnp.take_along_axis(pf, dsafe[..., None], axis=-1)[..., 0]
+          - jax.scipy.special.logsumexp(pf, axis=-1))
+    ld = jnp.where(drafts == dsafe, ld, -jnp.inf)  # _reject_all sentinel
+    u = jax.random.uniform(key, drafts.shape)
+    samp_match = jnp.log(u) < ld
+    match = jnp.where(do_sample[:, None], samp_match,
+                      greedy_match).astype(jnp.int32)
+    acc = jnp.cumprod(match, axis=1)
+    a = acc.sum(axis=1)
+    n_commit = jnp.where(active, 1 + a, 0)
     sel = jnp.clip(n_commit - 1, 0, K)
     new_logits = jnp.where(active[:, None], logits_w[b_idx, sel], logits)
-    return n_commit, new_logits
+    rejected = active & do_sample & (a < K)
+    new_rej = jnp.where(rejected,
+                        jnp.clip(drafts[b_idx, jnp.minimum(a, K - 1)], -1,
+                                 V - 1), -1)
+    return n_commit, new_logits, new_rej
 
 
 def _spec_hist_update(hist, chunk, cur_len, n_commit):
@@ -176,7 +213,8 @@ def _spec_hist_update(hist, chunk, cur_len, n_commit):
                                               "_reject_all"),
                    donate_argnums=(1, 8))
 def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
-                 active, pad_id, hist, spec_k: int, rounds: int = 1,
+                 active, pad_id, hist, rej_tok, samp, rng,
+                 spec_k: int, rounds: int = 1,
                  _reject_all: bool = False):
     """`rounds` speculative verifies for every slot in ONE dispatch
     (greedy-only; the caller gates on all-active-slots-greedy). Per-slot
@@ -191,17 +229,19 @@ def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
     (engine/spec_decode.py has the scheme's full notes).
 
     Returns (chunks [R, N, W], commits [R, N], new_logits, cache, hist,
-    new_len). The caller must guarantee cur_len + R*W < cache width.
+    rej_tok, new_len). The caller must guarantee cur_len + R*W < cache
+    width.
     """
     N, V = last_logits.shape
     K = spec_k
     W = K + 1
     max_len = cache.k.shape[2]
 
-    def round_body(carry, _):
-        logits, cache, hist, cur_len = carry
-        chunk, drafts = _spec_draft(hist, logits, cur_len, active, pad_id,
-                                    K, _reject_all)
+    def round_body(carry, key):
+        logits, cache, hist, cur_len, rej = carry
+        k_tok, k_acc = jax.random.split(key)
+        tok0 = _spec_tok0(logits, k_tok, samp, active, pad_id, rej)
+        chunk, drafts = _spec_draft(hist, tok0, cur_len, K, _reject_all)
         emb = params["model"]["embed_tokens"]["embedding"][chunk]
         pos = (pos_base + cur_len)[:, None] + jnp.arange(W)[None, :]
         pos3 = jnp.broadcast_to(pos[None], (3, N, W))
@@ -214,14 +254,17 @@ def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
             params["model"], cfg.text, emb, cos, sin, bias,
             cache=cache, cache_position=cur_len)
         logits_w = lm_head(params, cfg, hidden).astype(jnp.float32)
-        n_commit, new_logits = _spec_accept(logits_w, drafts, logits,
-                                            active, K)
+        n_commit, new_logits, rej = _spec_accept(logits_w, drafts, logits,
+                                                 active, K, samp, k_acc)
         hist = _spec_hist_update(hist, chunk, cur_len, n_commit)
-        return (new_logits, cache, hist, cur_len + n_commit), (chunk, n_commit)
+        return ((new_logits, cache, hist, cur_len + n_commit, rej),
+                (chunk, n_commit))
 
-    (new_logits, cache, hist, new_len), (chunks, commits) = jax.lax.scan(
-        round_body, (last_logits, cache, hist, cur_len), None, length=rounds)
-    return chunks, commits, new_logits, cache, hist, new_len
+    keys = jax.random.split(rng, rounds)
+    ((new_logits, cache, hist, new_len, rej_tok),
+     (chunks, commits)) = jax.lax.scan(
+        round_body, (last_logits, cache, hist, cur_len, rej_tok), keys)
+    return chunks, commits, new_logits, cache, hist, rej_tok, new_len
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -260,10 +303,11 @@ class ContinuousEngine:
                  embed_bucket: int = 256, seed: int = 0,
                  spec_decode: int = 0, decode_window: int = 1):
         # spec_decode=K: speculative decoding inside the continuous loop —
-        # when every active slot is greedy, each dispatch verifies K n-gram
-        # prompt-lookup drafts per slot at its own frontier (emits 1 +
-        # accepted tokens); mixed/sampled batches fall back to plain steps.
-        # Contiguous slot engine only (the paged kernel is single-query).
+        # each dispatch verifies K n-gram prompt-lookup drafts per slot at
+        # its own frontier (emits 1 + accepted tokens). Greedy slots accept
+        # by argmax equality (token-exact); sampled slots by rejection
+        # sampling under their own temperature/top-k/top-p (exact target
+        # distribution); mixed pools speculate together.
         self.spec_decode = spec_decode
         # tokens per run_loop dispatch: 1 = latency-optimal streaming;
         # larger windows amortize dispatch latency for throughput workloads
@@ -292,6 +336,10 @@ class ContinuousEngine:
             self.hist = jnp.full(
                 (num_slots, self.max_len + self.spec_decode + 2),
                 self.sp.pad_token_id, jnp.int32)
+            # sampled slots: the draft rejected at each slot's frontier
+            # (-1 = none) — the next pending token samples from the
+            # residual distribution with this token masked
+            self._spec_rej = jnp.full((num_slots,), -1, jnp.int32)
         self.last_logits = jnp.zeros((num_slots, cfg.text.vocab_size),
                                      jnp.float32)
         self.cur_len = np.zeros((num_slots,), np.int32)
@@ -437,7 +485,6 @@ class ContinuousEngine:
         # fresh compile, measured dominating the zero-acceptance floor)
         if (self.spec_decode
                 and (room - 1) // (self.spec_decode + 1) >= steps
-                and not self.slot_do_sample[active].any()
                 and self._spec_ready(active, steps)):
             return self._step_spec(active, steps)
         w = 1
@@ -475,13 +522,15 @@ class ContinuousEngine:
     def _step_spec(self, active,
                    steps: int) -> list[tuple[int, list[int]]]:
         """One dispatch of `steps` speculative verify rounds for all
-        (greedy) active slots: each round emits 1 + accepted tokens per
-        slot, so a dispatch advances every slot by at least `steps` tokens
+        active slots (greedy: argmax acceptance, token-exact; sampled:
+        rejection-sampling acceptance, distribution-exact): each round
+        emits 1 + accepted tokens per slot, so a dispatch advances every
+        slot by at least `steps` tokens
         (the plain window's amortization) and by up to steps*(K+1). The
         caller guarantees the full window fits every slot's cache room.
         Same finish bookkeeping as step()."""
-        self._rng, _ = jax.random.split(self._rng)  # keep the stream aligned
-        chunks, commits, new_len = self._spec_dispatch(active, steps)
+        self._rng, sub = jax.random.split(self._rng)
+        chunks, commits, new_len = self._spec_dispatch(active, steps, sub)
         chunks = np.asarray(chunks)            # [R, N, W]
         commits = np.asarray(commits)          # [R, N]
         self.cur_len = np.array(new_len)
@@ -524,18 +573,21 @@ class ContinuousEngine:
         row = np.full((self.hist.shape[1],), self.cfg.pad_token_id, np.int32)
         row[:ids.shape[0]] = ids
         self.hist = self.hist.at[slot].set(jnp.asarray(row))
+        self._spec_rej = self._spec_rej.at[slot].set(-1)
 
     # -- KV-layout hooks (contiguous implementation) ------------------------
     def _spec_ready(self, active, steps: int) -> bool:
         return True   # the contiguous cache is pre-sized for max_len
 
-    def _spec_dispatch(self, active, rounds: int):
-        chunks, commits, self.last_logits, self.cache, self.hist, new_len = \
-            _decode_spec(self.params, self.cache, self.cfg, self.last_logits,
-                         jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
-                         jnp.asarray(active), self.sp.pad_token_id,
-                         self.hist, self.spec_decode, rounds,
-                         getattr(self, "_spec_reject_all", False))
+    def _spec_dispatch(self, active, rounds: int, rng):
+        (chunks, commits, self.last_logits, self.cache, self.hist,
+         self._spec_rej, new_len) = _decode_spec(
+            self.params, self.cache, self.cfg, self.last_logits,
+            jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+            jnp.asarray(active), self.sp.pad_token_id,
+            self.hist, self._spec_rej, self._samp_arrays(), rng,
+            self.spec_decode, rounds,
+            getattr(self, "_spec_reject_all", False))
         return chunks, commits, new_len
 
     def _init_cache(self, dtype) -> None:
@@ -574,6 +626,7 @@ class ContinuousEngine:
         self.cache = _copy_slot_kv(self.cache, jnp.int32(src), jnp.int32(dst))
         if self.hist is not None:
             self.hist = self.hist.at[dst].set(self.hist[src])
+            self._spec_rej = self._spec_rej.at[dst].set(self._spec_rej[src])
 
     # -- threaded server loop ---------------------------------------------
     def run_loop(self, request_queue: "queue.Queue", stop: threading.Event,
@@ -922,6 +975,7 @@ def _paged_decode_step(params, kv, cfg, sp: SamplingParams,
                    donate_argnums=(1, 7))
 def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
                        active, hist, pad_id, page_tables, trash_page,
+                       rej_tok, samp, rng,
                        spec_k: int, rounds: int = 1, page_size: int = 128,
                        interpret: bool = False, _reject_all: bool = False):
     """Speculative verify rounds over the PAGED pool (vLLM ships n-gram
@@ -935,16 +989,17 @@ def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
     sanitization contract as _paged_decode_body.
 
     Returns (chunks [R, N, W], commits [R, N], new_logits, kv, hist,
-    new_len)."""
+    rej_tok, new_len)."""
     N, V = last_logits.shape
     K = spec_k
     W = K + 1
     b_idx = jnp.arange(N)
 
-    def round_body(carry, _):
-        logits, kv_c, hist, cur_len = carry
-        chunk, drafts = _spec_draft(hist, logits, cur_len, active, pad_id,
-                                    K, _reject_all)
+    def round_body(carry, key):
+        logits, kv_c, hist, cur_len, rej = carry
+        k_tok, k_acc = jax.random.split(key)
+        tok0 = _spec_tok0(logits, k_tok, samp, active, pad_id, rej)
+        chunk, drafts = _spec_draft(hist, tok0, cur_len, K, _reject_all)
         emb = params["model"]["embed_tokens"]["embedding"][chunk]  # [N,W,H]
         pos = (pos_base + cur_len)[:, None] + jnp.arange(W)[None, :]
         pos3 = jnp.broadcast_to(pos[None], (3, N, W))
@@ -958,14 +1013,17 @@ def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
                                       pid, off, page_tables, cur_len,
                                       page_size, interpret)
         logits_w = lm_head(params, cfg, x).astype(jnp.float32)    # [N, W, V]
-        n_commit, new_logits = _spec_accept(logits_w, drafts, logits,
-                                            active, K)
+        n_commit, new_logits, rej = _spec_accept(logits_w, drafts, logits,
+                                                 active, K, samp, k_acc)
         hist = _spec_hist_update(hist, chunk, cur_len, n_commit)
-        return (new_logits, kv_c, hist, cur_len + n_commit), (chunk, n_commit)
+        return ((new_logits, kv_c, hist, cur_len + n_commit, rej),
+                (chunk, n_commit))
 
-    (new_logits, kv, hist, new_len), (chunks, commits) = jax.lax.scan(
-        round_body, (last_logits, kv, hist, cur_len), None, length=rounds)
-    return chunks, commits, new_logits, kv, hist, new_len
+    keys = jax.random.split(rng, rounds)
+    ((new_logits, kv, hist, new_len, rej_tok),
+     (chunks, commits)) = jax.lax.scan(
+        round_body, (last_logits, kv, hist, cur_len, rej_tok), keys)
+    return chunks, commits, new_logits, kv, hist, rej_tok, new_len
 
 
 @functools.partial(jax.jit,
@@ -1270,7 +1328,7 @@ class PagedContinuousEngine(ContinuousEngine):
                             - have)
         return pc.available_pages() >= need
 
-    def _spec_dispatch(self, active, rounds: int):
+    def _spec_dispatch(self, active, rounds: int, rng):
         pc = self.pcache
         pc.lengths[:] = self.cur_len
         span = rounds * (self.spec_decode + 1)
@@ -1279,15 +1337,16 @@ class PagedContinuousEngine(ContinuousEngine):
                 pc.ensure_capacity(slot, span)
         tables = np.where(pc.page_tables >= 0, pc.page_tables,
                           self.trash_page).astype(np.int32)
-        chunks, commits, self.last_logits, kv, self.hist, new_len = \
-            _paged_decode_spec(
-                self.params, self._kv(), self.cfg, self.last_logits,
-                jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
-                jnp.asarray(active), self.hist, self.sp.pad_token_id,
-                jnp.asarray(tables), jnp.int32(self.trash_page),
-                self.spec_decode, rounds, page_size=self._page_size,
-                interpret=self._interpret,
-                _reject_all=getattr(self, "_spec_reject_all", False))
+        (chunks, commits, self.last_logits, kv, self.hist,
+         self._spec_rej, new_len) = _paged_decode_spec(
+            self.params, self._kv(), self.cfg, self.last_logits,
+            jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
+            jnp.asarray(active), self.hist, self.sp.pad_token_id,
+            jnp.asarray(tables), jnp.int32(self.trash_page),
+            self._spec_rej, self._samp_arrays(), rng,
+            self.spec_decode, rounds, page_size=self._page_size,
+            interpret=self._interpret,
+            _reject_all=getattr(self, "_spec_reject_all", False))
         self._set_kv(kv)
         return chunks, commits, new_len
 
@@ -1610,6 +1669,7 @@ class PagedContinuousEngine(ContinuousEngine):
                                     jnp.int32(new)))
         if self.hist is not None:
             self.hist = self.hist.at[dst].set(self.hist[src])
+            self._spec_rej = self._spec_rej.at[dst].set(self._spec_rej[src])
 
 
 def _run_loop_impl(engine, request_queue: "queue.Queue",

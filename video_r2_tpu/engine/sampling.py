@@ -77,18 +77,32 @@ def sample_token_per_slot(
     request's temperature/top_p/top_k (HF order: temp scale -> top-k -> top-p),
     so mixed greedy/sampled requests share one decode step. One [N, V] sort
     serves both filters (top-p cumulates over the k-filtered ranks)."""
-    N, V = logits.shape
     greedy = jnp.argmax(logits, axis=-1)
-    scaled = logits.astype(jnp.float32) / jnp.clip(temperature, 1e-6)[:, None]
+    filtered = filter_logits_per_slot(logits, temperature, top_p, top_k)
+    sampled = jax.random.categorical(rng, filtered, axis=-1)
+    return jnp.where(do_sample, sampled, greedy)
+
+
+def filter_logits_per_slot(
+    logits: jax.Array,        # [N, V] (or [N, K, V] — per-slot params
+                              # broadcast over the middle axes)
+    temperature: jax.Array,   # [N]
+    top_p: jax.Array,         # [N]
+    top_k: jax.Array,         # [N]
+) -> jax.Array:
+    """The per-slot TARGET distribution's logits (temperature + top-k +
+    top-p) without sampling — speculative verification scores drafts under
+    exactly this distribution."""
+    V = logits.shape[-1]
+    lead = (slice(None),) + (None,) * (logits.ndim - 1)
+    scaled = logits.astype(jnp.float32) / jnp.clip(temperature, 1e-6)[lead]
     sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
-    ranks = jnp.arange(V)[None, :]
+    ranks = jnp.arange(V)
     k = jnp.where(top_k <= 0, V, jnp.clip(top_k, 1, V))
-    in_k = ranks < k[:, None]
+    in_k = ranks < k[lead]
     sorted_f = jnp.where(in_k, sorted_logits, NEG_INF)
     probs = jax.nn.softmax(sorted_f, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    keep = ((cum - probs) < top_p[:, None]) & in_k
+    keep = ((cum - probs) < top_p[lead]) & in_k
     thresh = jnp.min(jnp.where(keep, sorted_f, jnp.inf), axis=-1, keepdims=True)
-    filtered = jnp.where(scaled < thresh, NEG_INF, scaled)
-    sampled = jax.random.categorical(rng, filtered, axis=-1)
-    return jnp.where(do_sample, sampled, greedy)
+    return jnp.where(scaled < thresh, NEG_INF, scaled)

@@ -70,7 +70,7 @@ class GRPOConfig:
     # "int8": int8 page pool for rollouts (half the KV bytes per token ->
     # ~2x pool capacity; scale pages factored out of both attention dots)
     rollout_kv_quant: str | None = None
-    # K > 0: speculative SAMPLING for batch-backend rollouts — n-gram
+    # K > 0: speculative SAMPLING for rollouts (batch AND paged backends) — n-gram
     # prompt-lookup drafts verified by rejection sampling (exact target
     # distribution, engine/spec_decode.py). Rollout completions quote the
     # prompt's subtitles/options/format strings, the drafting workload

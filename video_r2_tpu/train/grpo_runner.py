@@ -325,7 +325,8 @@ class GRPORunner:
                               pad_token_id=self.cfg.pad_token_id),
             attn_impl=self.attn_impl, prompt_buckets=tuple(buckets),
             page_size=page, seed=self._seed,
-            kv_quant=self.gcfg.rollout_kv_quant)
+            kv_quant=self.gcfg.rollout_kv_quant,
+            spec_decode=self.gcfg.rollout_spec_decode)
         return self._rollout_eng
 
     def _rollout_continuous(self, token_lists, prepared, G, sp):

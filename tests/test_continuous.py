@@ -1333,3 +1333,19 @@ def test_continuous_spec_sampled_distribution(cfg_params, rng):
         assert tv(spec, plain, t) < floor + 0.12, (t, tv(spec, plain, t),
                                                    floor)
     assert len(np.unique(plain[:, 0])) >= 3
+
+
+def test_spec_stats_telemetry(cfg_params, rng):
+    """spec_stats counts dispatches/rounds/committed tokens — the operator
+    signal for tuning K (acceptance = tokens/rounds/active - 1)."""
+    cfg, params = cfg_params
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+    eng = ContinuousEngine(params, cfg, num_slots=1, max_len=64, sp=sp,
+                           prompt_buckets=(16,), spec_decode=3)
+    eng.submit(list(rng.integers(2, 400, size=6)), max_new_tokens=8)
+    while eng.num_active:
+        eng.step(steps=2)
+    st = eng.spec_stats
+    assert st["spec_dispatches"] > 0
+    assert st["spec_tokens"] >= 8  # committed at least the budget
+    assert st["spec_rounds"] >= st["spec_dispatches"]

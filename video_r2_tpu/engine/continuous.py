@@ -340,6 +340,11 @@ class ContinuousEngine:
             # (-1 = none) — the next pending token samples from the
             # residual distribution with this token masked
             self._spec_rej = jnp.full((num_slots,), -1, jnp.int32)
+        # operator telemetry: committed tokens vs verify rounds (acceptance
+        # = tokens/round - 1 drafts accepted on average), spec vs plain
+        # dispatch counts — the knob-tuning signal for K
+        self.spec_stats = {"spec_dispatches": 0, "spec_rounds": 0,
+                           "spec_tokens": 0, "plain_dispatches": 0}
         self.last_logits = jnp.zeros((num_slots, cfg.text.vocab_size),
                                      jnp.float32)
         self.cur_len = np.zeros((num_slots,), np.int32)
@@ -490,6 +495,8 @@ class ContinuousEngine:
         w = 1
         while w * 2 <= min(steps, max(room, 1)):
             w *= 2
+        if self.spec_decode:
+            self.spec_stats["plain_dispatches"] += 1
         self._rng, sub = jax.random.split(self._rng)
         toks, new_len = self._decode_all(active, sub, w)
         toks = np.asarray(toks)                   # [w, N]
@@ -534,6 +541,9 @@ class ContinuousEngine:
         chunks = np.asarray(chunks)            # [R, N, W]
         commits = np.asarray(commits)          # [R, N]
         self.cur_len = np.array(new_len)
+        self.spec_stats["spec_dispatches"] += 1
+        self.spec_stats["spec_rounds"] += int(commits.shape[0])
+        self.spec_stats["spec_tokens"] += int(commits.sum())
 
         finished = []
         done = [False] * self.num_slots

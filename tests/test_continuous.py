@@ -1349,3 +1349,71 @@ def test_spec_stats_telemetry(cfg_params, rng):
     assert st["spec_dispatches"] > 0
     assert st["spec_tokens"] >= 8  # committed at least the budget
     assert st["spec_rounds"] >= st["spec_dispatches"]
+
+
+# ----------------------------------------------------------- chunked prefill
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_chunked_prefill_matches_whole(cfg_params, rng, kv_quant):
+    """Chunked prefill (vLLM --enable-chunked-prefill analog): a long
+    prompt prefilled in page-aligned chunks — later chunks attending to the
+    earlier chunks' paged KV via the suffix path — decodes token-identically
+    to the whole-prompt prefill; short prompts stay unchunked."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    long_p = list(rng.integers(2, 400, size=57))
+    short_p = list(rng.integers(2, 400, size=7))
+    T = 6
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+
+    def run(chunk):
+        eng = PagedContinuousEngine(
+            params, cfg, num_slots=2, max_len=96, sp=sp, page_size=16,
+            prompt_buckets=(16, 32, 64), prefill_chunk_tokens=chunk)
+        rids = [eng.submit(long_p, max_new_tokens=T),
+                eng.submit(short_p, max_new_tokens=T)]
+        out = {}
+        while eng.num_active:
+            for rid, toks in eng.step(steps=2):
+                out[rid] = toks
+        return [out[r] for r in rids]
+
+    assert run(0) == run(16)
+
+
+def test_chunked_prefill_interleaves_decode(cfg_params, rng):
+    """An active stream keeps emitting while a long prompt prefills: the
+    admission stalls decode by ONE chunk, not the whole prompt."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+
+    cfg, params = cfg_params
+    sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
+    eng = PagedContinuousEngine(
+        params, cfg, num_slots=2, max_len=96, sp=sp, page_size=16,
+        prompt_buckets=(16, 32, 64), prefill_chunk_tokens=16)
+    ra = eng.submit(list(rng.integers(2, 400, size=7)), max_new_tokens=12)
+    seen_a = []
+    eng.step()  # slot A emits its first token(s)
+    rb = eng.submit(list(rng.integers(2, 400, size=57)), max_new_tokens=4)
+    assert eng.prefilling.any()   # B is mid-prefill
+    grew_while_prefilling = False
+    out = {}
+    while eng.num_active:
+        before = len(eng.slot_req[0].tokens if eng.slot_req[0] else seen_a)
+        prefilling = bool(eng.prefilling.any())
+        for rid, toks in eng.step():
+            out[rid] = toks
+        if (prefilling and eng.slot_req[0] is not None
+                and len(eng.slot_req[0].tokens) > before):
+            grew_while_prefilling = True
+    assert grew_while_prefilling   # A advanced during B's chunked prefill
+    assert ra in out and rb in out
+    assert len(out[ra]) == 12 and len(out[rb]) == 4
+    # B's completion must equal the unchunked engine's
+    ref = PagedContinuousEngine(
+        params, cfg, num_slots=1, max_len=96, sp=sp, page_size=16,
+        prompt_buckets=(16, 32, 64))
+    rr = ref.submit(list(rng.integers(2, 400, size=57)), max_new_tokens=4)
+    del rr

@@ -31,6 +31,9 @@ def main(argv=None):
     decode_window = 1  # --decode-window N: tokens (or spec rounds) per
                        # dispatch in continuous mode — raise for throughput
                        # judge bursts on high-latency links
+    prefill_chunk = 0  # --prefill-chunk N: paged chunked prefill — long
+                       # prompts prefill N tokens per step, interleaved
+                       # with decode (vLLM --enable-chunked-prefill)
     rest = []
     i = 0
     while i < len(argv):
@@ -49,6 +52,9 @@ def main(argv=None):
         elif argv[i] == "--decode-window":
             decode_window = int(argv[i + 1])
             i += 2
+        elif argv[i] == "--prefill-chunk":
+            prefill_chunk = int(argv[i + 1])
+            i += 2
         elif argv[i] == "--paged":
             continuous = True
             engine_kind = "paged"
@@ -65,7 +71,8 @@ def main(argv=None):
     engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app), mesh=mesh,
                         continuous=continuous, engine_kind=engine_kind,
                         spec_decode=spec_decode, kv_quant=kv_quant,
-                        decode_window=decode_window)
+                        decode_window=decode_window,
+                        prefill_chunk_tokens=prefill_chunk)
     logger.info("serving OpenAI-compatible API on :%d%s", port,
                 f" (mesh {dict(mesh.shape)})" if mesh is not None else "")
     serve(engine, port=port)

@@ -480,7 +480,11 @@ class ContinuousEngine:
         remaining room (bounds recompiles to log2 window sizes).."""
         if self.num_active == 0:
             return []
-        active = np.asarray([r is not None for r in self.slot_req])
+        self._advance_prefill()  # chunked prefill: one chunk per step call
+        active = (np.asarray([r is not None for r in self.slot_req])
+                  & ~self._prefill_mask())
+        if not active.any():
+            return []
         start_len = self.cur_len.copy()
         room = int(min(self.max_len - 1 - self.cur_len[s]
                        for s in range(self.num_slots) if active[s]))
@@ -506,8 +510,9 @@ class ContinuousEngine:
         done = [False] * self.num_slots
         for si in range(toks.shape[0]):
             for slot, req in enumerate(self.slot_req):
-                if req is None or done[slot]:
-                    continue
+                if req is None or done[slot] or not active[slot]:
+                    continue  # inactive = mid-chunked-prefill: the window
+                              # emitted pad for it, not real tokens
                 t = int(toks[si, slot])
                 req.tokens.append(t)
                 if req.tok_cb:
@@ -571,6 +576,14 @@ class ContinuousEngine:
                 self.slot_req[slot] = None
                 self._release_slot(slot)
         return finished
+
+    def _advance_prefill(self) -> None:
+        """Chunked-prefill hook (paged engine): advance one pending prompt
+        by one chunk. Base engine: no-op."""
+
+    def _prefill_mask(self):
+        """Slots whose prompt is still prefilling (excluded from decode)."""
+        return np.zeros((self.num_slots,), bool)
 
     def _write_hist_row(self, slot: int, ids) -> None:
         """Reset the spec-decode history row for a newly admitted request:
@@ -1071,7 +1084,8 @@ class PagedContinuousEngine(ContinuousEngine):
                  num_pages: int | None = None,
                  prefill_token_budget: int = 8192,
                  kv_quant: str | None = None,
-                 prefix_cache: bool = True, **kwargs):
+                 prefix_cache: bool = True,
+                 prefill_chunk_tokens: int = 0, **kwargs):
         self._page_size = page_size
         self._num_pages = num_pages
         # Automatic prefix caching (vLLM APC): full prompt pages are
@@ -1081,6 +1095,18 @@ class PagedContinuousEngine(ContinuousEngine):
         # TAR judge call repeats the same long system+rubric prefix.
         self.prefix_cache = prefix_cache
         self._media_key = None   # threaded from submit() into _prefill_slot
+        # vLLM --enable-chunked-prefill analog: text prompts longer than
+        # this prefill in page-aligned chunks of this many tokens, ONE
+        # chunk per step() call, interleaved with decode — a long prompt
+        # stalls active streams by one chunk, not its whole length.
+        # 0 = off. Later chunks attend to the earlier chunks' paged KV
+        # via the suffix-prefill path (the APC machinery).
+        if prefill_chunk_tokens:
+            prefill_chunk_tokens = -(-prefill_chunk_tokens // page_size
+                                     ) * page_size
+        self.prefill_chunk_tokens = prefill_chunk_tokens
+        self._pending_prefill: list[dict] = []
+        self.prefilling = np.zeros((0,), bool)  # resized after super init
         # "int8": pages store int8 values + per-(token, head) scale pages —
         # half the KV bytes per token, so ~2x the pool capacity per HBM GB
         # (the paged counterpart of the dense engine's kv_quant="int8")
@@ -1093,6 +1119,7 @@ class PagedContinuousEngine(ContinuousEngine):
         # mode — measured via profile_eval r3)
         self.prefill_token_budget = prefill_token_budget
         super().__init__(*args, **kwargs)
+        self.prefilling = np.zeros((self.num_slots,), bool)
         # buckets must be page-aligned for the prompt scatter
         self.prompt_buckets = tuple(b for b in self.prompt_buckets
                                     if b % page_size == 0) or (self.max_len,)
@@ -1304,6 +1331,17 @@ class PagedContinuousEngine(ContinuousEngine):
         np_used = -(-true_len // ps)
         if pc.available_pages() < np_all:
             raise RuntimeError("paged KV cache out of pages")
+        ck = self.prefill_chunk_tokens
+        if ck and vision_embeds is None and true_len > ck:
+            # chunked: allocate all pages now, defer the prefill to the
+            # step() loop (one chunk per step, interleaved with decode)
+            pids = [pc._alloc() for _ in range(np_all)]
+            self._pending_prefill.append({
+                "slot": slot, "padded": np.asarray(padded),
+                "pos": np.asarray(pos), "true_len": int(true_len),
+                "pids": pids, "done": 0})
+            self.prefilling[slot] = True
+            return jnp.zeros((self.cfg.text.vocab_size,), jnp.float32)
         pids = [pc._alloc() for _ in range(np_all)]  # refcount=1 each
         logits, kv = _prefill_into_pages(
             self.params, self._kv(), self.cfg,
@@ -1359,6 +1397,57 @@ class PagedContinuousEngine(ContinuousEngine):
             _reject_all=getattr(self, "_spec_reject_all", False))
         self._set_kv(kv)
         return chunks, commits, new_len
+
+    def _prefill_mask(self):
+        return self.prefilling
+
+    def _advance_prefill(self) -> None:
+        if not self._pending_prefill:
+            return
+        st = self._pending_prefill[0]
+        pc, ps, ck = self.pcache, self._page_size, self.prefill_chunk_tokens
+        start = st["done"]
+        bucket = st["padded"].shape[1]
+        true_len = st["true_len"]
+        end = min(start + ck, bucket)
+        new = st["pids"][start // ps: -(-end // ps)]
+        ids_c = jnp.asarray(st["padded"][:, start:end])
+        pos_c = jnp.asarray(st["pos"][:, :, start:end])
+        if start == 0:
+            logits, kv = _prefill_into_pages(
+                self.params, self._kv(), self.cfg,
+                jnp.asarray(new, jnp.int32), ids_c, pos_c,
+                jnp.asarray([min(true_len, end)], jnp.int32),
+                attn_impl=self.attn_impl, page_size=ps)
+        else:
+            m = start // ps
+            m_pad = 1
+            while m_pad < m:
+                m_pad *= 2
+            pref = np.full((m_pad,), self.trash_page, np.int32)
+            pref[:m] = st["pids"][:m]
+            logits, kv = _prefill_suffix_into_pages(
+                self.params, self._kv(), self.cfg, jnp.asarray(pref),
+                jnp.asarray(new, jnp.int32), ids_c, pos_c,
+                jnp.asarray([start], jnp.int32),
+                jnp.asarray([max(min(true_len, end) - start, 1)], jnp.int32),
+                page_size=ps)
+        self._set_kv(kv)
+        st["done"] = end
+        if end >= true_len:   # remaining bucket tokens are pad — done
+            slot = st["slot"]
+            np_used = -(-true_len // ps)
+            pc.page_tables[slot] = -1
+            pc.page_tables[slot, :np_used] = st["pids"][:np_used]
+            for pg in st["pids"][np_used:]:
+                pc.refcount[int(pg)] = 0
+                pc.free_pages.append(int(pg))
+            pc.lengths[slot] = true_len
+            self.last_logits = self.last_logits.at[slot].set(logits)
+            self.prefilling[slot] = False
+            self._register_prefix(st["padded"][0, :true_len],
+                                  st["pids"][:np_used])
+            self._pending_prefill.pop(0)
 
     def _decode_all(self, active, rng, steps: int = 1):
         pc = self.pcache

@@ -36,7 +36,8 @@ class ChatEngine:
                  continuous: bool = False, num_slots: int = 8,
                  max_len: int = 4096, mesh=None, engine_kind: str = "slots",
                  page_size: int = 128, kv_quant: str | None = None,
-                 spec_decode: int = 0, decode_window: int = 1):
+                 spec_decode: int = 0, decode_window: int = 1,
+                 prefill_chunk_tokens: int = 0):
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
         # parallel.sharding rules; the KV cache shards on heads over "tp".
@@ -85,7 +86,8 @@ class ChatEngine:
             # per-slot max-length reservation — the vLLM serving core)
             eng_cls = (PagedContinuousEngine if engine_kind == "paged"
                        else ContinuousEngine)
-            kw = ({"page_size": page_size, "kv_quant": kv_quant}
+            kw = ({"page_size": page_size, "kv_quant": kv_quant,
+                   "prefill_chunk_tokens": prefill_chunk_tokens}
                   if engine_kind == "paged" else {})
             kw["spec_decode"] = self.spec_decode
             kw["decode_window"] = decode_window

@@ -186,7 +186,27 @@ def test_chat_engine_continuous_spec_matches_plain():
     msgs = [[{"role": "user", "content": "judge: is A == A? answer yes/no"}],
             [{"role": "user", "content": "extract the final letter: B"}]]
 
+    def warm(spec, kind):
+        # pre-warm the dispatch jit caches on the MAIN thread: ChatEngine's
+        # run_loop compiles on a background thread otherwise, which has
+        # (rarely) stalled late in long pytest processes — with the caches
+        # warm the thread only ever cache-hits
+        from video_r2_tpu.engine.continuous import (ContinuousEngine,
+                                                    PagedContinuousEngine)
+        from video_r2_tpu.engine.sampling import SamplingParams as SP
+
+        kw = dict(num_slots=2, max_len=128,
+                  sp=SP(eos_token_ids=(cfg.eos_token_id,),
+                        pad_token_id=cfg.pad_token_id),
+                  spec_decode=spec)
+        eng = (PagedContinuousEngine(params, cfg, page_size=32, **kw)
+               if kind == "paged" else ContinuousEngine(params, cfg, **kw))
+        eng.submit([5, 6, 7], max_new_tokens=2)
+        while eng.num_active:
+            eng.step()
+
     def run(spec, kind="slots"):
+        warm(spec, kind)
         eng = ChatEngine(params, cfg, ByteTokenizer(), max_new_tokens=6,
                          continuous=True, num_slots=2, max_len=128,
                          spec_decode=spec, engine_kind=kind, page_size=32)

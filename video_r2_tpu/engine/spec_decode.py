@@ -10,10 +10,18 @@ produce, and effective exactly on the reference's workloads (video QA
 answers quote subtitles/options; TAC/VAS judge outputs echo the prompt's
 format strings; `<think>` reasoning is self-repetitive).
 
-Output-token parity is exact by construction: a draft is only kept when it
-equals the argmax the full model produces at that position, and the bonus
-token is the model's own argmax after the last accepted draft — the emitted
-sequence is identical to plain greedy decode, token for token.
+Exactness, both modes:
+- GREEDY: a draft is only kept when it equals the argmax the full model
+  produces at that position, and the pending token is always the model's
+  own argmax — the emitted sequence is identical to plain greedy decode,
+  token for token.
+- SAMPLED: rejection-sampling verification (Leviathan & Chen's speculative
+  sampling, specialized to the deterministic n-gram proposal) — draft d
+  accepts with probability p(d) under the request's filtered target
+  distribution, and on rejection the next pending token samples from the
+  exact residual (p with d's mass masked). The emitted stream is an exact
+  sample from the plain sampling loop's distribution (distributional, not
+  bitwise, parity — rng consumption differs).
 
 TPU design notes:
 - one `lax.while_loop` inside jit; each iteration verifies a [B, K+1] chunk

@@ -1354,8 +1354,8 @@ def test_spec_stats_telemetry(cfg_params, rng):
 # ----------------------------------------------------------- chunked prefill
 
 
-@pytest.mark.parametrize("kv_quant", [None, "int8"])
-def test_chunked_prefill_matches_whole(cfg_params, rng, kv_quant):
+@pytest.mark.parametrize("engine", ["paged", "paged-int8", "slots"])
+def test_chunked_prefill_matches_whole(cfg_params, rng, engine):
     """Chunked prefill (vLLM --enable-chunked-prefill analog): a long
     prompt prefilled in page-aligned chunks — later chunks attending to the
     earlier chunks' paged KV via the suffix path — decodes token-identically
@@ -1369,9 +1369,14 @@ def test_chunked_prefill_matches_whole(cfg_params, rng, kv_quant):
     sp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=())
 
     def run(chunk):
-        eng = PagedContinuousEngine(
-            params, cfg, num_slots=2, max_len=96, sp=sp, page_size=16,
-            prompt_buckets=(16, 32, 64), prefill_chunk_tokens=chunk)
+        kw = dict(num_slots=2, max_len=96, sp=sp,
+                  prompt_buckets=(16, 32, 64), prefill_chunk_tokens=chunk)
+        if engine == "slots":
+            eng = ContinuousEngine(params, cfg, **kw)
+        else:
+            eng = PagedContinuousEngine(
+                params, cfg, page_size=16,
+                kv_quant="int8" if engine == "paged-int8" else None, **kw)
         rids = [eng.submit(long_p, max_new_tokens=T),
                 eng.submit(short_p, max_new_tokens=T)]
         out = {}

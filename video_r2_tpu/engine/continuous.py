@@ -69,6 +69,36 @@ def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
     return logits.astype(jnp.float32), cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"),
+                   donate_argnums=(1,))
+def _prefill_slot_chunk(params, cache: KVCache, cfg, slot, ids, position_ids,
+                        start, valid, attn_impl: str = "xla"):
+    """One CHUNK of a slot's prompt ([1, C] at token offset `start`): the
+    chunk attends to the slot's already-written cache rows [0, start) plus
+    itself causally, and its KV scatters back at [start, start+C). `start`
+    is traced, so every chunk shares one compiled variant. Returns
+    (last-valid-token logits [V] — meaningful on the final chunk, cache)."""
+    h = params["model"]["embed_tokens"]["embedding"][ids]
+    cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
+    C = ids.shape[1]
+    max_len = cache.k.shape[2]
+    # history view of the slot (full width, masked by `start`), seeded into
+    # a width-max_len tmp cache the chunk fill writes into at `start`
+    tmp = KVCache(cache.k[:, slot][:, None], cache.v[:, slot][:, None])
+    i = jnp.arange(C)[None, :, None]
+    j = jnp.arange(max_len)[None, None, :]
+    allowed = (j < start) | ((j >= start) & (j <= start + i))
+    bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
+    hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
+                                  bias, cache=tmp, cache_position=start,
+                                  attn_impl=attn_impl, cache_fill=True)
+    cache = KVCache(cache.k.at[:, slot].set(tmp.k[:, 0]),
+                    cache.v.at[:, slot].set(tmp.v[:, 0]))
+    logits = lm_head(params, cfg, hidden[0, jnp.clip(valid - start - 1,
+                                                     0, C - 1)])
+    return logits.astype(jnp.float32), cache
+
+
 def _decode_body(params, cache: KVCache, cfg, sp: SamplingParams,
                  last_logits, cur_len, pos_base, active, samp, rng):
     """One token for every slot. Inactive slots are masked no-ops. `samp` is
@@ -301,7 +331,8 @@ class ContinuousEngine:
                  sp: SamplingParams | None = None, attn_impl: str = "xla",
                  prompt_buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048),
                  embed_bucket: int = 256, seed: int = 0,
-                 spec_decode: int = 0, decode_window: int = 1):
+                 spec_decode: int = 0, decode_window: int = 1,
+                 prefill_chunk_tokens: int = 0):
         # spec_decode=K: speculative decoding inside the continuous loop —
         # each dispatch verifies K n-gram prompt-lookup drafts per slot at
         # its own frontier (emits 1 + accepted tokens). Greedy slots accept
@@ -314,6 +345,12 @@ class ContinuousEngine:
         # (judge bursts over high-latency links). With spec_decode, the
         # window is the verify-round count (up to window*(K+1) tokens).
         self.decode_window = decode_window
+        # vLLM --enable-chunked-prefill analog: text prompts longer than
+        # this prefill in chunks of this many tokens, ONE chunk per step()
+        # call, interleaved with decode — a long prompt stalls active
+        # streams by one chunk, not its whole length. 0 = off.
+        self.prefill_chunk_tokens = prefill_chunk_tokens
+        self._pending_prefill: list[dict] = []
         self.hist = None
         self.params = params
         self.cfg = cfg
@@ -357,6 +394,7 @@ class ContinuousEngine:
         self.slot_top_k = np.zeros((num_slots,), np.int32)
         self.slot_do_sample = np.zeros((num_slots,), bool)
         self.slot_req: list[Optional[_Request]] = [None] * num_slots
+        self.prefilling = np.zeros((num_slots,), bool)
         self._rng = jax.random.PRNGKey(seed)
         self._next_rid = 0
 
@@ -577,13 +615,34 @@ class ContinuousEngine:
                 self._release_slot(slot)
         return finished
 
-    def _advance_prefill(self) -> None:
-        """Chunked-prefill hook (paged engine): advance one pending prompt
-        by one chunk. Base engine: no-op."""
-
     def _prefill_mask(self):
         """Slots whose prompt is still prefilling (excluded from decode)."""
-        return np.zeros((self.num_slots,), bool)
+        return self.prefilling
+
+    def _advance_prefill(self) -> None:
+        """Chunked prefill: advance the oldest pending prompt by one chunk
+        (contiguous slot cache; the paged engine overrides with the
+        page-pool variant)."""
+        if not self._pending_prefill:
+            return
+        st = self._pending_prefill[0]
+        ck = self.prefill_chunk_tokens
+        start = st["done"]
+        bucket = st["padded"].shape[1]
+        true_len = st["true_len"]
+        end = min(start + ck, bucket)
+        logits, self.cache = _prefill_slot_chunk(
+            self.params, self.cache, self.cfg, jnp.int32(st["slot"]),
+            jnp.asarray(st["padded"][:, start:end]),
+            jnp.asarray(st["pos"][:, :, start:end]),
+            jnp.int32(start), jnp.int32(true_len),
+            attn_impl="xla")
+        st["done"] = end
+        if end >= true_len:
+            slot = st["slot"]
+            self.last_logits = self.last_logits.at[slot].set(logits)
+            self.prefilling[slot] = False
+            self._pending_prefill.pop(0)
 
     def _write_hist_row(self, slot: int, ids) -> None:
         """Reset the spec-decode history row for a newly admitted request:
@@ -619,6 +678,16 @@ class ContinuousEngine:
 
     def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens,
                       vision_embeds=None):
+        ck = self.prefill_chunk_tokens
+        if ck and vision_embeds is None and true_len > ck:
+            # chunked: defer to the step() loop (one chunk per step,
+            # interleaved with decode)
+            self._pending_prefill.append({
+                "slot": slot, "padded": np.asarray(padded),
+                "pos": np.asarray(pos), "true_len": int(true_len),
+                "done": 0})
+            self.prefilling[slot] = True
+            return jnp.zeros((self.cfg.text.vocab_size,), jnp.float32)
         logits, self.cache = _prefill_into_slot(
             self.params, self.cache, self.cfg, slot, jnp.asarray(padded),
             jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
@@ -1084,8 +1153,7 @@ class PagedContinuousEngine(ContinuousEngine):
                  num_pages: int | None = None,
                  prefill_token_budget: int = 8192,
                  kv_quant: str | None = None,
-                 prefix_cache: bool = True,
-                 prefill_chunk_tokens: int = 0, **kwargs):
+                 prefix_cache: bool = True, **kwargs):
         self._page_size = page_size
         self._num_pages = num_pages
         # Automatic prefix caching (vLLM APC): full prompt pages are
@@ -1095,18 +1163,7 @@ class PagedContinuousEngine(ContinuousEngine):
         # TAR judge call repeats the same long system+rubric prefix.
         self.prefix_cache = prefix_cache
         self._media_key = None   # threaded from submit() into _prefill_slot
-        # vLLM --enable-chunked-prefill analog: text prompts longer than
-        # this prefill in page-aligned chunks of this many tokens, ONE
-        # chunk per step() call, interleaved with decode — a long prompt
-        # stalls active streams by one chunk, not its whole length.
-        # 0 = off. Later chunks attend to the earlier chunks' paged KV
-        # via the suffix-prefill path (the APC machinery).
-        if prefill_chunk_tokens:
-            prefill_chunk_tokens = -(-prefill_chunk_tokens // page_size
-                                     ) * page_size
-        self.prefill_chunk_tokens = prefill_chunk_tokens
-        self._pending_prefill: list[dict] = []
-        self.prefilling = np.zeros((0,), bool)  # resized after super init
+
         # "int8": pages store int8 values + per-(token, head) scale pages —
         # half the KV bytes per token, so ~2x the pool capacity per HBM GB
         # (the paged counterpart of the dense engine's kv_quant="int8")
@@ -1119,7 +1176,11 @@ class PagedContinuousEngine(ContinuousEngine):
         # mode — measured via profile_eval r3)
         self.prefill_token_budget = prefill_token_budget
         super().__init__(*args, **kwargs)
-        self.prefilling = np.zeros((self.num_slots,), bool)
+        # paged chunks must be page-aligned (later chunks ride the
+        # suffix-prefill path, whose KV scatter is page-granular)
+        if self.prefill_chunk_tokens:
+            self.prefill_chunk_tokens = -(-self.prefill_chunk_tokens
+                                          // page_size) * page_size
         # buckets must be page-aligned for the prompt scatter
         self.prompt_buckets = tuple(b for b in self.prompt_buckets
                                     if b % page_size == 0) or (self.max_len,)

@@ -86,11 +86,11 @@ class ChatEngine:
             # per-slot max-length reservation — the vLLM serving core)
             eng_cls = (PagedContinuousEngine if engine_kind == "paged"
                        else ContinuousEngine)
-            kw = ({"page_size": page_size, "kv_quant": kv_quant,
-                   "prefill_chunk_tokens": prefill_chunk_tokens}
+            kw = ({"page_size": page_size, "kv_quant": kv_quant}
                   if engine_kind == "paged" else {})
             kw["spec_decode"] = self.spec_decode
             kw["decode_window"] = decode_window
+            kw["prefill_chunk_tokens"] = prefill_chunk_tokens
             self._cont = eng_cls(
                 params, cfg, num_slots=num_slots, max_len=max_len,
                 sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),

@@ -24,6 +24,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_executables():
+    """Free compiled executables after each test module.
+
+    The full suite compiles many hundreds of XLA CPU executables in one
+    process; late in the run the backend compiler has both stalled
+    indefinitely and SEGFAULTED inside backend_compile_and_load
+    (faulthandler-verified, different tests each time, RAM free) —
+    consistent with JIT code-region / vm map exhaustion
+    (vm.max_map_count=65530 here). Clearing per module bounds the live
+    executable count; cross-module recompiles of the tiny-model graphs
+    cost seconds each."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def rng(request):
     # Function-scoped and seeded from the test name (stable crc32 — str hash

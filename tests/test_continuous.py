@@ -1401,7 +1401,8 @@ def test_chunked_prefill_interleaves_decode(cfg_params, rng):
     ra = eng.submit(list(rng.integers(2, 400, size=7)), max_new_tokens=12)
     seen_a = []
     eng.step()  # slot A emits its first token(s)
-    rb = eng.submit(list(rng.integers(2, 400, size=57)), max_new_tokens=4)
+    long_b = list(rng.integers(2, 400, size=57))
+    rb = eng.submit(long_b, max_new_tokens=4)
     assert eng.prefilling.any()   # B is mid-prefill
     grew_while_prefilling = False
     out = {}
@@ -1416,9 +1417,15 @@ def test_chunked_prefill_interleaves_decode(cfg_params, rng):
     assert grew_while_prefilling   # A advanced during B's chunked prefill
     assert ra in out and rb in out
     assert len(out[ra]) == 12 and len(out[rb]) == 4
-    # B's completion must equal the unchunked engine's
+    # B's completion must equal the unchunked engine's (the same prompt the
+    # interleaved run used — a stray decode write into B's pages mid-prefill
+    # would diverge it)
     ref = PagedContinuousEngine(
         params, cfg, num_slots=1, max_len=96, sp=sp, page_size=16,
         prompt_buckets=(16, 32, 64))
-    rr = ref.submit(list(rng.integers(2, 400, size=57)), max_new_tokens=4)
-    del rr
+    rr = ref.submit(long_b, max_new_tokens=4)
+    ref_out = {}
+    while ref.num_active:
+        for rid, toks in ref.step():
+            ref_out[rid] = toks
+    assert out[rb] == ref_out[rr]

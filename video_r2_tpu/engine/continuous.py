@@ -76,8 +76,17 @@ def _prefill_slot_chunk(params, cache: KVCache, cfg, slot, ids, position_ids,
     """One CHUNK of a slot's prompt ([1, C] at token offset `start`): the
     chunk attends to the slot's already-written cache rows [0, start) plus
     itself causally, and its KV scatters back at [start, start+C). `start`
-    is traced, so every chunk shares one compiled variant. Returns
-    (last-valid-token logits [V] — meaningful on the final chunk, cache)."""
+    is traced, so every chunk shares one compiled variant.
+
+    Costs/limits (documented, acceptable for a latency feature): the
+    slot's full-width KV round-trips through a tmp cache per chunk
+    (O(L x max_len) HBM traffic — a direct per-slot offset write is the
+    r4 optimization), and attention runs on the XLA path (the offset bias
+    has no flash expression), so on flash-configured engines chunked
+    prefill numerics differ from whole-prompt flash prefill by the usual
+    kernel reduction-order epsilon — the parity tests pin the xla engine.
+    Returns (last-valid-token logits [V] — meaningful on the final chunk,
+    cache)."""
     h = params["model"]["embed_tokens"]["embedding"][ids]
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
     C = ids.shape[1]
@@ -87,7 +96,7 @@ def _prefill_slot_chunk(params, cache: KVCache, cfg, slot, ids, position_ids,
     tmp = KVCache(cache.k[:, slot][:, None], cache.v[:, slot][:, None])
     i = jnp.arange(C)[None, :, None]
     j = jnp.arange(max_len)[None, None, :]
-    allowed = (j < start) | ((j >= start) & (j <= start + i))
+    allowed = j <= start + i   # offset-causal: history plus chunk-causal
     bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
     hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
                                   bias, cache=tmp, cache_position=start,
@@ -151,15 +160,21 @@ def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
     return toks, logits, cache, cur
 
 
-def _spec_tok0(logits, key, samp, active, pad_id, rej_tok):
+def _spec_tok0(logits, key, samp, active, pad_id, rej_tok,
+               greedy_only: bool):
     """The pending token: per-slot sampled (from the filtered target
     distribution, with a rejected draft's mass masked — the exact residual)
-    or greedy argmax."""
+    or greedy argmax. greedy_only (static — the host knows the pool's
+    sampling state) skips the full-vocab filter sort entirely so all-greedy
+    judge pools pay only the argmax."""
     from .sampling import filter_logits_per_slot
 
     temperature, top_p, top_k, do_sample = samp
     V = logits.shape[-1]
     greedy = jnp.argmax(logits, axis=-1)
+    if greedy_only:
+        tok0 = greedy.astype(jnp.int32)
+        return jnp.where(active, tok0, pad_id)
     filtered = filter_logits_per_slot(logits, temperature, top_p, top_k)
     filtered = jnp.where(
         (jnp.arange(V)[None, :] == rej_tok[:, None])
@@ -190,7 +205,8 @@ def _spec_draft(hist, tok0, cur_len, K: int, _reject_all: bool):
     return jnp.concatenate([tok0[:, None], drafts], axis=1), drafts
 
 
-def _spec_accept(logits_w, drafts, logits, active, K: int, samp, key):
+def _spec_accept(logits_w, drafts, logits, active, K: int, samp, key,
+                 greedy_only: bool = False):
     """Per-slot acceptance. Greedy slots: draft i commits iff it equals the
     model argmax at its position (token-exact). Sampled slots: rejection
     sampling — draft i accepts with probability p_i(d_i) under that slot's
@@ -205,24 +221,31 @@ def _spec_accept(logits_w, drafts, logits, active, K: int, samp, key):
     b_idx = jnp.arange(B)
     g = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)
     greedy_match = drafts == g[:, :K]
-    pf = filter_logits_per_slot(logits_w[:, :K], temperature, top_p, top_k)
-    dsafe = jnp.clip(drafts, 0, V - 1)
-    ld = (jnp.take_along_axis(pf, dsafe[..., None], axis=-1)[..., 0]
-          - jax.scipy.special.logsumexp(pf, axis=-1))
-    ld = jnp.where(drafts == dsafe, ld, -jnp.inf)  # _reject_all sentinel
-    u = jax.random.uniform(key, drafts.shape)
-    samp_match = jnp.log(u) < ld
-    match = jnp.where(do_sample[:, None], samp_match,
-                      greedy_match).astype(jnp.int32)
+    if greedy_only:
+        match = greedy_match.astype(jnp.int32)
+    else:
+        pf = filter_logits_per_slot(logits_w[:, :K], temperature, top_p,
+                                    top_k)
+        dsafe = jnp.clip(drafts, 0, V - 1)
+        ld = (jnp.take_along_axis(pf, dsafe[..., None], axis=-1)[..., 0]
+              - jax.scipy.special.logsumexp(pf, axis=-1))
+        ld = jnp.where(drafts == dsafe, ld, -jnp.inf)  # _reject_all sentinel
+        u = jax.random.uniform(key, drafts.shape)
+        samp_match = jnp.log(u) < ld
+        match = jnp.where(do_sample[:, None], samp_match,
+                          greedy_match).astype(jnp.int32)
     acc = jnp.cumprod(match, axis=1)
     a = acc.sum(axis=1)
     n_commit = jnp.where(active, 1 + a, 0)
     sel = jnp.clip(n_commit - 1, 0, K)
     new_logits = jnp.where(active[:, None], logits_w[b_idx, sel], logits)
-    rejected = active & do_sample & (a < K)
-    new_rej = jnp.where(rejected,
-                        jnp.clip(drafts[b_idx, jnp.minimum(a, K - 1)], -1,
-                                 V - 1), -1)
+    if greedy_only:
+        new_rej = jnp.full((B,), -1, jnp.int32)
+    else:
+        rejected = active & do_sample & (a < K)
+        new_rej = jnp.where(rejected,
+                            jnp.clip(drafts[b_idx, jnp.minimum(a, K - 1)],
+                                     -1, V - 1), -1)
     return n_commit, new_logits, new_rej
 
 
@@ -240,14 +263,16 @@ def _spec_hist_update(hist, chunk, cur_len, n_commit):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spec_k", "rounds",
-                                              "_reject_all"),
+                                              "greedy_only", "_reject_all"),
                    donate_argnums=(1, 8))
 def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
                  active, pad_id, hist, rej_tok, samp, rng,
-                 spec_k: int, rounds: int = 1,
+                 spec_k: int, rounds: int = 1, greedy_only: bool = False,
                  _reject_all: bool = False):
-    """`rounds` speculative verifies for every slot in ONE dispatch
-    (greedy-only; the caller gates on all-active-slots-greedy). Per-slot
+    """`rounds` speculative verifies for every slot in ONE dispatch —
+    greedy slots accept by argmax equality, sampled slots by per-slot
+    rejection sampling (see _spec_accept); mixed pools run together.
+    Per-slot
     n-gram prompt-lookup drafts come from `hist` — the device-side [N, Lh]
     token history (prompt + generated, contiguous in [0, cur_len)) — so
     drafting needs no host round-trip. Each round verifies a [N, K+1] chunk
@@ -270,7 +295,8 @@ def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
     def round_body(carry, key):
         logits, cache, hist, cur_len, rej = carry
         k_tok, k_acc = jax.random.split(key)
-        tok0 = _spec_tok0(logits, k_tok, samp, active, pad_id, rej)
+        tok0 = _spec_tok0(logits, k_tok, samp, active, pad_id, rej,
+                          greedy_only)
         chunk, drafts = _spec_draft(hist, tok0, cur_len, K, _reject_all)
         emb = params["model"]["embed_tokens"]["embedding"][chunk]
         pos = (pos_base + cur_len)[:, None] + jnp.arange(W)[None, :]
@@ -285,7 +311,8 @@ def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
             cache=cache, cache_position=cur_len)
         logits_w = lm_head(params, cfg, hidden).astype(jnp.float32)
         n_commit, new_logits, rej = _spec_accept(logits_w, drafts, logits,
-                                                 active, K, samp, k_acc)
+                                                 active, K, samp, k_acc,
+                                                 greedy_only)
         hist = _spec_hist_update(hist, chunk, cur_len, n_commit)
         return ((new_logits, cache, hist, cur_len + n_commit, rej),
                 (chunk, n_commit))
@@ -468,6 +495,12 @@ class ContinuousEngine:
     def num_active(self) -> int:
         return sum(r is not None for r in self.slot_req)
 
+    def _fork_guard(self, src_slot: int) -> None:
+        if self.prefilling[src_slot]:
+            raise ValueError(
+                "cannot fork a request whose chunked prefill is still in "
+                "flight (partial KV); wait for admission to complete")
+
     def fork(self, rid: int, n: int = 1) -> list[int]:
         """Clone a just-prefilled request into up to `n` free slots, reusing
         its prompt KV (vLLM prefix sharing: the paged engine SHARES the
@@ -482,6 +515,7 @@ class ContinuousEngine:
         req = self.slot_req[src]
         if req.tokens:
             raise ValueError("fork requires an un-decoded source request")
+        self._fork_guard(src)
         out = []
         for _ in range(n):
             slot = next((i for i, r in enumerate(self.slot_req)
@@ -534,6 +568,24 @@ class ContinuousEngine:
                 and (room - 1) // (self.spec_decode + 1) >= steps
                 and self._spec_ready(active, steps)):
             return self._step_spec(active, steps)
+        if self.spec_decode and self._spec_rej is not None:
+            # a sampled slot's rejected draft is pending from the last spec
+            # dispatch: the plain sampler would ignore the residual mask, so
+            # consume it — prefer a single verify round; in the no-room /
+            # no-pages corner (only reachable within K+1 tokens of the cap)
+            # mask the token in the raw pending logits instead (the filter
+            # set can admit one extra candidate there) and clear the state
+            rej = np.asarray(self._spec_rej)
+            if (rej[active] >= 0).any():
+                if (room > self.spec_decode + 1
+                        and self._spec_ready(active, 1)):
+                    return self._step_spec(active, 1)
+                mask = ((jnp.arange(self.last_logits.shape[-1])[None, :]
+                         == self._spec_rej[:, None])
+                        & (self._spec_rej[:, None] >= 0))
+                self.last_logits = jnp.where(mask, -jnp.inf,
+                                             self.last_logits)
+                self._spec_rej = jnp.full_like(self._spec_rej, -1)
         w = 1
         while w * 2 <= min(steps, max(room, 1)):
             w *= 2
@@ -669,7 +721,9 @@ class ContinuousEngine:
             jnp.asarray(active), self.sp.pad_token_id,
             self.hist, self._spec_rej, self._samp_arrays(), rng,
             self.spec_decode, rounds,
-            getattr(self, "_spec_reject_all", False))
+            greedy_only=not bool(np.asarray(self.slot_do_sample)[
+                np.asarray(active)].any()),
+            _reject_all=getattr(self, "_spec_reject_all", False))
         return chunks, commits, new_len
 
     def _init_cache(self, dtype) -> None:
@@ -1063,13 +1117,15 @@ def _paged_decode_step(params, kv, cfg, sp: SamplingParams,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "spec_k", "rounds", "page_size",
-                                    "interpret", "_reject_all"),
+                                    "interpret", "greedy_only",
+                                    "_reject_all"),
                    donate_argnums=(1, 7))
 def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
                        active, hist, pad_id, page_tables, trash_page,
                        rej_tok, samp, rng,
                        spec_k: int, rounds: int = 1, page_size: int = 128,
-                       interpret: bool = False, _reject_all: bool = False):
+                       interpret: bool = False, greedy_only: bool = False,
+                       _reject_all: bool = False):
     """Speculative verify rounds over the PAGED pool (vLLM ships n-gram
     spec on paged KV; this is that, TPU-style): per round, each slot's
     [K+1]-token chunk KV is quantized/written into its pages at per-token
@@ -1090,7 +1146,8 @@ def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
     def round_body(carry, key):
         logits, kv_c, hist, cur_len, rej = carry
         k_tok, k_acc = jax.random.split(key)
-        tok0 = _spec_tok0(logits, k_tok, samp, active, pad_id, rej)
+        tok0 = _spec_tok0(logits, k_tok, samp, active, pad_id, rej,
+                          greedy_only)
         chunk, drafts = _spec_draft(hist, tok0, cur_len, K, _reject_all)
         emb = params["model"]["embed_tokens"]["embedding"][chunk]  # [N,W,H]
         pos = (pos_base + cur_len)[:, None] + jnp.arange(W)[None, :]
@@ -1106,7 +1163,8 @@ def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
                                       page_size, interpret)
         logits_w = lm_head(params, cfg, x).astype(jnp.float32)    # [N, W, V]
         n_commit, new_logits, rej = _spec_accept(logits_w, drafts, logits,
-                                                 active, K, samp, k_acc)
+                                                 active, K, samp, k_acc,
+                                                 greedy_only)
         hist = _spec_hist_update(hist, chunk, cur_len, n_commit)
         return ((new_logits, kv_c, hist, cur_len + n_commit, rej),
                 (chunk, n_commit))
@@ -1411,16 +1469,25 @@ class PagedContinuousEngine(ContinuousEngine):
             vision_embeds=vision_embeds, attn_impl=self.attn_impl,
             page_size=ps)
         self._set_kv(kv)
-        # keep only the pages the true prompt occupies
+        self._finish_prompt_pages(slot, pids, true_len,
+                                  np.asarray(padded)[0, :true_len],
+                                  media_key=self._media_key)
+        return logits
+
+    def _finish_prompt_pages(self, slot, pids, true_len, ids,
+                             media_key=None) -> None:
+        """Point the slot at its prompt's pages, return the surplus to the
+        free list, and register the prompt in the prefix cache (shared by
+        whole-prompt and chunked admission)."""
+        pc, ps = self.pcache, self._page_size
+        np_used = -(-int(true_len) // ps)
         pc.page_tables[slot] = -1
         pc.page_tables[slot, :np_used] = pids[:np_used]
-        for p in pids[np_used:]:
-            pc.refcount[p] = 0
-            pc.free_pages.append(p)
+        for pg in pids[np_used:]:
+            pc.refcount[int(pg)] = 0
+            pc.free_pages.append(int(pg))
         pc.lengths[slot] = true_len
-        self._register_prefix(np.asarray(padded)[0, :true_len],
-                              pids[:np_used], media_key=self._media_key)
-        return logits
+        self._register_prefix(ids, pids[:np_used], media_key=media_key)
 
     def _spec_ready(self, active, steps: int) -> bool:
         """Spec needs pages for the FULL verify window (rounds x (K+1)
@@ -1455,6 +1522,8 @@ class PagedContinuousEngine(ContinuousEngine):
             self._spec_rej, self._samp_arrays(), rng,
             self.spec_decode, rounds, page_size=self._page_size,
             interpret=self._interpret,
+            greedy_only=not bool(np.asarray(self.slot_do_sample)[
+                np.asarray(active)].any()),
             _reject_all=getattr(self, "_spec_reject_all", False))
         self._set_kv(kv)
         return chunks, commits, new_len
@@ -1491,23 +1560,16 @@ class PagedContinuousEngine(ContinuousEngine):
                 self.params, self._kv(), self.cfg, jnp.asarray(pref),
                 jnp.asarray(new, jnp.int32), ids_c, pos_c,
                 jnp.asarray([start], jnp.int32),
-                jnp.asarray([max(min(true_len, end) - start, 1)], jnp.int32),
+                jnp.asarray([min(true_len, end) - start], jnp.int32),
                 page_size=ps)
         self._set_kv(kv)
         st["done"] = end
         if end >= true_len:   # remaining bucket tokens are pad — done
             slot = st["slot"]
-            np_used = -(-true_len // ps)
-            pc.page_tables[slot] = -1
-            pc.page_tables[slot, :np_used] = st["pids"][:np_used]
-            for pg in st["pids"][np_used:]:
-                pc.refcount[int(pg)] = 0
-                pc.free_pages.append(int(pg))
-            pc.lengths[slot] = true_len
+            self._finish_prompt_pages(slot, st["pids"], true_len,
+                                      st["padded"][0, :true_len])
             self.last_logits = self.last_logits.at[slot].set(logits)
             self.prefilling[slot] = False
-            self._register_prefix(st["padded"][0, :true_len],
-                                  st["pids"][:np_used])
             self._pending_prefill.pop(0)
 
     def _decode_all(self, active, rng, steps: int = 1):

@@ -57,11 +57,10 @@ class ChatEngine:
         # TAC/VAS contract): verify K prompt-lookup drafts per dispatch —
         # judge outputs echo the prompt's answer/format strings, the
         # workload n-gram lookup is built for. All three engines support
-        # it: batch generate (greedy token-exact; sampled requests use
-        # rejection-sampling verification — exact distribution), and the
-        # slot/paged continuous engines (per-slot frontier verify chunks
-        # when every active slot is greedy; sampled slots fall back to
-        # plain decode there).
+        # it, for greedy AND sampled requests: greedy accepts by argmax
+        # equality (token-exact), sampled by rejection-sampling
+        # verification (exact per-request target distribution); mixed
+        # continuous pools speculate together.
         self.spec_decode = spec_decode if mesh is None else 0
         # int8 KV cache in batch (non-continuous) mode too — composes with
         # speculative decoding (the verify chunks quantize at row frontiers)

@@ -164,7 +164,10 @@ def spec_decode(
         lp0 = logits[b_idx, tok0] - lse0
         drafts = draft(hist, tok0, gen_len)
         if _reject_all:
-            drafts = jnp.full_like(drafts, V - 1)
+            # -2 matches no real token in EITHER mode (greedy argmax is
+            # never negative; the sampled path maps it to -inf below) —
+            # V-1 was a real token that could spuriously accept
+            drafts = jnp.full_like(drafts, -2)
         chunk = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, W]
 
         # one verify forward over the W-token chunk at each row's frontier
@@ -189,8 +192,10 @@ def spec_decode(
             # rejection sampling: accept draft i with prob p_i(d_i) under
             # the FILTERED target distribution (deterministic proposal)
             pf = _filtered(logits_w[:, :K], sp)                  # [B, K, V]
-            ld = (jnp.take_along_axis(pf, drafts[..., None], axis=-1)[..., 0]
+            dsafe = jnp.clip(drafts, 0, V - 1)
+            ld = (jnp.take_along_axis(pf, dsafe[..., None], axis=-1)[..., 0]
                   - jax.scipy.special.logsumexp(pf, axis=-1))
+            ld = jnp.where(drafts == dsafe, ld, -jnp.inf)  # _reject_all
             u = jax.random.uniform(k_acc, (B, K))
             match = (jnp.log(u) < ld).astype(jnp.int32)
         else:

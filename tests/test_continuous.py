@@ -1429,3 +1429,53 @@ def test_chunked_prefill_interleaves_decode(cfg_params, rng):
         for rid, toks in ref.step():
             ref_out[rid] = toks
     assert out[rb] == ref_out[rr]
+
+
+def test_chunked_prefill_multimodal_matches_whole(rng):
+    """Chunked prefill with a VIDEO prompt whose <|video_pad|> run CROSSES
+    a chunk boundary: each chunk carries its own slice of the merged vision
+    embeds (counted by vision tokens before/inside the chunk — the APC
+    suffix-admission trick) and the completion is token-identical to the
+    whole-prompt prefill."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+    from video_r2_tpu.models import (
+        get_rope_index,
+        init_params,
+        plan_vision_layout,
+        tiny_test_config,
+    )
+    from video_r2_tpu.models.vision import vit_forward
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    grid = (6, 4, 4)
+    n_tok = 6 * 2 * 2   # 24 video-pad tokens -> the run crosses 16-chunks
+    patches = rng.normal(size=(96, cfg.vision.patch_input_dim)).astype(np.float32)
+    layout = plan_vision_layout([grid], cfg.vision)
+    embeds = vit_forward(params["visual"], cfg.vision, jnp.asarray(patches),
+                         layout)
+    ids = np.concatenate([
+        [5, 6], [cfg.vision_start_token_id],
+        [cfg.video_token_id] * n_tok, [cfg.vision_end_token_id],
+        [7, 8, 9]]).astype(np.int32)
+    T = 6
+
+    def run(chunk):
+        eng = PagedContinuousEngine(
+            params, cfg, num_slots=2, max_len=96,
+            sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                              eos_token_ids=()),
+            prompt_buckets=(16, 32, 64), page_size=16, embed_bucket=8,
+            prefill_chunk_tokens=chunk)
+        rid = eng.submit(list(ids), max_new_tokens=T,
+                         vision_embeds=embeds, video_grid_thw=[grid],
+                         second_per_grid_ts=[1.0])
+        out = {}
+        while eng.num_active:
+            for r, toks in eng.step():
+                out[r] = toks
+        return out[rid]
+
+    assert run(0) == run(16)

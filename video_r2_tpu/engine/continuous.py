@@ -1451,14 +1451,18 @@ class PagedContinuousEngine(ContinuousEngine):
         if pc.available_pages() < np_all:
             raise RuntimeError("paged KV cache out of pages")
         ck = self.prefill_chunk_tokens
-        if ck and vision_embeds is None and true_len > ck:
+        if ck and true_len > ck:
             # chunked: allocate all pages now, defer the prefill to the
-            # step() loop (one chunk per step, interleaved with decode)
+            # step() loop (one chunk per step, interleaved with decode).
+            # Multimodal prompts chunk too: each chunk's slice of the
+            # merged vision embeds is recovered by counting vision tokens
+            # before/inside the chunk (the APC suffix-admission trick)
             pids = [pc._alloc() for _ in range(np_all)]
             self._pending_prefill.append({
                 "slot": slot, "padded": np.asarray(padded),
                 "pos": np.asarray(pos), "true_len": int(true_len),
-                "pids": pids, "done": 0})
+                "pids": pids, "done": 0, "embeds": vision_embeds,
+                "media_key": self._media_key})
             self.prefilling[slot] = True
             return jnp.zeros((self.cfg.text.vocab_size,), jnp.float32)
         pids = [pc._alloc() for _ in range(np_all)]  # refcount=1 each
@@ -1543,11 +1547,21 @@ class PagedContinuousEngine(ContinuousEngine):
         new = st["pids"][start // ps: -(-end // ps)]
         ids_c = jnp.asarray(st["padded"][:, start:end])
         pos_c = jnp.asarray(st["pos"][:, :, start:end])
+        embeds_c = None
+        if st["embeds"] is not None:
+            vis = np.isin(st["padded"][0], self._vision_ids())
+            n_pre = int(vis[:start].sum())
+            n_in = int(vis[start:end].sum())
+            if n_in:
+                sl = jnp.asarray(st["embeds"])[n_pre:n_pre + n_in]
+                nb = -(-n_in // self.embed_bucket) * self.embed_bucket
+                embeds_c = jnp.pad(sl, ((0, nb - n_in), (0, 0)))
         if start == 0:
             logits, kv = _prefill_into_pages(
                 self.params, self._kv(), self.cfg,
                 jnp.asarray(new, jnp.int32), ids_c, pos_c,
                 jnp.asarray([min(true_len, end)], jnp.int32),
+                vision_embeds=embeds_c,
                 attn_impl=self.attn_impl, page_size=ps)
         else:
             m = start // ps
@@ -1561,13 +1575,14 @@ class PagedContinuousEngine(ContinuousEngine):
                 jnp.asarray(new, jnp.int32), ids_c, pos_c,
                 jnp.asarray([start], jnp.int32),
                 jnp.asarray([min(true_len, end) - start], jnp.int32),
-                page_size=ps)
+                vision_embeds=embeds_c, page_size=ps)
         self._set_kv(kv)
         st["done"] = end
         if end >= true_len:   # remaining bucket tokens are pad — done
             slot = st["slot"]
             self._finish_prompt_pages(slot, st["pids"], true_len,
-                                      st["padded"][0, :true_len])
+                                      st["padded"][0, :true_len],
+                                      media_key=st["media_key"])
             self.last_logits = self.last_logits.at[slot].set(logits)
             self.prefilling[slot] = False
             self._pending_prefill.pop(0)

@@ -18,12 +18,46 @@ rollout/eval path; BASELINE.md "A100-class decode tokens/sec/chip").
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def wait_for_backend(attempts: int = 5, probe_timeout: int = 150,
+                     backoff: int = 45) -> None:
+    """Bounded retry around TPU backend init (VERDICT r3 #1).
+
+    The axon tunnel occasionally drops or HANGS at backend setup (r3's
+    driver bench was rc=1 on exactly this). Probe in a SUBPROCESS with a
+    timeout — a hung in-process init can't be recovered (the plugin caches
+    the failed backend) — and only import-and-run in this process once a
+    probe succeeds. Exits rc=1 with a clear message after the budget."""
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))")
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout)
+            if r.returncode == 0:
+                return
+            last = (r.stderr or r.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"probe hung > {probe_timeout}s (tunnel stall)"
+        print(f"bench: backend probe {i + 1}/{attempts} failed: {last}",
+              file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(backoff)
+    print(f"bench: TPU backend unavailable after {attempts} probes: {last}",
+          file=sys.stderr)
+    sys.exit(1)
+
+
 def main():
+    wait_for_backend()
     from video_r2_tpu.engine import SamplingParams, generate
     from video_r2_tpu.models import qwen25vl_7b
     from video_r2_tpu.models.quant import init_params_quantized_zeros

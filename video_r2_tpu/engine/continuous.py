@@ -359,7 +359,25 @@ class ContinuousEngine:
                  prompt_buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048),
                  embed_bucket: int = 256, seed: int = 0,
                  spec_decode: int = 0, decode_window: int = 1,
-                 prefill_chunk_tokens: int = 0):
+                 prefill_chunk_tokens: int = 0, mesh=None):
+        # mesh: tensor-parallel (and expert-parallel) serving — the
+        # reference judge is an 80B-A3B at vLLM --tensor-parallel-size 4
+        # (serve_qwen3.sh:13), which no single 16 GB chip can host. Params
+        # shard per parallel.sharding rules (attention heads / MoE experts),
+        # the KV cache shards on kv heads over "tp", and the jitted
+        # prefill/decode steps compile SPMD via GSPMD (the paged subclass
+        # additionally shard_maps its Pallas kernel on kv heads).
+        self.mesh = mesh
+        if mesh is not None:
+            if attn_impl not in ("xla", "auto"):
+                raise ValueError(
+                    f"attn_impl={attn_impl!r} with a mesh: sharded serving "
+                    "runs the XLA attention path (the flash kernel is "
+                    "single-chip); pass attn_impl='xla'")
+            attn_impl = "xla"
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
         # spec_decode=K: speculative decoding inside the continuous loop —
         # each dispatch verifies K n-gram prompt-lookup drafts per slot at
         # its own frontier (emits 1 + accepted tokens). Greedy slots accept
@@ -411,6 +429,17 @@ class ContinuousEngine:
                            "spec_tokens": 0, "plain_dispatches": 0}
         self.last_logits = jnp.zeros((num_slots, cfg.text.vocab_size),
                                      jnp.float32)
+        if mesh is not None:
+            # commit persistent device state to the mesh (replicated): a
+            # single-device-committed array next to sharded params would
+            # make every jit raise "incompatible devices"
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.last_logits = jax.device_put(self.last_logits, rep)
+            if self.hist is not None:
+                self.hist = jax.device_put(self.hist, rep)
+                self._spec_rej = jax.device_put(self._spec_rej, rep)
         self.cur_len = np.zeros((num_slots,), np.int32)
         self.pos_base = np.zeros((num_slots,), np.int32)
         self.budget = np.zeros((num_slots,), np.int32)   # remaining new tokens
@@ -729,6 +758,15 @@ class ContinuousEngine:
     def _init_cache(self, dtype) -> None:
         self.cache = KVCache.init(self.cfg.text, self.num_slots, self.max_len,
                                   dtype)
+        if self.mesh is not None:
+            # [L, N_slots, max_len, kh, hd] sharded on kv heads over "tp"
+            # (megatron attention TP — each shard serves its own heads)
+            from ..parallel.sharding import kv_cache_sharding
+
+            sh = kv_cache_sharding(self.mesh,
+                                   self.cfg.text.num_key_value_heads)
+            self.cache = KVCache(jax.device_put(self.cache.k, sh),
+                                 jax.device_put(self.cache.v, sh))
 
     def _prefill_slot(self, slot, padded, pos, true_len, max_new_tokens,
                       vision_embeds=None):
@@ -921,9 +959,26 @@ def _prefill_suffix_into_pages(params, kv, cfg, prefix_pids, new_pids, ids,
     return logits.astype(jnp.float32), kv
 
 
+def _pin_pool(kv, mesh):
+    """Pin the paged pool's kv-head "tp" sharding inside jit. GSPMD is
+    otherwise free to re-layout the multi-GB pool around the per-step
+    scatters; the pin keeps it put so only the sub-GB activations move."""
+    if mesh is None:
+        return kv
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kh = kv[0].shape[1]
+    tp = dict(mesh.shape).get("tp", 1)
+    axis = "tp" if tp > 1 and kh % tp == 0 else None
+    sh5 = NamedSharding(mesh, P(None, axis, None, None, None))
+    sh4 = NamedSharding(mesh, P(None, axis, None, None))
+    return tuple(jax.lax.with_sharding_constraint(x, sh5 if x.ndim == 5
+                                                  else sh4) for x in kv)
+
+
 def _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
                         page_tables, cur_len, page_size: int,
-                        interpret: bool):
+                        interpret: bool, mesh=None):
     """Run the stacked decoder over [N, S] tokens whose KV appends into the
     page pool at per-token (pid, off) coordinates (pid/off are [N, S] —
     mixed basic/advanced indexing puts those dims first, so the write value
@@ -942,6 +997,7 @@ def _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
     layers = params["model"]["layers"]
     n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
     quant = len(kv) == 4
+    kv = _pin_pool(kv, mesh)
 
     def body(carry, inp):
         x, kv_c = carry
@@ -963,7 +1019,7 @@ def _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
             attn = paged_decode_attention_stacked(
                 q, kp, vp, page_tables, cur_len + 1, l,
                 page_size=page_size, interpret=interpret,
-                k_scales=ksp, v_scales=vsp)
+                k_scales=ksp, v_scales=vsp, mesh=mesh)
             kv_c = (kp, vp, ksp, vsp)
         else:
             kp, vp = kv_c
@@ -971,7 +1027,7 @@ def _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
             vp = vp.at[l, :, pid, off].set(v.astype(vp.dtype))
             attn = paged_decode_attention_stacked(
                 q, kp, vp, page_tables, cur_len + 1, l,
-                page_size=page_size, interpret=interpret)
+                page_size=page_size, interpret=interpret, mesh=mesh)
             kv_c = (kp, vp)
         x = x + linear(p["attn"]["o"], attn.reshape(N, S, nh * hd))
         h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
@@ -987,7 +1043,7 @@ def _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
 def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
                        last_logits, cur_len, pos_base, active, page_tables,
                        trash_page, samp, rng, page_size: int = 128,
-                       interpret: bool = False):
+                       interpret: bool = False, mesh=None):
     """One token for every slot, KV appended into pages, attention through
     the stacked paged kernel. page_tables must be sanitized (no -1 entries —
     inactive/unallocated rows point at trash_page)."""
@@ -1005,7 +1061,8 @@ def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
     off = (cur_len % page_size)[:, None]
 
     x, kv = _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
-                                page_tables, cur_len, page_size, interpret)
+                                page_tables, cur_len, page_size, interpret,
+                                mesh=mesh)
     next_logits = lm_head(params, cfg, x[:, 0]).astype(jnp.float32)
     new_len = jnp.where(active, cur_len + 1, cur_len)
     return tok, next_logits, kv, new_len
@@ -1103,29 +1160,30 @@ def _prefill_packed_into_pages(params, kv, cfg, pids, ids,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "sp", "page_size", "interpret"),
+                   static_argnames=("cfg", "sp", "page_size", "interpret",
+                                    "mesh"),
                    donate_argnums=(1,))
 def _paged_decode_step(params, kv, cfg, sp: SamplingParams,
                        last_logits, cur_len, pos_base, active, page_tables,
                        trash_page, samp, rng, page_size: int = 128,
-                       interpret: bool = False):
+                       interpret: bool = False, mesh=None):
     return _paged_decode_body(params, kv, cfg, sp, last_logits,
                               cur_len, pos_base, active, page_tables,
                               trash_page, samp, rng, page_size=page_size,
-                              interpret=interpret)
+                              interpret=interpret, mesh=mesh)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "spec_k", "rounds", "page_size",
                                     "interpret", "greedy_only",
-                                    "_reject_all"),
+                                    "_reject_all", "mesh"),
                    donate_argnums=(1, 7))
 def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
                        active, hist, pad_id, page_tables, trash_page,
                        rej_tok, samp, rng,
                        spec_k: int, rounds: int = 1, page_size: int = 128,
                        interpret: bool = False, greedy_only: bool = False,
-                       _reject_all: bool = False):
+                       _reject_all: bool = False, mesh=None):
     """Speculative verify rounds over the PAGED pool (vLLM ships n-gram
     spec on paged KV; this is that, TPU-style): per round, each slot's
     [K+1]-token chunk KV is quantized/written into its pages at per-token
@@ -1160,7 +1218,7 @@ def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
 
         x, kv_c = _paged_decoder_pass(params, cfg, kv_c, emb, cos, sin,
                                       pid, off, page_tables, cur_len,
-                                      page_size, interpret)
+                                      page_size, interpret, mesh=mesh)
         logits_w = lm_head(params, cfg, x).astype(jnp.float32)    # [N, W, V]
         n_commit, new_logits, rej = _spec_accept(logits_w, drafts, logits,
                                                  active, K, samp, k_acc,
@@ -1178,12 +1236,13 @@ def _paged_decode_spec(params, kv, cfg, last_logits, cur_len, pos_base,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "sp", "page_size", "interpret",
-                                    "n_steps"),
+                                    "n_steps", "mesh"),
                    donate_argnums=(1,))
 def _paged_decode_multi(params, kv, cfg, sp: SamplingParams,
                         last_logits, cur_len, pos_base, active, page_tables,
                         trash_page, samp, rng, page_size: int = 128,
-                        interpret: bool = False, n_steps: int = 8):
+                        interpret: bool = False, n_steps: int = 8,
+                        mesh=None):
     """Windowed paged decode: `n_steps` tokens per dispatch. The caller
     pre-allocates pages for the whole window (ensure_capacity) so the fixed
     page_tables cover every write."""
@@ -1192,7 +1251,7 @@ def _paged_decode_multi(params, kv, cfg, sp: SamplingParams,
         tok, logits, kv_c, cur = _paged_decode_body(
             params, kv_c, cfg, sp, logits, cur, pos_base, active,
             page_tables, trash_page, samp, key, page_size=page_size,
-            interpret=interpret)
+            interpret=interpret, mesh=mesh)
         return (logits, kv_c, cur), tok
 
     keys = jax.random.split(rng, n_steps)
@@ -1260,6 +1319,23 @@ class PagedContinuousEngine(ContinuousEngine):
         # reserve one page as the write sink for inactive slots
         self.trash_page = self.pcache.free_pages.pop()
         self._interpret = jax.default_backend() != "tpu"
+        if self.mesh is not None:
+            # pools [L, kh, N_pages, ps, hd] (+ scale pools [L, kh, N_pages,
+            # ps]) shard on kv heads over "tp" — the kernel's shard_map and
+            # _pin_pool keep this layout across scatters
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kh = self.cfg.text.num_key_value_heads
+            tp = dict(self.mesh.shape).get("tp", 1)
+            axis = "tp" if tp > 1 and kh % tp == 0 else None
+            sh5 = NamedSharding(self.mesh, P(None, axis, None, None, None))
+            sh4 = NamedSharding(self.mesh, P(None, axis, None, None))
+            pc = self.pcache
+            pc.k = jax.device_put(pc.k, sh5)
+            pc.v = jax.device_put(pc.v, sh5)
+            if pc.quantized:
+                pc.k_scale = jax.device_put(pc.k_scale, sh4)
+                pc.v_scale = jax.device_put(pc.v_scale, sh4)
 
     def _kv(self):
         pc = self.pcache
@@ -1525,7 +1601,7 @@ class PagedContinuousEngine(ContinuousEngine):
             jnp.asarray(tables), jnp.int32(self.trash_page),
             self._spec_rej, self._samp_arrays(), rng,
             self.spec_decode, rounds, page_size=self._page_size,
-            interpret=self._interpret,
+            interpret=self._interpret, mesh=self.mesh,
             greedy_only=not bool(np.asarray(self.slot_do_sample)[
                 np.asarray(active)].any()),
             _reject_all=getattr(self, "_spec_reject_all", False))
@@ -1601,7 +1677,8 @@ class PagedContinuousEngine(ContinuousEngine):
                 jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
                 jnp.asarray(active), jnp.asarray(tables),
                 jnp.int32(self.trash_page), self._samp_arrays(), rng,
-                page_size=self._page_size, interpret=self._interpret)
+                page_size=self._page_size, interpret=self._interpret,
+                mesh=self.mesh)
             self._set_kv(kv)
             return tok[None], new_len
         toks, self.last_logits, kv, new_len = _paged_decode_multi(
@@ -1610,7 +1687,7 @@ class PagedContinuousEngine(ContinuousEngine):
             jnp.asarray(active), jnp.asarray(tables),
             jnp.int32(self.trash_page), self._samp_arrays(), rng,
             page_size=self._page_size, interpret=self._interpret,
-            n_steps=steps)
+            n_steps=steps, mesh=self.mesh)
         self._set_kv(kv)
         return toks, new_len
 

@@ -35,10 +35,9 @@ class EngineBackend:
         # 8 GPUs via accelerate (run_all.sh:29); here one controller drives
         # the whole mesh, so rank sharding/padding/barriers don't exist.
         if mesh is not None:
-            if engine_mode == "paged":
-                raise ValueError(
-                    "engine_mode='paged' is single-chip for now; use "
-                    "engine_mode='batch' with a mesh")
+            # engine_mode="paged" with a mesh runs the paged continuous
+            # engine TP-sharded (kv heads over "tp"; the engine shards the
+            # params/pools itself); "batch" shards here for generate()
             from ..parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
@@ -372,7 +371,7 @@ class EngineBackend:
                               pad_token_id=self.cfg.pad_token_id),
             attn_impl=self.attn_impl, prompt_buckets=tuple(buckets),
             page_size=ps, kv_quant=self.kv_quant,
-            spec_decode=self.spec_decode)
+            spec_decode=self.spec_decode, mesh=self.mesh)
         return self._cont
 
     def _run_continuous(self, loader, indices, gen_kwargs):

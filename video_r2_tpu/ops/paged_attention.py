@@ -245,7 +245,8 @@ def _paged_decode_kernel_stacked_quant(lengths_ref, tables_ref, layer_ref,
     o_ref[0, 0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("page_size", "interpret", "mesh"))
 def paged_decode_attention_stacked(
     q: jax.Array,            # [B, nh, hd] single decode step
     k_pages: jax.Array,      # [L, kh, N_pages, page_size, hd] full stack
@@ -257,6 +258,7 @@ def paged_decode_attention_stacked(
     interpret: bool = False,
     k_scales: jax.Array | None = None,  # [L, kh, N_pages, page_size] f32
     v_scales: jax.Array | None = None,  # (int8 pages)
+    mesh=None,                          # TP serving: kv heads over "tp"
 ) -> jax.Array:
     """Like paged_decode_attention but reads one layer out of the stacked
     page pool (scalar-prefetched index) — the pool stays put in HBM inside
@@ -267,7 +269,44 @@ def paged_decode_attention_stacked(
     q may also be [B, W, nh, hd] — a W-token speculative verify chunk whose
     token i sits at position lengths[b]-1+i (its K/V already written to the
     pages); the kernel applies the causal-within-chunk mask per query row.
-    Returns [B, W, nh, hd] in that case."""
+    Returns [B, W, nh, hd] in that case.
+
+    mesh: tensor-parallel paged serving (the reference judge runs vLLM at
+    --tensor-parallel-size 4, train/serve_llm/serve_qwen3.sh:13). The
+    kernel's (B, kh) grid is head-separable, so each "tp" shard runs the
+    unchanged kernel over its own kv heads' pages — a partial-manual
+    shard_map (manual over "tp" only; everything around it stays GSPMD)
+    with q/pages/scales split on the head axis and tables/lengths
+    replicated. No collective inside: head outputs concatenate."""
+    if mesh is not None:
+        tp = dict(mesh.shape).get("tp", 1)
+        kh_g = k_pages.shape[1]
+        if tp > 1 and kh_g % tp == 0:
+            from jax.sharding import PartitionSpec as P
+
+            qspec = (P(None, None, "tp", None) if q.ndim == 4
+                     else P(None, "tp", None))
+            pspec = P(None, "tp", None, None, None)
+            inner = functools.partial(
+                paged_decode_attention_stacked, page_size=page_size,
+                interpret=interpret, mesh=None)
+            if k_scales is not None:
+                sspec = P(None, "tp", None, None)
+                fn = jax.shard_map(
+                    lambda q_, kp, vp, tb, ln, ly, ks, vs: inner(
+                        q_, kp, vp, tb, ln, ly, k_scales=ks, v_scales=vs),
+                    mesh=mesh,
+                    in_specs=(qspec, pspec, pspec, P(), P(), P(),
+                              sspec, sspec),
+                    out_specs=qspec, axis_names={"tp"}, check_vma=False)
+                return fn(q, k_pages, v_pages, page_tables, lengths, layer,
+                          k_scales, v_scales)
+            fn = jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(qspec, pspec, pspec, P(), P(), P()),
+                out_specs=qspec, axis_names={"tp"}, check_vma=False)
+            return fn(q, k_pages, v_pages, page_tables, lengths, layer)
+        # tp == 1 (or doesn't divide kv heads): single-program fall-through
     if q.ndim == 4:
         B, W, nh, hd = q.shape
         multi = True

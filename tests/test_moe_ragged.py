@@ -1,0 +1,130 @@
+"""Ragged (active-experts-only) MoE decode: ops/moe_ragged.py.
+
+Megablox-style grouped matmul that reads only the step's routed experts'
+weights (VERDICT r3 Missing #2: vLLM's fused MoE does this; the grouped
+einsum streams every expert per decode step). Parity is pinned against the
+grouped-einsum path (capacity_factor=0, exact) and the dense HF-semantics
+oracle, for f32 and int8 expert weights, plus token-exact end-to-end greedy
+generation with cfg.moe_ragged_decode=True.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_moe import _build_hf_tiny_moe, tiny_moe_config
+from video_r2_tpu.models import convert_hf_state_dict
+from video_r2_tpu.models.moe import moe_mlp, moe_mlp_dense_oracle
+from video_r2_tpu.ops.moe_ragged import (
+    active_expert_table,
+    moe_mlp_ragged,
+    ragged_expert_ffn,
+)
+
+
+@pytest.fixture(scope="module")
+def moe_params():
+    """Random tiny MoE block params (E=8, H=32, I=16) + router."""
+    E, H, I = 8, 32, 16
+    r = np.random.default_rng(7)
+
+    def w(*shape):
+        return jnp.asarray(r.normal(0, 0.1, shape), jnp.float32)
+
+    return {
+        "router": {"kernel": w(H, E)},
+        "experts": {"gate": {"kernel": w(E, H, I)},
+                    "up": {"kernel": w(E, H, I)},
+                    "down": {"kernel": w(E, I, H)}},
+    }
+
+
+def test_active_expert_table(rng):
+    topi = jnp.asarray([[3, 1], [3, 5], [1, 5]])        # distinct: {1, 3, 5}
+    ids, a_idx = active_expert_table(topi, num_experts=8)
+    assert ids.shape == (6,)                            # A = min(E, T*k)
+    np.testing.assert_array_equal(np.asarray(ids), [1, 3, 5, 5, 5, 5])
+    # every slot maps back to its expert's row
+    flat = np.asarray(topi).reshape(-1)
+    rows = np.asarray(ids)[np.asarray(a_idx).reshape(-1)]
+    np.testing.assert_array_equal(rows, flat)
+
+
+@pytest.mark.parametrize("T", [1, 3, 8])
+def test_ragged_matches_grouped_and_oracle(moe_params, T, rng):
+    H, k = 32, 2
+    x = jnp.asarray(rng.normal(0, 1, (1, T, H)), jnp.float32)
+    grouped = moe_mlp(moe_params, x, k, True, capacity_factor=0.0)
+    dense = moe_mlp_dense_oracle(moe_params, x, k, True)
+    ragged = moe_mlp_ragged(moe_params, x.reshape(T, H), k, True,
+                            interpret=True).reshape(1, T, H)
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(grouped),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_int8_experts(moe_params, rng):
+    """int8 weight-only expert leaves ({kernel_q, scale}) dequantize inside
+    the kernel tile-by-tile — parity vs the grouped einsum's factored-scale
+    int8 path."""
+    from video_r2_tpu.models.quant import quantize_params
+
+    qp = quantize_params(moe_params)
+    assert "kernel_q" in qp["experts"]["gate"], "experts must quantize"
+    T, H, k = 4, 32, 2
+    x = jnp.asarray(rng.normal(0, 1, (1, T, H)), jnp.float32)
+    grouped = moe_mlp(qp, x, k, True, capacity_factor=0.0)
+    ragged = moe_mlp_ragged(qp, x.reshape(T, H), k, True,
+                            interpret=True).reshape(1, T, H)
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(grouped),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ragged_ffn_reads_only_active(moe_params, rng):
+    """Poison the INACTIVE experts' weights with NaN: the ragged output must
+    stay finite (those rows are never touched), while the all-experts
+    grouped einsum would propagate NaN through 0*NaN combines."""
+    T, H, k = 2, 32, 2
+    x = jnp.asarray(rng.normal(0, 1, (T, H)), jnp.float32)
+    from video_r2_tpu.models.moe import route
+
+    topv, topi = route(moe_params["router"]["kernel"], x, k, True)
+    active = set(np.asarray(topi).reshape(-1).tolist())
+    inactive = [e for e in range(8) if e not in active]
+    assert inactive, "need at least one untouched expert for this test"
+    poisoned = jax.tree_util.tree_map(lambda v: v, moe_params)
+    for name in ("gate", "up", "down"):
+        w = np.asarray(poisoned["experts"][name]["kernel"]).copy()
+        w[inactive] = np.nan
+        poisoned["experts"][name]["kernel"] = jnp.asarray(w)
+    out = moe_mlp_ragged(poisoned, x, k, True, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+    clean = moe_mlp_ragged(moe_params, x, k, True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(clean),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_generate_ragged_decode_token_exact(rng):
+    """cfg.moe_ragged_decode=True: greedy generation is token-identical to
+    the grouped-einsum path (prefill stays grouped; decode steps go ragged)
+    — the end-to-end flag a single-chip MoE judge serves with."""
+    from video_r2_tpu.engine.generate import SamplingParams, generate
+
+    model = _build_hf_tiny_moe()
+    cfg = tiny_moe_config()
+    params = convert_hf_state_dict(model.state_dict(), cfg, dtype="float32")
+    B, S, T = 2, 9, 8
+    ids = rng.integers(2, 127, (B, S))
+    lengths = np.array([S, S - 3])
+    ids[1, S - 3:] = 0
+    sp = SamplingParams(max_new_tokens=T, do_sample=False)
+    ref = generate(params, cfg, ids, lengths, sp)
+    rcfg = cfg.replace(text=dataclasses.replace(cfg.text,
+                                                moe_ragged_decode=True))
+    res = generate(params, rcfg, ids, lengths, sp)
+    np.testing.assert_array_equal(np.asarray(res.sequences),
+                                  np.asarray(ref.sequences))

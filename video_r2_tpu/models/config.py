@@ -72,6 +72,12 @@ class TextConfig:
     # (GShard semantics) and expert compute shrinks to ~cf x useful.
     moe_capacity_factor: float = 0.0
     moe_group_size: int = 256
+    # Single-device decode: small steps (T <= ops.moe_ragged.RAGGED_MAX_
+    # TOKENS) read ONLY the routed experts' weights via the ragged Pallas
+    # kernel (megablox-style — the all-experts einsum is all-weights-HBM-
+    # bound at decode batch sizes). Exact (no drops). Leave False for
+    # "ep"-sharded meshes (the einsum path already reads local experts).
+    moe_ragged_decode: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -29,6 +29,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# moe_mlp(ragged_decode=True) uses the active-experts-only kernel up to
+# this many tokens per step; the dispatch one-hots are O(T*k * T*k) and the
+# active-set win fades as T*k approaches E, so bigger steps (prefill) stay
+# on the grouped einsum
+RAGGED_MAX_TOKENS = 32
+
 
 def _expert_w(leaf: dict, dtype) -> tuple[jax.Array, jax.Array | None]:
     """Expert weight leaf -> (kernel [E, K, N], per-channel scale [E, N] or
@@ -104,13 +110,31 @@ def moe_mlp(
     capacity_factor: float = 0.0,
     group_size: int = 256,
     act_quant: str | None = None,
+    ragged_decode: bool = False,
 ) -> jax.Array:
-    """Sparse MoE feed-forward. Drop-in for swiglu_mlp on MoE layers."""
+    """Sparse MoE feed-forward. Drop-in for swiglu_mlp on MoE layers.
+
+    ragged_decode=True (cfg.moe_ragged_decode): small-batch steps (decode:
+    T = B*S <= RAGGED_MAX_TOKENS) route through ops/moe_ragged.py — a
+    Pallas grouped matmul that reads ONLY the step's routed experts'
+    weights from HBM (megablox-style; the all-experts einsum's weight
+    stream is the small-batch MoE decode bottleneck — an A3B judge reads
+    3B active but streams the full 80B otherwise). Exact (never drops);
+    single-device decode path (expert weights must be unsharded — the
+    "ep"-meshed einsum path already reads only local experts per device).
+    Prefill shapes fall through to the grouped einsum unchanged."""
     B, S, H = x.shape
     k = num_experts_per_tok
     E = p["router"]["kernel"].shape[-1]
     T = B * S
     xt = x.reshape(T, H)
+
+    if ragged_decode and T <= RAGGED_MAX_TOKENS and act_quant != "int8":
+        from ..ops.moe_ragged import moe_mlp_ragged
+
+        interpret = jax.default_backend() != "tpu"
+        return moe_mlp_ragged(p, xt, k, norm_topk_prob,
+                              interpret=interpret).reshape(B, S, H)
 
     n = min(group_size, T)
     G = -(-T // n)

@@ -1,0 +1,215 @@
+"""Ragged (active-experts-only) MoE expert FFN for small-batch decode.
+
+The grouped-einsum dispatch in models/moe.py streams EVERY expert's
+gate/up/down weights from HBM each step — correct and MXU-friendly for
+prefill, but small-batch MoE decode (the judge workload: the reference
+serves an 80B-A3B, i.e. 3B ACTIVE of 80B, train/serve_llm/serve_qwen3.sh:13)
+is all-weights-HBM-bound: a B=8 decode step touches at most B*top_k
+distinct experts yet pays the full E-expert weight read.
+
+This is the megablox-style fix, TPU-native: the host... no — the TRACE
+builds a static-size table of the step's ACTIVE experts (A = min(E, T*k)
+slots, sorted-unique over the routing table, padded by repeating the last
+valid id), and a Pallas kernel grids over those slots with the expert id
+SCALAR-PREFETCHED into the weight BlockSpec index_map — exactly the int4
+kernel's layer-indexing trick (ops/int4_matmul.py) — so Mosaic only ever
+DMAs the routed experts' weight tiles. Padding slots repeat the previous
+grid step's id, and Mosaic skips the re-DMA of an unchanged block, so pad
+slots cost compute (masked to zero by the combine weights) but NO HBM
+traffic.
+
+HBM bytes/step: A/E of the all-experts einsum (e.g. B=1 greedy judge
+decode on a 128-expert A3B: 8/128 = 16x less weight traffic). Exactness:
+per-active-expert capacity is T (every routed token always fits), so this
+path NEVER drops tokens — it reproduces capacity_factor=0 (exact)
+semantics regardless of the configured factor, which is what a serving
+decode step wants.
+
+int8 weight-only experts ({kernel_q, scale}, models/quant.py) dequantize
+in-kernel per tile (convert + per-output-channel scale fused after the
+dot), halving the weight read again.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ffn_kernel(ids_ref, x_ref, wg_ref, wu_ref, wd_ref, o_ref, acc_ref,
+                *, n_i: int):
+    """One (active-expert slot, intermediate tile) grid step of the fused
+    SwiGLU expert FFN: acc += silu(x @ wg_b) * (x @ wu_b) @ wd_b."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]                       # [C, H]
+    g = jax.nn.silu(jnp.dot(x, wg_ref[0], preferred_element_type=jnp.float32))
+    u = jnp.dot(x, wu_ref[0], preferred_element_type=jnp.float32)
+    h = (g * u).astype(x.dtype)        # [C, bi]
+    acc_ref[...] += jnp.dot(h, wd_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _ffn_kernel_q(ids_ref, x_ref, wg_ref, sg_ref, wu_ref, su_ref,
+                  wd_ref, sd_ref, o_ref, acc_ref, *, n_i: int):
+    """int8 weight-only variant: per-output-channel scales ([E, I] for
+    gate/up, [E, H] for down) multiply the f32 dot outputs — the same
+    factoring models/quant.py uses, done per tile in VMEM."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]
+    g = (jnp.dot(x, wg_ref[0].astype(x.dtype),
+                 preferred_element_type=jnp.float32)
+         * sg_ref[0].astype(jnp.float32)[None, :])
+    u = (jnp.dot(x, wu_ref[0].astype(x.dtype),
+                 preferred_element_type=jnp.float32)
+         * su_ref[0].astype(jnp.float32)[None, :])
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    acc_ref[...] += (jnp.dot(h, wd_ref[0].astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+                     * sd_ref[0].astype(jnp.float32)[None, :])
+
+    @pl.when(i == n_i - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_i", "interpret"))
+def ragged_expert_ffn(
+    x_slots: jax.Array,        # [A, C, H] dispatched tokens (zero-padded)
+    active_ids: jax.Array,     # [A] int32, sorted; pads repeat the last id
+    gate: dict, up: dict, down: dict,   # expert weight leaves ([E, ..] each)
+    block_i: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused SwiGLU over ACTIVE experts only. Returns [A, C, H].
+
+    Weight leaves are models/moe.py expert leaves: {"kernel" [E, K, N]} or
+    int8 {"kernel_q" [E, K, N] int8, "scale" [E, N]}. Only rows
+    active_ids[:] are ever read from HBM (BlockSpec index_map on the
+    scalar-prefetched ids)."""
+    A, C, H = x_slots.shape
+    quant = "kernel_q" in gate
+    wg = gate["kernel_q"] if quant else gate["kernel"]
+    wu = up["kernel_q"] if quant else up["kernel"]
+    wd = down["kernel_q"] if quant else down["kernel"]
+    E, _, I = wg.shape
+    bi = min(block_i, I)
+    assert I % bi == 0, (I, bi)
+    n_i = I // bi
+
+    x_spec = pl.BlockSpec((1, C, H), lambda a, i, ids: (a, 0, 0))
+    gu_spec = pl.BlockSpec((1, H, bi), lambda a, i, ids: (ids[a], 0, i))
+    d_spec = pl.BlockSpec((1, bi, H), lambda a, i, ids: (ids[a], i, 0))
+    out_spec = pl.BlockSpec((1, C, H), lambda a, i, ids: (a, 0, 0))
+    scratch = [pltpu.VMEM((C, H), jnp.float32)]
+
+    if quant:
+        s_spec = pl.BlockSpec((1, bi), lambda a, i, ids: (ids[a], i))
+        sd_spec = pl.BlockSpec((1, H), lambda a, i, ids: (ids[a], 0))
+        kernel = functools.partial(_ffn_kernel_q, n_i=n_i)
+        # down scale is [E, H] over the I-tiled partial sums: dividing it
+        # out per tile is wrong only if applied once — apply per tile and
+        # the accumulation stays linear, so it is exact.
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(A, n_i),
+                in_specs=[x_spec, gu_spec, s_spec, gu_spec, s_spec,
+                          d_spec, sd_spec],
+                out_specs=out_spec,
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((A, C, H), x_slots.dtype),
+            interpret=interpret,
+        )(active_ids.astype(jnp.int32), x_slots,
+          wg, gate["scale"], wu, up["scale"], wd, down["scale"])
+
+    kernel = functools.partial(_ffn_kernel, n_i=n_i)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(A, n_i),
+            in_specs=[x_spec, gu_spec, gu_spec, d_spec],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((A, C, H), x_slots.dtype),
+        interpret=interpret,
+    )(active_ids.astype(jnp.int32), x_slots, wg, wu, wd)
+
+
+def active_expert_table(topi: jax.Array, num_experts: int
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Routing table [T, k] -> (active_ids [A] sorted, a_idx [T, k]).
+
+    A = min(E, T*k) static. active_ids holds the step's distinct routed
+    experts in ascending order; pad slots REPEAT the last valid id (so
+    consecutive kernel grid steps see an unchanged block index and Mosaic
+    skips the DMA). a_idx maps each routing slot to its active row."""
+    T, k = topi.shape
+    E = num_experts
+    A = min(E, T * k)
+    flat = topi.reshape(-1).astype(jnp.int32)
+    s = jnp.sort(flat)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    key = jnp.where(first, s, E)          # duplicates sort to the tail
+    su = jnp.sort(key)[:A]
+    valid = su < E
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    last = su[n_valid - 1]
+    active_ids = jnp.where(valid, su, last)
+    # each token's expert is in the valid (sorted, duplicate-free) prefix,
+    # so searchsorted finds its exact row
+    a_idx = jnp.searchsorted(active_ids, flat).reshape(T, k)
+    return active_ids, a_idx
+
+
+def moe_mlp_ragged(p: dict, xt: jax.Array, k: int, norm_topk_prob: bool,
+                   interpret: bool = False) -> jax.Array:
+    """Decode-path sparse MoE over active experts only. xt [T, H] (T small:
+    a decode step's tokens); returns [T, H]. Exact (never drops — per-
+    active-expert capacity is T). Routing semantics identical to
+    models/moe.py:route (HF Qwen3MoeSparseMoeBlock parity)."""
+    from ..models.moe import route
+
+    T, H = xt.shape
+    E = p["router"]["kernel"].shape[-1]
+    topv, topi = route(p["router"]["kernel"], xt, k, norm_topk_prob)
+    active_ids, a_idx = active_expert_table(topi, E)
+    A = active_ids.shape[0]
+    C = max(T, 8)   # sublane-friendly capacity; every routed token fits
+
+    # position within active expert: slot-major cumsum (T*k is tiny)
+    oh_a = jax.nn.one_hot(a_idx.reshape(-1), A, dtype=jnp.int32)   # [Tk, A]
+    pos = (jnp.cumsum(oh_a, axis=0) - 1)
+    pos = jnp.take_along_axis(pos, a_idx.reshape(-1)[:, None], 1)[:, 0]
+    oh = (jax.nn.one_hot(a_idx.reshape(-1), A, dtype=xt.dtype)[:, :, None]
+          * jax.nn.one_hot(pos, C, dtype=xt.dtype)[:, None, :])    # [Tk,A,C]
+    x_rep = jnp.repeat(xt, k, axis=0)                              # [Tk, H]
+    x_slots = jnp.einsum("tac,th->ach", oh, x_rep)
+
+    y_slots = ragged_expert_ffn(x_slots, active_ids, p["experts"]["gate"],
+                                p["experts"]["up"], p["experts"]["down"],
+                                interpret=interpret)
+
+    w_rep = topv.reshape(-1)                                       # [Tk]
+    out = jnp.einsum("tac,ach->th", oh * w_rep[:, None, None], y_slots)
+    return out.reshape(T, k, H).sum(1)

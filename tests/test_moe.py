@@ -387,3 +387,40 @@ def test_quantized_leaves_shard_like_kernels(hf_moe, rng):
     ref = generate(qp, cfg, ids, lengths, sp)
     res = generate(shard_params(qp, mesh), cfg, ids, lengths, sp, mesh=mesh)
     np.testing.assert_array_equal(res.sequences, ref.sequences)
+
+
+def test_capacity_drop_stats_accounting(rng):
+    """capacity_drop_stats runs the EXACT moe_mlp keep computation (shared
+    _keep_mask): cf=0 never drops; a hand-built all-tokens-to-the-same-two-
+    experts router drops exactly (T-C)/T of each expert's slots."""
+    import jax.numpy as jnp
+
+    from video_r2_tpu.models.moe import capacity_drop_stats
+
+    H, E, T, k = 4, 4, 8, 2
+    # router forcing every token's top-2 to experts (0, 1)
+    w = np.zeros((H, E), np.float32)
+    w[:, 0] = 2.0
+    w[:, 1] = 1.0
+    p = {"router": {"kernel": jnp.asarray(w)}}
+    x = jnp.asarray(np.abs(rng.normal(1, 0.1, (1, T, H))), jnp.float32)
+
+    st0 = capacity_drop_stats(p, x, k, True, capacity_factor=0.0,
+                              group_size=8)
+    assert st0["slot_drop_rate"] == 0.0
+    assert st0["weight_drop_rate"] == 0.0
+    assert st0["expert_max_fill"] == T          # all 8 tokens hit expert 0
+
+    # cf=1: C = ceil(8*2*1/4) = 4 -> each of the two experts keeps 4 of 8
+    st1 = capacity_drop_stats(p, x, k, True, capacity_factor=1.0,
+                              group_size=8)
+    assert st1["capacity"] == 4
+    assert abs(st1["slot_drop_rate"] - 0.5) < 1e-6
+    assert 0.0 < st1["weight_drop_rate"] < 1.0
+
+    # generous factor on a uniform router: negligible drops
+    wu = rng.normal(0, 0.5, (H, E)).astype(np.float32)
+    pu = {"router": {"kernel": jnp.asarray(wu)}}
+    stu = capacity_drop_stats(pu, x, k, True, capacity_factor=2.0,
+                              group_size=8)
+    assert stu["slot_drop_rate"] <= 0.25

@@ -128,3 +128,48 @@ def test_generate_ragged_decode_token_exact(rng):
     res = generate(params, rcfg, ids, lengths, sp)
     np.testing.assert_array_equal(np.asarray(res.sequences),
                                   np.asarray(ref.sequences))
+
+
+def test_ragged_flag_downgrades_under_mesh(rng):
+    """cfg.moe_ragged_decode=True under an ep x tp mesh: engines/generate
+    downgrade to the einsum path (the ragged kernel is single-device) and
+    stay token-exact — the judge preset ships the flag on without breaking
+    sharded serving."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+    from video_r2_tpu.engine.generate import SamplingParams, generate
+    from video_r2_tpu.engine.sampling import SamplingParams as SP
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    model = _build_hf_tiny_moe()
+    cfg = tiny_moe_config()
+    params = convert_hf_state_dict(model.state_dict(), cfg, dtype="float32")
+    rcfg = cfg.replace(text=dataclasses.replace(cfg.text,
+                                                moe_ragged_decode=True))
+    B, S, T = 2, 9, 6
+    ids = rng.integers(2, 127, (B, S))
+    lengths = np.array([S, S - 2])
+    sp = SamplingParams(max_new_tokens=T, do_sample=False)
+    ref = generate(params, cfg, ids, lengths, sp)
+    mesh = make_mesh(MeshConfig(ep=2, tp=2))
+    res = generate(params, rcfg, ids, lengths, sp, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(res.sequences),
+                                  np.asarray(ref.sequences))
+
+    kw = dict(num_slots=2, max_len=64,
+              sp=SP(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
+              prompt_buckets=(16,), page_size=16)
+    eng = PagedContinuousEngine(params, rcfg, mesh=mesh, **kw)
+    rids = [eng.submit(list(p), max_new_tokens=4)
+            for p in (ids[0].tolist(), ids[1, :7].tolist())]
+    out = {}
+    while eng.num_active:
+        for rid, toks in eng.step():
+            out[rid] = toks
+    single = PagedContinuousEngine(params, cfg, **kw)
+    rids_s = [single.submit(list(p), max_new_tokens=4)
+              for p in (ids[0].tolist(), ids[1, :7].tolist())]
+    out_s = {}
+    while single.num_active:
+        for rid, toks in single.step():
+            out_s[rid] = toks
+    assert [out[r] for r in rids] == [out_s[r] for r in rids_s]

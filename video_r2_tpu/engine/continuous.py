@@ -378,6 +378,13 @@ class ContinuousEngine:
             from ..parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
+            if getattr(cfg.text, "moe_ragged_decode", False):
+                # ragged active-experts decode is single-device (the
+                # "ep"-meshed einsum already reads only local experts)
+                import dataclasses
+
+                cfg = cfg.replace(text=dataclasses.replace(
+                    cfg.text, moe_ragged_decode=False))
         # spec_decode=K: speculative decoding inside the continuous loop —
         # each dispatch verifies K n-gram prompt-lookup drafts per slot at
         # its own frontier (emits 1 + accepted tokens). Greedy slots accept

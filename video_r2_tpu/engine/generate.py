@@ -255,6 +255,14 @@ def generate(
 ) -> GenerationResult:
     """Host-orchestrated batched generation."""
     B, S = input_ids.shape
+    if mesh is not None and getattr(cfg.text, "moe_ragged_decode", False):
+        # the ragged active-experts kernel is single-device (expert weights
+        # must be unsharded); the "ep"-meshed einsum path already reads
+        # only local experts per device
+        import dataclasses
+
+        cfg = cfg.replace(text=dataclasses.replace(
+            cfg.text, moe_ragged_decode=False))
     if spec_decode:
         # sampled requests use rejection-sampling verification (exact
         # target distribution, engine/spec_decode.py) — greedy stays

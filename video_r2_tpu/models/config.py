@@ -139,12 +139,14 @@ def qwen3_moe_30b_a3b() -> ModelConfig:
             num_key_value_heads=4, head_dim_override=128, qk_norm=True,
             attention_bias=False, num_experts=128, num_experts_per_tok=8,
             moe_intermediate_size=768, norm_topk_prob=True,
-            # serving capacity: full/exact mode (0.0) computes E/k = 16x the
-            # useful expert work at this shape — a production preset must
-            # ship a real capacity factor (GShard-style drops, ~never hit
-            # at 2.0); tests that need HF-exact logits use tiny configs
-            # with the 0.0 default
-            moe_capacity_factor=2.0,
+            # judge serving runs EXACT (0.0 = full capacity, no drops):
+            # measured at this routing shape (profile_moe_capacity.py, r4),
+            # decode steps never drop at any factor, but skewed-router
+            # PREFILL drops 15-64% of router weight even at 2.0 — not a
+            # safe tradeoff for judging quality. Decode weight reads are
+            # bounded by moe_ragged_decode, not the capacity factor; raise
+            # the factor only for training-throughput experiments.
+            moe_capacity_factor=0.0, moe_ragged_decode=True,
             mrope_section=(22, 21, 21),  # text-only: plain RoPE (equal pos)
             rope_theta=1_000_000.0,
         ),

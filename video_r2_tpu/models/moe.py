@@ -101,6 +101,69 @@ def _expert_matmul(x: jax.Array, leaf: dict, eq: str,
     return _scaled(jnp.einsum(eq, x, w), scale)
 
 
+def _keep_mask(topi, G: int, n: int, E: int, C: int
+               ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(ids [G, nk], pos [G, nk] position-within-expert, keep [G, nk]).
+
+    Token-major flattening fixes intra-group priority (all of token i's
+    slots claim capacity before token i+1's); slots whose position within
+    their expert reaches C DROP (keep=False -> zero dispatch row)."""
+    k = topi.shape[-1]
+    ids = topi.reshape(G, n * k)                       # [G, nk]
+    oh_e = jax.nn.one_hot(ids, E, dtype=jnp.int32)     # [G, nk, E]
+    pos = jnp.cumsum(oh_e, axis=1) - 1                 # position within expert
+    pos = jnp.take_along_axis(pos, ids[..., None], axis=2)[..., 0]  # [G, nk]
+    return ids, pos, pos < C
+
+
+def _dispatch_tensors(topi, topv, G: int, n: int, E: int, C: int, dtype
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Group-view dispatch/combine tensors + keep mask ([G, nk] bool)."""
+    k = topi.shape[-1]
+    ids, pos, keep = _keep_mask(topi, G, n, E, C)
+    w = topv.reshape(G, n * k)
+    oh_c = jax.nn.one_hot(jnp.where(keep, pos, C), C, dtype=dtype)
+    disp = (jax.nn.one_hot(ids, E, dtype=dtype)[..., None]
+            * oh_c[..., None, :])                      # [G, nk, E, C]
+    comb = disp * w[..., None, None]
+    return disp, comb, keep
+
+
+def capacity_drop_stats(p: dict, x: jax.Array, num_experts_per_tok: int,
+                        norm_topk_prob: bool = True,
+                        capacity_factor: float = 0.0,
+                        group_size: int = 256) -> dict:
+    """Operator telemetry for the GShard capacity tradeoff (VERDICT r3 #7):
+    what fraction of routing SLOTS — and of router WEIGHT mass, the better
+    quality proxy — does this (batch, capacity_factor) drop? Runs the exact
+    moe_mlp routing + keep computation (shared _dispatch_tensors), so the
+    numbers are the true drops, not an estimate. Returns python floats:
+    {slot_drop_rate, weight_drop_rate, capacity, expert_max_fill}."""
+    B, S, H = x.shape if x.ndim == 3 else (1, *x.shape)
+    xt = x.reshape(B * S, H)
+    k = num_experts_per_tok
+    E = p["router"]["kernel"].shape[-1]
+    T = B * S
+    n = min(group_size, T)
+    G = -(-T // n)
+    Tp = G * n
+    pad = Tp - T
+    if pad:
+        xt = jnp.pad(xt, ((0, pad), (0, 0)))
+    topv, topi = route(p["router"]["kernel"], xt, k, norm_topk_prob)
+    C = _capacity(n, E, k, capacity_factor)
+    ids, _, keep = _keep_mask(topi, G, n, E, C)
+    keep = keep.reshape(-1)[:T * k] if pad else keep.reshape(-1)
+    w = topv.reshape(-1)[:T * k].astype(jnp.float32)
+    slot_drop = 1.0 - float(jnp.mean(keep.astype(jnp.float32)))
+    weight_drop = 1.0 - float(jnp.sum(jnp.where(keep, w, 0.0))
+                              / jnp.maximum(jnp.sum(w), 1e-9))
+    fill = jax.nn.one_hot(topi.reshape(G, n * k), E,
+                          dtype=jnp.int32).sum(1)       # [G, E]
+    return {"slot_drop_rate": slot_drop, "weight_drop_rate": weight_drop,
+            "capacity": C, "expert_max_fill": int(jnp.max(fill))}
+
+
 def moe_mlp(
     p: dict,                     # {"router": {"kernel" [H,E]}, "experts":
                                  #  {"gate"/"up" [E,H,I], "down" [E,I,H]}}
@@ -144,19 +207,7 @@ def moe_mlp(
 
     topv, topi = route(p["router"]["kernel"], xt, k, norm_topk_prob)
     C = _capacity(n, E, k, capacity_factor)
-
-    # group view; token-major flattening fixes intra-group priority
-    # (all of token i's slots claim capacity before token i+1's)
-    ids = topi.reshape(G, n * k)                       # [G, nk]
-    w = topv.reshape(G, n * k)
-    oh_e = jax.nn.one_hot(ids, E, dtype=jnp.int32)     # [G, nk, E]
-    pos = jnp.cumsum(oh_e, axis=1) - 1                 # position within expert
-    pos = jnp.take_along_axis(pos, ids[..., None], axis=2)[..., 0]  # [G, nk]
-    keep = pos < C
-    oh_c = jax.nn.one_hot(jnp.where(keep, pos, C), C, dtype=x.dtype)
-    disp = (jax.nn.one_hot(ids, E, dtype=x.dtype)[..., None]
-            * oh_c[..., None, :])                      # [G, nk, E, C]
-    comb = disp * w[..., None, None]
+    disp, comb, _ = _dispatch_tensors(topi, topv, G, n, E, C, x.dtype)
 
     xg = xt.reshape(G, n, H)
     disp_t = disp.reshape(G, n, k, E, C).sum(2)        # token -> (e, c) slots

@@ -27,6 +27,12 @@ class VisionConfig:
     out_hidden_size: int = 3584
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # remat granularity for the training tower (vit_forward remat=True):
+    # 0 = jax.checkpoint per layer; N>1 (dividing depth) = checkpoint per
+    # N-layer SEGMENT via a nested scan — fewer, larger remat regions, the
+    # VERDICT r3 #9 workaround candidate for the axon remote compiler's
+    # depth-32 backward ceiling (validate on chip; numerics identical)
+    remat_segment: int = 0
 
     @property
     def head_dim(self) -> int:

@@ -300,14 +300,34 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
                              full_flag, cfg, wp, attn_impl, act_quant,
                              interpret), None
 
-    if remat:
-        # gradient checkpointing per ViT layer (the reference trains the
-        # tower under --gradient_checkpointing, train_sft.sh:62): without
-        # it the depth-32 backward saves every layer's activations AND the
-        # monolithic backward program breaks the compiler at 128-frame
-        # shapes
-        body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
+    seg = cfg.remat_segment
+    if remat and seg > 1 and cfg.depth % seg == 0:
+        # segment-granular checkpointing: an outer scan over depth/seg
+        # segments, jax.checkpoint around an inner scan of seg layers —
+        # fewer, larger remat regions than per-layer (the r3 depth-32
+        # backward exceeded the axon remote compiler's limits; segmenting
+        # restructures the saved-activation schedule without changing
+        # numerics). cfg.remat_segment opts in.
+        nseg = cfg.depth // seg
+        blocks_seg = jax.tree_util.tree_map(
+            lambda v: v.reshape(nseg, seg, *v.shape[1:]), params["blocks"])
+
+        def seg_body(carry, seg_inp):
+            p_seg, flags = seg_inp
+            out, _ = jax.lax.scan(body, carry, (p_seg, flags))
+            return out, None
+
+        x, _ = jax.lax.scan(jax.checkpoint(seg_body), x,
+                            (blocks_seg, is_full.reshape(nseg, seg)))
+    else:
+        if remat:
+            # gradient checkpointing per ViT layer (the reference trains
+            # the tower under --gradient_checkpointing, train_sft.sh:62):
+            # without it the depth-32 backward saves every layer's
+            # activations AND the monolithic backward program breaks the
+            # compiler at 128-frame shapes
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
 
     # merger: RMSNorm per patch, merge 2x2 units, 2-layer MLP with exact GELU
     mcfg = params["merger"]

@@ -1,0 +1,92 @@
+"""On-chip ragged-vs-einsum MoE decode latency at judge shapes.
+
+The claim to verify (ops/moe_ragged.py): small-batch decode on a
+many-expert model is all-weights-HBM-bound, and the active-experts-only
+kernel cuts the weight read to A/E. Measures one MoE block's decode-step
+latency (einsum vs ragged) at the Qwen3-30B-A3B block shape
+(E=128, top-8, H=2048, I=768 per expert — ~1.2 GB of bf16 expert weights
+per layer... scaled to fit: E=64 here) for B in {1, 8}.
+
+Run on the real chip: python scripts/profile_moe_ragged.py
+CPU smoke (tiny): JAX_PLATFORMS=cpu python scripts/profile_moe_ragged.py 8 64 32
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax  # noqa: E402
+    import jax.numpy as jnp  # noqa: E402
+
+    from video_r2_tpu.models.moe import moe_mlp  # noqa: E402
+    from video_r2_tpu.ops.moe_ragged import moe_mlp_ragged  # noqa: E402
+
+    E, k, H, I = 64, 8, 2048, 768    # half the A3B expert count: ~600 MB
+    if len(sys.argv) > 3:
+        E, H, I = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+        k = min(k, E)
+    key = jax.random.PRNGKey(0)
+    p = {
+        "router": {"kernel": jax.random.normal(key, (H, E), jnp.float32)
+                   * H ** -0.5},
+        "experts": {
+            "gate": {"kernel": jnp.zeros((E, H, I), jnp.bfloat16)},
+            "up": {"kernel": jnp.zeros((E, H, I), jnp.bfloat16)},
+            "down": {"kernel": jnp.zeros((E, I, H), jnp.bfloat16)},
+        },
+    }
+    gb = 3 * E * H * I * 2 / 1e9
+    print(f"expert weights: {gb:.2f} GB bf16 (E={E}, k={k})", flush=True)
+
+    REPS = 50   # in-jit scan: the ~25 ms tunnel dispatch floor would
+                # otherwise swamp sub-ms per-step differences (CLAUDE.md)
+
+    for B in (1, 8):
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, H), jnp.bfloat16)
+
+        @jax.jit
+        def einsum_step(p, x):
+            def body(c, _):
+                # feed the output back so the scan can't be collapsed
+                return moe_mlp(p, c, k, True, capacity_factor=0.0), None
+            out, _ = jax.lax.scan(body, x, None, length=REPS)
+            return out.astype(jnp.float32).sum()
+
+        @jax.jit
+        def ragged_step(p, x):
+            def body(c, _):
+                return moe_mlp_ragged(p, c.reshape(B, H), k,
+                                      True).reshape(B, 1, H), None
+            out, _ = jax.lax.scan(body, x, None, length=REPS)
+            return out.astype(jnp.float32).sum()
+
+        for name, fn in (("einsum", einsum_step), ("ragged", ragged_step)):
+            try:
+                float(fn(p, x))   # compile
+            except Exception as e:
+                print(f"B={B} {name}: FAILED ({type(e).__name__}: "
+                      f"{str(e)[:120]})", flush=True)
+                continue
+            t0 = time.perf_counter()
+            n = 3
+            for _ in range(n):
+                float(fn(p, x))
+            dt = (time.perf_counter() - t0) / n / REPS * 1e3
+            bw = gb / (dt / 1e3)
+            print(f"B={B} {name:7s}: {dt:7.3f} ms/step "
+                  f"({bw:6.1f} GB/s if all-weights)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

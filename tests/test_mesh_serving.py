@@ -183,11 +183,56 @@ def test_batch_mode_mesh_guards(cfg_params):
         ChatEngine(params, cfg, ByteTokenizer(), mesh=mesh, kv_quant="int8")
 
 
-def test_mesh_rejects_flash_attn(cfg_params):
-    """Sharded serving is XLA-attention only (the flash kernel is
-    single-chip) — a flash-configured engine raises instead of crashing in
-    the kernel."""
+def test_mesh_rejects_unsupported_attn(cfg_params):
+    """Sharded serving prefills via 'xla' or 'flash' (head-sharded
+    shard_map); anything else raises instead of crashing in a kernel."""
     cfg, params = cfg_params
     mesh = make_mesh(MeshConfig(tp=2))
     with pytest.raises(ValueError, match="attn_impl"):
-        ContinuousEngine(params, cfg, mesh=mesh, attn_impl="flash")
+        ContinuousEngine(params, cfg, mesh=mesh, attn_impl="sp")
+
+
+def test_flash_prefill_under_tp(cfg_params, rng):
+    """attn_impl='flash' under tp=2: prefill runs the flash kernel
+    head-sharded in a shard_map (ops/flash.py mesh wrapper) — token-exact
+    vs the SAME engine single-device (per-head flash math is independent of
+    the head partitioning), for both continuous engines and batch
+    generate()."""
+    import numpy as np
+
+    from video_r2_tpu.engine.generate import generate
+    from video_r2_tpu.engine.sampling import SamplingParams as SP
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    cfg, params = cfg_params
+    prompts = _prompts(rng)
+    mesh = make_mesh(MeshConfig(tp=2))
+
+    kw = dict(num_slots=4, max_len=64,
+              sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                eos_token_ids=()),
+              prompt_buckets=(16,), attn_impl="flash")
+    single = _drain(ContinuousEngine(params, cfg, **kw), prompts, 8)
+    sharded = _drain(ContinuousEngine(params, cfg, mesh=mesh, **kw),
+                     prompts, 8)
+    assert sharded == single
+
+    pkw = dict(num_slots=4, max_len=64,
+               sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                 eos_token_ids=()),
+               prompt_buckets=(16, 32), page_size=16, attn_impl="flash")
+    psingle = _drain(PagedContinuousEngine(params, cfg, **pkw), prompts, 8)
+    psharded = _drain(PagedContinuousEngine(params, cfg, mesh=mesh, **pkw),
+                      prompts, 8)
+    assert psharded == psingle
+
+    # batch generate: flash prefill + mesh
+    B, S, T = 3, 9, 6
+    ids = rng.integers(2, 400, (B, S))
+    lengths = np.asarray([9, 7, 5])
+    gsp = SP(max_new_tokens=T, do_sample=False, eos_token_ids=())
+    ref = generate(params, cfg, ids, lengths, gsp, attn_impl="flash")
+    res = generate(shard_params(params, mesh), cfg, ids, lengths, gsp,
+                   attn_impl="flash", mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(res.sequences),
+                                  np.asarray(ref.sequences))

@@ -34,6 +34,8 @@ def main(argv=None):
     prefill_chunk = 0  # --prefill-chunk N: paged chunked prefill — long
                        # prompts prefill N tokens per step, interleaved
                        # with decode (vLLM --enable-chunked-prefill)
+    max_len = 4096     # --max-len N: per-request context budget
+                       # (vLLM --max-model-len; serve_qwen3.sh:14 = 32768)
     rest = []
     i = 0
     while i < len(argv):
@@ -55,6 +57,9 @@ def main(argv=None):
         elif argv[i] == "--prefill-chunk":
             prefill_chunk = int(argv[i + 1])
             i += 2
+        elif argv[i] == "--max-len":
+            max_len = int(argv[i + 1])
+            i += 2
         elif argv[i] == "--paged":
             continuous = True
             engine_kind = "paged"
@@ -72,7 +77,7 @@ def main(argv=None):
                         continuous=continuous, engine_kind=engine_kind,
                         spec_decode=spec_decode, kv_quant=kv_quant,
                         decode_window=decode_window,
-                        prefill_chunk_tokens=prefill_chunk)
+                        prefill_chunk_tokens=prefill_chunk, max_len=max_len)
     logger.info("serving OpenAI-compatible API on :%d%s", port,
                 f" (mesh {dict(mesh.shape)})" if mesh is not None else "")
     serve(engine, port=port)

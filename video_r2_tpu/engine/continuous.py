@@ -34,9 +34,11 @@ from ..models.mrope import get_rope_index, mrope_cos_sin
 from .sampling import SamplingParams, sample_token_per_slot
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "mesh"),
+                   donate_argnums=(1,))
 def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
-                       length, vision_embeds=None, attn_impl: str = "xla"):
+                       length, vision_embeds=None, attn_impl: str = "xla",
+                       mesh=None):
     """Run one sequence's prompt ([1, S]) and write its KV into `slot`.
     vision_embeds [N, H] (padded; extra rows never gathered) merge into the
     <|video_pad|> slots — the multimodal serving path the reference gets from
@@ -58,7 +60,7 @@ def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
                                   cache=tmp, cache_position=0,
                                   attn_impl=attn_impl,
                                   kv_lengths=length, causal=True,
-                                  cache_fill=True)
+                                  cache_fill=True, mesh=mesh)
     max_len = cache.k.shape[2]
     pad = max_len - S
     k_slot = jnp.pad(tmp.k[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
@@ -369,12 +371,15 @@ class ContinuousEngine:
         # additionally shard_maps its Pallas kernel on kv heads).
         self.mesh = mesh
         if mesh is not None:
-            if attn_impl not in ("xla", "auto"):
+            if attn_impl not in ("xla", "auto", "flash"):
                 raise ValueError(
-                    f"attn_impl={attn_impl!r} with a mesh: sharded serving "
-                    "runs the XLA attention path (the flash kernel is "
-                    "single-chip); pass attn_impl='xla'")
-            attn_impl = "xla"
+                    f"attn_impl={attn_impl!r} unsupported with a mesh "
+                    "(sharded serving prefills via 'xla' or 'flash')")
+            if attn_impl == "auto":
+                attn_impl = "xla"
+            # "flash" runs head-sharded over "tp" (ops/flash.py mesh
+            # wrapper); dot_product_attention falls back to xla when tp
+            # doesn't divide the head counts
             from ..parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
@@ -790,7 +795,8 @@ class ContinuousEngine:
         logits, self.cache = _prefill_into_slot(
             self.params, self.cache, self.cfg, slot, jnp.asarray(padded),
             jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
-            vision_embeds=vision_embeds, attn_impl=self.attn_impl)
+            vision_embeds=vision_embeds, attn_impl=self.attn_impl,
+            mesh=self.mesh)
         return logits
 
     def _samp_arrays(self):
@@ -842,11 +848,12 @@ def _scatter_pages(kv, kk, vv, flat):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "attn_impl", "page_size"),
+                   static_argnames=("cfg", "attn_impl", "page_size", "mesh"),
                    donate_argnums=(1,))
 def _prefill_into_pages(params, kv, cfg, pids, ids,
                         position_ids, length, vision_embeds=None,
-                        attn_impl: str = "xla", page_size: int = 128):
+                        attn_impl: str = "xla", page_size: int = 128,
+                        mesh=None):
     """One sequence's prompt KV scattered into its allocated pages.
     pids: [bucket // page_size] page ids covering the (padded) prompt.
     vision_embeds as in _prefill_into_slot (multimodal serving)."""
@@ -865,7 +872,7 @@ def _prefill_into_pages(params, kv, cfg, pids, ids,
     hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
                                   bias, cache=tmp, cache_position=0,
                                   attn_impl=attn_impl, kv_lengths=length,
-                                  causal=True, cache_fill=True)
+                                  causal=True, cache_fill=True, mesh=mesh)
     L, _, _, kh, hd = tmp.k.shape
     npb = S // page_size
     kk = tmp.k[:, 0].reshape(L, npb, page_size, kh, hd).transpose(0, 3, 1, 2, 4)
@@ -1076,11 +1083,12 @@ def _paged_decode_body(params, kv, cfg, sp: SamplingParams,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "attn_impl", "page_size"),
+                   static_argnames=("cfg", "attn_impl", "page_size", "mesh"),
                    donate_argnums=(1,))
 def _prefill_into_pages_batch(params, kv, cfg, pids, ids,
                               position_ids, lengths, vision_embeds=None,
-                              attn_impl: str = "xla", page_size: int = 128):
+                              attn_impl: str = "xla", page_size: int = 128,
+                              mesh=None):
     """Batched admission prefill: K same-bucket prompts in one dispatch
     (an idle engine admitting a burst otherwise pays K serial prefill
     dispatches). ids [K, bucket]; pids [K, bucket/page_size]; lengths [K].
@@ -1105,7 +1113,7 @@ def _prefill_into_pages_batch(params, kv, cfg, pids, ids,
     hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
                                   bias, cache=tmp, cache_position=0,
                                   attn_impl=attn_impl, kv_lengths=lengths,
-                                  causal=True, cache_fill=True)
+                                  causal=True, cache_fill=True, mesh=mesh)
     L, _, _, kh, hd = tmp.k.shape
     npb = S // page_size
     kk = (tmp.k.reshape(L, K, npb, page_size, kh, hd)
@@ -1118,11 +1126,12 @@ def _prefill_into_pages_batch(params, kv, cfg, pids, ids,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "attn_impl", "page_size"),
+                   static_argnames=("cfg", "attn_impl", "page_size", "mesh"),
                    donate_argnums=(1,))
 def _prefill_packed_into_pages(params, kv, cfg, pids, ids,
                                position_ids, seg_ids, last_rc,
-                               attn_impl: str = "xla", page_size: int = 128):
+                               attn_impl: str = "xla", page_size: int = 128,
+                               mesh=None):
     """Sequence-PACKED admission prefill: many SHORT prompts share each row
     (page-aligned spans), masked from each other by segment ids — the flash
     kernel's existing segment masking (ops/flash.py) or an equivalent XLA
@@ -1143,7 +1152,7 @@ def _prefill_packed_into_pages(params, kv, cfg, pids, ids,
             params["model"], cfg.text, h, cos, sin, None, cache=tmp,
             cache_position=0, attn_impl="flash",
             kv_lengths=jnp.full((R,), S, jnp.int32), causal=True,
-            segment_ids=seg_ids, cache_fill=True)
+            segment_ids=seg_ids, cache_fill=True, mesh=mesh)
     else:
         i = jnp.arange(S)[:, None]
         j = jnp.arange(S)[None, :]
@@ -1554,7 +1563,7 @@ class PagedContinuousEngine(ContinuousEngine):
             jnp.asarray(pids, jnp.int32), jnp.asarray(padded),
             jnp.asarray(pos), jnp.asarray([true_len], jnp.int32),
             vision_embeds=vision_embeds, attn_impl=self.attn_impl,
-            page_size=ps)
+            page_size=ps, mesh=self.mesh)
         self._set_kv(kv)
         self._finish_prompt_pages(slot, pids, true_len,
                                   np.asarray(padded)[0, :true_len],
@@ -1645,7 +1654,7 @@ class PagedContinuousEngine(ContinuousEngine):
                 jnp.asarray(new, jnp.int32), ids_c, pos_c,
                 jnp.asarray([min(true_len, end)], jnp.int32),
                 vision_embeds=embeds_c,
-                attn_impl=self.attn_impl, page_size=ps)
+                attn_impl=self.attn_impl, page_size=ps, mesh=self.mesh)
         else:
             m = start // ps
             m_pad = 1
@@ -1799,7 +1808,8 @@ class PagedContinuousEngine(ContinuousEngine):
                         self.params, self._kv(), self.cfg, jnp.asarray(pids),
                         jnp.asarray(padded), jnp.asarray(pos),
                         jnp.asarray(lens), vision_embeds=embeds,
-                        attn_impl=self.attn_impl, page_size=ps)
+                        attn_impl=self.attn_impl, page_size=ps,
+                        mesh=self.mesh)
                     self._set_kv(kv)
                 except Exception:
                     # unwind this chunk's pages (no slot references them yet)
@@ -1932,7 +1942,7 @@ class PagedContinuousEngine(ContinuousEngine):
                 self.params, self._kv(), self.cfg, jnp.asarray(pids),
                 jnp.asarray(ids_p), jnp.asarray(pos), jnp.asarray(seg),
                 jnp.asarray(last_rc), attn_impl=self.attn_impl,
-                page_size=ps)
+                page_size=ps, mesh=self.mesh)
             self._set_kv(kv)
         except Exception:
             for pages in page_lists:

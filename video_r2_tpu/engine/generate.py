@@ -105,7 +105,8 @@ def prefill(
                                     cache=cache, cache_position=0,
                                     attn_impl=attn_impl,
                                     kv_lengths=lengths, causal=True,
-                                    cache_fill=True, act_quant=act_quant)
+                                    cache_fill=True, act_quant=act_quant,
+                                    mesh=mesh)
     last = hidden[jnp.arange(B), lengths - 1]
     logits = lm_head(params, cfg, last)
     return logits.astype(jnp.float32), cache

@@ -112,7 +112,8 @@ def _qk_norm(p_attn: dict, q, k, cfg: TextConfig):
 def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
            cache_position=None, layer_idx=None, attn_impl: str = "xla",
            kv_lengths=None, causal: bool = False, segment_ids=None,
-           act_quant: str | None = None, head_major_fill: bool = False):
+           act_quant: str | None = None, head_major_fill: bool = False,
+           mesh=None):
     """One decoder layer. With a cache, cache_kv is the FULL stacked
     (k, v) [L, B, Smax, kh, hd] pair carried through the layer scan; the new
     token rows are written in place (dynamic-update-slice on the scan carry —
@@ -236,7 +237,8 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
 
     attn = dot_product_attention(q, k_all, v_all, bias=mask_bias,
                                  kv_lengths=kv_lengths, causal=causal,
-                                 segment_ids=segment_ids, impl=attn_impl)
+                                 segment_ids=segment_ids, impl=attn_impl,
+                                 mesh=mesh)
     x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd), act_quant)
     h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
     return x + _mlp(p["mlp"], h, cfg, act_quant), new_kv
@@ -290,6 +292,8 @@ def decoder_forward(
     remat: bool = False,                  # gradient checkpointing per layer
     cache_fill: bool = False,             # prefill: build the cache via xs/ys
     act_quant: str | None = None,         # "int8": W8A8 on the integer MXU
+    mesh=None,                            # TP serving: flash prefill runs
+                                          # head-sharded in a shard_map
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the stacked decoder. Returns (final hidden [B,S,H], updated cache).
 
@@ -302,7 +306,8 @@ def decoder_forward(
         def body(x, p):
             x, _ = _layer(p, x, cos, sin, mask_bias, cfg, attn_impl=attn_impl,
                           kv_lengths=kv_lengths, causal=causal,
-                          segment_ids=segment_ids, act_quant=act_quant)
+                          segment_ids=segment_ids, act_quant=act_quant,
+                          mesh=mesh)
             return x, None
 
         if remat:
@@ -318,7 +323,7 @@ def decoder_forward(
                                attn_impl=attn_impl,
                                kv_lengths=kv_lengths, causal=causal,
                                segment_ids=segment_ids,
-                               act_quant=act_quant)
+                               act_quant=act_quant, mesh=mesh)
             return x, new_kv
 
         hidden, ys = jax.lax.scan(body, hidden, (layers, *cache))
@@ -335,7 +340,7 @@ def decoder_forward(
                                  kv_lengths=kv_lengths, causal=causal,
                                  segment_ids=segment_ids,
                                  act_quant=act_quant,
-                                 head_major_fill=head_major)
+                                 head_major_fill=head_major, mesh=mesh)
             return x, (nk, nv)
 
         hidden, (ks, vs) = jax.lax.scan(body, hidden,

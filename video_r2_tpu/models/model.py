@@ -73,6 +73,7 @@ def embed_inputs(
     video_layout: VisionLayout | None = None,
     image_patches: jax.Array | None = None,
     image_layout: VisionLayout | None = None,
+    vit_attn_impl: str = "auto",
 ) -> jax.Array:
     """Token embeddings with vision features merged into pad slots.
 
@@ -85,11 +86,11 @@ def embed_inputs(
     h = params["model"]["embed_tokens"]["embedding"][input_ids]
     if video_patches is not None:
         vemb = vit_forward(params["visual"], cfg.vision, video_patches,
-                           video_layout, attn_impl="auto", remat=True)
+                           video_layout, attn_impl=vit_attn_impl, remat=True)
         h = merge_vision_embeddings(input_ids, h, vemb, cfg.video_token_id)
     if image_patches is not None:
         iemb = vit_forward(params["visual"], cfg.vision, image_patches,
-                           image_layout, attn_impl="auto", remat=True)
+                           image_layout, attn_impl=vit_attn_impl, remat=True)
         h = merge_vision_embeddings(input_ids, h, iemb, cfg.image_token_id)
     return h
 

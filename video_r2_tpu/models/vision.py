@@ -351,8 +351,17 @@ def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
     to the XLA batched-window path elsewhere / on incompatible layouts);
     "xla"/"kernel" force a path."""
     if attn_impl == "auto":
+        w = params["patch_embed"]["kernel"]
+        multi_device = (isinstance(w, jax.Array)
+                        and not isinstance(w, jax.core.Tracer)
+                        and len(w.devices()) > 1)
+        # mesh-sharded params (eval/rollout towers on a mesh): the Pallas
+        # window kernel can't auto-partition under GSPMD — the XLA path
+        # shards via the weight annotations. Tracer params (training jit)
+        # can't be inspected; meshed trainers pass attn_impl explicitly
+        # (SFTConfig.vit_attn_impl).
         attn_impl = ("kernel"
-                     if jax.default_backend() == "tpu"
+                     if jax.default_backend() == "tpu" and not multi_device
                      and layout.s_pad % (4 * layout.window_patches) == 0
                      else "xla")
     return _vit_forward_jit(

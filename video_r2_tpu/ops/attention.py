@@ -23,6 +23,8 @@ def dot_product_attention(
     causal: bool = False,
     segment_ids: jax.Array | None = None,  # [B, S] (flash path, Sq==Sk)
     impl: str = "xla",
+    mesh=None,       # TP-sharded flash prefill (heads over "tp"); the xla
+                     # path partitions via GSPMD and ignores this
 ) -> jax.Array:
     """GQA attention, fp32 accumulation. Returns [B, Sq, num_heads, head_dim].
 
@@ -50,6 +52,10 @@ def dot_product_attention(
                                       batch_axes=ctx["batch_axes"],
                                       head_axis=ctx["head_axis"],
                                       sp_impl=ctx.get("sp_impl", "gather"))
+    if impl == "flash" and mesh is not None:
+        tp = dict(mesh.shape).get("tp", 1)
+        if tp > 1 and (q.shape[2] % tp or k.shape[2] % tp):
+            impl = "xla"   # heads don't split: GSPMD's einsum path instead
     if impl == "flash" and kv_lengths is not None and q.shape[1] > 8:
         # single-token decode (Sq==1) degenerates to 1-row kernel blocks —
         # the XLA batched matmul path is faster there
@@ -57,7 +63,8 @@ def dot_product_attention(
 
         return flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal,
                                segment_ids=segment_ids,
-                               interpret=jax.default_backend() != "tpu")
+                               interpret=jax.default_backend() != "tpu",
+                               mesh=mesh)
     if bias is None and kv_lengths is not None:
         # build the bias the xla path needs from prefix lengths
         B, Sq, _, _ = q.shape

@@ -369,7 +369,8 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "interpret", "q_offset"))
+    static_argnames=("causal", "block_q", "block_k", "interpret", "q_offset",
+                     "mesh"))
 def flash_attention(
     q: jax.Array,                  # [B, Sq, nh, hd]
     k: jax.Array,                  # [B, Sk, kh, hd]
@@ -382,15 +383,45 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
     bias=None,                     # unsupported here; kept for API parity
+    mesh=None,                     # TP serving: heads sharded over "tp"
 ) -> jax.Array:
     """Differentiable: a custom FA2-style VJP (LSE residual + two recompute
-    kernels) covers jax.grad through prefill/SFT/ViT-full-attention paths."""
+    kernels) covers jax.grad through prefill/SFT/ViT-full-attention paths.
+
+    mesh: tensor-parallel prefill (sharded judge serving) — the kernel grid
+    is head-separable (GQA groups never mix kv heads), so each "tp" shard
+    runs the unchanged kernel over its own heads in a partial-manual
+    shard_map; lengths/segments replicate, no collective inside."""
     assert bias is None, "flash path takes kv_lengths/causal, not a bias"
     B, Sq, nh, hd = q.shape
     _, Sk, kh, _ = k.shape
     g = nh // kh
     if kv_lengths is None:
         kv_lengths = jnp.full((B,), Sk, jnp.int32)
+    if mesh is not None:
+        tp = dict(mesh.shape).get("tp", 1)
+        if tp > 1:
+            assert nh % tp == 0 and kh % tp == 0, (
+                f"flash+mesh: tp={tp} must divide heads ({nh}, {kh}) — "
+                "callers fall back to the xla path otherwise")
+            from jax.sharding import PartitionSpec as P
+
+            hspec = P(None, None, "tp", None)
+            inner = functools.partial(
+                flash_attention, causal=causal, q_offset=q_offset,
+                block_q=block_q, block_k=block_k, interpret=interpret)
+            if segment_ids is not None:
+                fn = jax.shard_map(
+                    lambda q_, k_, v_, l_, s_: inner(
+                        q_, k_, v_, kv_lengths=l_, segment_ids=s_),
+                    mesh=mesh, in_specs=(hspec, hspec, hspec, P(), P()),
+                    out_specs=hspec, axis_names={"tp"}, check_vma=False)
+                return fn(q, k, v, kv_lengths, segment_ids)
+            fn = jax.shard_map(
+                lambda q_, k_, v_, l_: inner(q_, k_, v_, kv_lengths=l_),
+                mesh=mesh, in_specs=(hspec, hspec, hspec, P()),
+                out_specs=hspec, axis_names={"tp"}, check_vma=False)
+            return fn(q, k, v, kv_lengths)
     has_segments = segment_ids is not None
     if has_segments:
         assert Sq == Sk, "segment_ids require self-attention shapes"

@@ -183,13 +183,15 @@ def active_expert_table(topi: jax.Array, num_experts: int
 
 
 def moe_mlp_ragged(p: dict, xt: jax.Array, k: int, norm_topk_prob: bool,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool | None = None) -> jax.Array:
     """Decode-path sparse MoE over active experts only. xt [T, H] (T small:
     a decode step's tokens); returns [T, H]. Exact (never drops — per-
     active-expert capacity is T). Routing semantics identical to
     models/moe.py:route (HF Qwen3MoeSparseMoeBlock parity)."""
     from ..models.moe import route
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     T, H = xt.shape
     E = p["router"]["kernel"].shape[-1]
     topv, topi = route(p["router"]["kernel"], xt, k, norm_topk_prob)

@@ -33,6 +33,11 @@ class SFTConfig:
     sp_impl: str = "gather"           # "gather" | "ring" (attn_impl="sp")
     gradient_checkpointing: bool = True
     pp_microbatches: int = 0          # 0 -> min(B, 2*pp) when pp>1
+    vit_attn_impl: str = "auto"       # ViT attention in the embed path;
+                                      # make_sft_step(mesh) downgrades
+                                      # "auto" -> "xla" (the Pallas window
+                                      # kernel is single-device; GSPMD
+                                      # shards the xla tower)
 
 
 class TrainState(NamedTuple):
@@ -47,7 +52,8 @@ def sft_loss(params, cfg: ModelConfig, batch: dict, scfg: SFTConfig,
     position_ids [3,B,S], attention_mask [B,S], optional video/image patches."""
     h = embed_inputs(params, cfg, batch["input_ids"],
                      batch.get("video_patches"), video_layout,
-                     batch.get("image_patches"), image_layout)
+                     batch.get("image_patches"), image_layout,
+                     vit_attn_impl=scfg.vit_attn_impl)
     cos, sin = mrope_cos_sin(batch["position_ids"], cfg, dtype=h.dtype)
     mask = batch.get("attention_mask")
     if scfg.attn_impl in ("flash", "sp"):
@@ -77,7 +83,8 @@ def pipeline_sft_loss(params, cfg: ModelConfig, batch: dict, scfg: SFTConfig,
     pipeline, replicated over pp."""
     h = embed_inputs(params, cfg, batch["input_ids"],
                      batch.get("video_patches"), video_layout,
-                     batch.get("image_patches"), image_layout)
+                     batch.get("image_patches"), image_layout,
+                     vit_attn_impl=scfg.vit_attn_impl)
     cos, sin = mrope_cos_sin(batch["position_ids"], cfg, dtype=h.dtype)
     from ..parallel.pipeline import pipeline_decoder_forward
 
@@ -105,6 +112,10 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
     if pp > 1 and scfg.attn_impl == "sp":
         raise ValueError("pp and sp cannot combine: the sp shard_map cannot "
                          "nest inside the pp stage schedule")
+    if mesh is not None and scfg.vit_attn_impl == "auto":
+        import dataclasses
+
+        scfg = dataclasses.replace(scfg, vit_attn_impl="xla")
 
     def loss_fn(params, batch):
         if pp > 1:

@@ -236,3 +236,35 @@ def test_flash_prefill_under_tp(cfg_params, rng):
                    attn_impl="flash", mesh=mesh)
     np.testing.assert_array_equal(np.asarray(res.sequences),
                                   np.asarray(ref.sequences))
+
+
+def test_vit_kernels_under_tp(cfg_params, rng):
+    """The fused ViT attention kernels run head-sharded over "tp"
+    (window kernel + flash full-attention groups in partial-manual
+    shard_maps) — identical outputs to the single-device kernel path, so
+    meshed eval towers keep the fast kernels instead of regressing to XLA
+    attention."""
+    from video_r2_tpu.models import plan_vision_layout
+    from video_r2_tpu.models.vision import vit_forward
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    cfg, params = cfg_params
+    vis = params["visual"]
+    grid = (2, 8, 8)
+    layout = plan_vision_layout([grid], cfg.vision)
+    patches = np.asarray(
+        rng.normal(0, 1, (int(np.prod(grid)), cfg.vision.patch_input_dim)),
+        np.float32)
+
+    single = vit_forward(vis, cfg.vision, patches, layout,
+                         attn_impl="kernel", interpret=True)
+    mesh = make_mesh(MeshConfig(tp=2, fsdp=2))
+    svis = shard_params({"model": {}, "visual": vis}, mesh)["visual"]
+    sharded = vit_forward(svis, cfg.vision, patches, layout,
+                          attn_impl="kernel", interpret=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-6, atol=1e-6)
+    # and vs the xla oracle
+    oracle = vit_forward(vis, cfg.vision, patches, layout, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-5)

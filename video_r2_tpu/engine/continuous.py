@@ -465,6 +465,10 @@ class ContinuousEngine:
         self.prefilling = np.zeros((num_slots,), bool)
         self._rng = jax.random.PRNGKey(seed)
         self._next_rid = 0
+        # rids whose callers gave up (client disconnect / stop-string hit):
+        # any thread may add (GIL-atomic set ops); step() applies them —
+        # the slot finishes with its tokens-so-far and frees immediately
+        self._cancel_rids: set[int] = set()
 
     # -- request lifecycle -------------------------------------------------
     def submit(self, prompt_ids: list[int], max_new_tokens: int = 128,
@@ -593,11 +597,12 @@ class ContinuousEngine:
         remaining room (bounds recompiles to log2 window sizes).."""
         if self.num_active == 0:
             return []
+        finished_early = self._apply_cancels()
         self._advance_prefill()  # chunked prefill: one chunk per step call
         active = (np.asarray([r is not None for r in self.slot_req])
                   & ~self._prefill_mask())
         if not active.any():
-            return []
+            return finished_early
         start_len = self.cur_len.copy()
         room = int(min(self.max_len - 1 - self.cur_len[s]
                        for s in range(self.num_slots) if active[s]))
@@ -608,7 +613,7 @@ class ContinuousEngine:
         if (self.spec_decode
                 and (room - 1) // (self.spec_decode + 1) >= steps
                 and self._spec_ready(active, steps)):
-            return self._step_spec(active, steps)
+            return finished_early + self._step_spec(active, steps)
         if self.spec_decode and self._spec_rej is not None:
             # a sampled slot's rejected draft is pending from the last spec
             # dispatch: the plain sampler would ignore the residual mask, so
@@ -620,7 +625,7 @@ class ContinuousEngine:
             if (rej[active] >= 0).any():
                 if (room > self.spec_decode + 1
                         and self._spec_ready(active, 1)):
-                    return self._step_spec(active, 1)
+                    return finished_early + self._step_spec(active, 1)
                 mask = ((jnp.arange(self.last_logits.shape[-1])[None, :]
                          == self._spec_rej[:, None])
                         & (self._spec_rej[:, None] >= 0))
@@ -660,7 +665,7 @@ class ContinuousEngine:
             if d:
                 self.slot_req[slot] = None
                 self._release_slot(slot)
-        return finished
+        return finished_early + finished
 
     def _step_spec(self, active,
                    steps: int) -> list[tuple[int, list[int]]]:
@@ -706,6 +711,35 @@ class ContinuousEngine:
             if d:
                 self.slot_req[slot] = None
                 self._release_slot(slot)
+        return finished
+
+    def request_cancel(self, rid: int) -> None:
+        """Mark a request for cancellation (client disconnect / stop-string
+        hit). Thread-safe (GIL-atomic set add); the engine loop applies it
+        at the next step() — the request finishes with its tokens-so-far
+        and its slot frees immediately (vLLM abort_request role)."""
+        self._cancel_rids.add(rid)
+
+    def _apply_cancels(self) -> list[tuple[int, list[int]]]:
+        """Finish cancelled slots. Mid-chunked-prefill slots are deferred
+        (their page/cache bookkeeping completes first); the rid stays
+        marked and applies on a later step."""
+        if not self._cancel_rids:
+            return []
+        # self-clean: requests that already finished normally
+        self._cancel_rids &= {r.rid for r in self.slot_req if r is not None}
+        finished = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None or req.rid not in self._cancel_rids:
+                continue
+            if self.prefilling[slot]:
+                continue   # defer until the chunked prefill completes
+            self._cancel_rids.discard(req.rid)
+            finished.append((req.rid, list(req.tokens)))
+            if req.done_cb:
+                req.done_cb(req.rid, list(req.tokens))
+            self.slot_req[slot] = None
+            self._release_slot(slot)
         return finished
 
     def _prefill_mask(self):

@@ -23,6 +23,24 @@ from .generate import generate
 from .sampling import SamplingParams
 
 
+def _norm_stop(stop) -> list[str]:
+    """OpenAI `stop` field: None | str | [str] -> list of stop strings."""
+    if not stop:
+        return []
+    return [stop] if isinstance(stop, str) else [s for s in stop if s]
+
+
+def _apply_stop(text: str, stops: list[str]) -> str:
+    """Truncate at the earliest stop-string occurrence (exclusive — the
+    stop string itself is not returned, the OpenAI/vLLM contract)."""
+    cut = len(text)
+    for s in stops:
+        i = text.find(s)
+        if i >= 0:
+            cut = min(cut, i)
+    return text[:cut]
+
+
 class ChatEngine:
     """Thread-safe text-only chat generation (judge role).
 
@@ -124,13 +142,19 @@ class ChatEngine:
 
     def chat_stream(self, messages: list[dict], temperature: float = 0.0,
                     top_p: float = 1.0, top_k: int = 0,
-                    max_tokens: int | None = None):
+                    max_tokens: int | None = None, stop=None):
         """Yield text deltas as tokens arrive (OpenAI stream=true).
 
         Continuous mode streams per decoded token (window granularity);
-        non-continuous mode falls back to one final chunk."""
+        non-continuous mode falls back to one final chunk. With `stop`
+        strings, emission holds back max(len(stop))-1 chars so a stop
+        string never partially reaches the client, and a hit CANCELS the
+        request on the engine (the slot frees instead of burning its
+        remaining budget)."""
+        stops = _norm_stop(stop)
         if self._queue is None:
-            yield self.chat(messages, temperature, top_p, top_k, max_tokens)
+            yield self.chat(messages, temperature, top_p, top_k, max_tokens,
+                            stop=stop)
             return
         import queue as qm
 
@@ -144,11 +168,19 @@ class ChatEngine:
             eos_token_ids=(self.cfg.eos_token_id,),
             pad_token_id=self.cfg.pad_token_id)
         q: qm.Queue = qm.Queue()
+        state = {"rid": None}
+
+        def tok_cb(rid, t):
+            state["rid"] = rid
+            q.put(t)
+
         self._queue.put((ids, mnt, lambda rid, toks: q.put(None), sp,
-                         lambda rid, t: q.put(t)))
+                         tok_cb))
+        hold = max((len(s) for s in stops), default=1) - 1
         toks: list[int] = []
         emitted = ""
         cur = ""
+        stopped = False
         while True:
             t = q.get()
             if t is None:
@@ -157,23 +189,54 @@ class ChatEngine:
             cur = self.tok.decode(toks, skip_special_tokens=True)
             if cur.endswith("\ufffd"):
                 continue  # mid-UTF-8 token boundary: hold until complete
-            if cur.startswith(emitted) and len(cur) > len(emitted):
-                delta = cur[len(emitted):]
+            if stops and any(s in cur for s in stops):
+                cur = _apply_stop(cur, stops)
+                if cur.startswith(emitted) and len(cur) > len(emitted):
+                    yield cur[len(emitted):]
                 emitted = cur
+                stopped = True
+                if state["rid"] is not None:
+                    self._cont.request_cancel(state["rid"])
+                break
+            safe = cur[:max(len(emitted), len(cur) - hold)] if stops else cur
+            if safe.startswith(emitted) and len(safe) > len(emitted):
+                delta = safe[len(emitted):]
+                emitted = safe
                 yield delta
         # flush whatever a trailing hold-back left; if decode went
         # non-monotonic there is no unsent suffix to recover — emitting the
         # full text would duplicate what the client already rendered
-        if cur != emitted and cur.startswith(emitted):
-            yield cur[len(emitted):]
+        if not stopped:
+            if stops:
+                cur = _apply_stop(cur, stops)
+            if cur != emitted and cur.startswith(emitted):
+                yield cur[len(emitted):]
+
+    def _stop_watcher(self, stops: list[str]):
+        """tok_cb that CANCELS a continuous request as soon as its decoded
+        text contains a stop string (vLLM aborts generation at stop; without
+        this the slot would burn its whole budget and only the truncation
+        would hide it)."""
+        if not stops or self._queue is None:
+            return None
+        acc: list[int] = []
+
+        def watch(rid, t):
+            acc.append(t)
+            txt = self.tok.decode(acc, skip_special_tokens=True)
+            if any(s in txt for s in stops):
+                self._cont.request_cancel(rid)
+
+        return watch
 
     def chat(self, messages: list[dict], temperature: float = 0.0,
              top_p: float = 1.0, top_k: int = 0,
-             max_tokens: int | None = None) -> str:
+             max_tokens: int | None = None, stop=None) -> str:
         text = render_messages(messages, add_generation_prompt=True,
                                default_system=None)
         ids = self.tok.encode(text)
         mnt = max_tokens or self.max_new_tokens
+        stops = _norm_stop(stop)
         sp = SamplingParams(
             do_sample=temperature > 0, temperature=max(temperature, 1e-6),
             top_p=top_p, top_k=top_k, max_new_tokens=mnt,
@@ -191,9 +254,11 @@ class ChatEngine:
             # per-request sampling rides the queue item: the continuous engine
             # applies it per slot, so /v1/chat/completions honors the request's
             # temperature/top_p/top_k instead of the constructor default
-            self._queue.put((ids, mnt, cb, sp))
+            self._queue.put((ids, mnt, cb, sp, self._stop_watcher(stops)))
             done.wait()
-            return self.tok.decode(box["tokens"], skip_special_tokens=True)
+            return _apply_stop(self.tok.decode(box["tokens"],
+                                               skip_special_tokens=True),
+                               stops)
 
         packed = pack_prompts([ids], pad_id=self.cfg.pad_token_id)
         with self._lock:
@@ -205,16 +270,19 @@ class ChatEngine:
                            kv_quant=self.kv_quant,
                            spec_decode=self.spec_decode)
         out_ids = res.sequences[0][: res.lengths[0]]
-        return self.tok.decode(out_ids, skip_special_tokens=True)
+        return _apply_stop(self.tok.decode(out_ids, skip_special_tokens=True),
+                           stops)
 
     def chat_batch(self, messages_list: list[list[dict]],
                    temperature: float = 0.0, top_p: float = 1.0,
-                   top_k: int = 0, max_tokens: int | None = None) -> list[str]:
+                   top_k: int = 0, max_tokens: int | None = None,
+                   stop=None) -> list[str]:
         """A burst of chats in one batched generate (the TAC/VAS judge
         pattern: many same-shape prompts at temp 0). Continuous mode submits
         them all to the shared loop and waits; non-continuous mode packs one
         batch — with speculative decoding when greedy and enabled."""
         mnt = max_tokens or self.max_new_tokens
+        stops = _norm_stop(stop)
         sp = SamplingParams(
             do_sample=temperature > 0, temperature=max(temperature, 1e-6),
             top_p=top_p, top_k=top_k, max_new_tokens=mnt,
@@ -233,11 +301,14 @@ class ChatEngine:
                     box["tokens"] = toks
                     done.set()
 
-                self._queue.put((ids, mnt, cb, sp))
+                self._queue.put((ids, mnt, cb, sp,
+                                 self._stop_watcher(stops)))
                 boxes.append((box, done))
             for _, done in boxes:
                 done.wait()
-            return [self.tok.decode(b["tokens"], skip_special_tokens=True)
+            return [_apply_stop(self.tok.decode(b["tokens"],
+                                                skip_special_tokens=True),
+                                stops)
                     for b, _ in boxes]
         packed = pack_prompts(ids_list, pad_id=self.cfg.pad_token_id)
         with self._lock:
@@ -248,9 +319,29 @@ class ChatEngine:
                            act_quant=self.act_quant, mesh=self.mesh,
                            kv_quant=self.kv_quant,
                            spec_decode=self.spec_decode)
-        return [self.tok.decode(res.sequences[i][: res.lengths[i]],
-                                skip_special_tokens=True)
+        return [_apply_stop(self.tok.decode(res.sequences[i][: res.lengths[i]],
+                                            skip_special_tokens=True), stops)
                 for i in range(len(ids_list))]
+
+    def stats(self) -> dict:
+        """Operator telemetry for /metrics (the vLLM /metrics role):
+        slot/page occupancy + speculative-decoding counters."""
+        s = {"model": self.model_name,
+             "continuous": self._queue is not None,
+             "spec_decode": self.spec_decode,
+             "kv_quant": self.kv_quant,
+             "mesh": dict(self.mesh.shape) if self.mesh is not None else None}
+        if self._queue is not None:
+            eng = self._cont
+            s.update(active_requests=eng.num_active,
+                     num_slots=eng.num_slots,
+                     spec_stats=dict(eng.spec_stats))
+            pc = getattr(eng, "pcache", None)
+            if pc is not None:
+                s.update(pages_total=int(pc.k.shape[2]),
+                         pages_free=len(pc.free_pages),
+                         pages_cached=len(pc.evictable))
+        return s
 
 
 def make_handler(engine: ChatEngine):
@@ -297,7 +388,8 @@ def make_handler(engine: ChatEngine):
                         temperature=float(req.get("temperature", 0.0)),
                         top_p=float(req.get("top_p", 1.0)),
                         top_k=int(req.get("top_k", 0)),
-                        max_tokens=req.get("max_tokens")):
+                        max_tokens=req.get("max_tokens"),
+                        stop=req.get("stop")):
                     chunk({"content": delta})
                 chunk({}, finish="stop")
                 self.wfile.write(b"data: [DONE]\n\n")
@@ -316,6 +408,10 @@ def make_handler(engine: ChatEngine):
             if self.path == "/v1/models":
                 self._send(200, {"object": "list", "data": [
                     {"id": engine.model_name, "object": "model"}]})
+            elif self.path == "/metrics":
+                # operator telemetry (the vLLM /metrics role): slot/page
+                # occupancy + speculative-decoding counters, as JSON
+                self._send(200, engine.stats())
             elif self.path in ("/health", "/"):
                 self._send(200, {"status": "ok"})
             else:
@@ -328,25 +424,36 @@ def make_handler(engine: ChatEngine):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
+                n = int(req.get("n", 1))
                 if req.get("stream"):
+                    if n > 1:
+                        self._send(400, {"error":
+                                         "stream with n>1 is unsupported"})
+                        return
                     self._send_stream(req)
                     return
-                content = engine.chat(
-                    req["messages"],
-                    temperature=float(req.get("temperature", 0.0)),
-                    top_p=float(req.get("top_p", 1.0)),
-                    top_k=int(req.get("top_k", 0)),
-                    max_tokens=req.get("max_tokens"))
+                kw = dict(temperature=float(req.get("temperature", 0.0)),
+                          top_p=float(req.get("top_p", 1.0)),
+                          top_k=int(req.get("top_k", 0)),
+                          max_tokens=req.get("max_tokens"),
+                          stop=req.get("stop"))
+                if n > 1:
+                    # n samples of the same prompt: one batched generate
+                    # (continuous mode shares the loop; the per-step rng
+                    # draws differ per slot, so sampled choices differ)
+                    contents = engine.chat_batch([req["messages"]] * n, **kw)
+                else:
+                    contents = [engine.chat(req["messages"], **kw)]
                 self._send(200, {
                     "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
                     "object": "chat.completion",
                     "created": int(time.time()),
                     "model": req.get("model", engine.model_name),
                     "choices": [{
-                        "index": 0,
-                        "message": {"role": "assistant", "content": content},
+                        "index": i,
+                        "message": {"role": "assistant", "content": c},
                         "finish_reason": "stop",
-                    }],
+                    } for i, c in enumerate(contents)],
                 })
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})

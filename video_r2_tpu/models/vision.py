@@ -190,7 +190,7 @@ def _window_attention(q, k, v, valid, wp: int, scale: float):
 
 
 def _full_attention(q, k, v, valid, full_gather, scale: float,
-                    impl: str = "xla", interpret: bool = False):
+                    impl: str = "xla", interpret: bool = False, mesh=None):
     """Gather contiguous frame-group runs into [G, Lmax] and attend densely.
 
     impl="xla": groups run through a chunked lax.map so peak memory is a few
@@ -211,7 +211,8 @@ def _full_attention(q, k, v, valid, full_gather, scale: float,
         assert abs(scale - hd ** -0.5) < 1e-12, scale
         seg = jnp.where(gmask, 1, -2).astype(jnp.int32)
         out = flash_attention(qg, kg, vg, causal=False, segment_ids=seg,
-                              interpret=interpret)  # [G, Lmax, nh, hd]
+                              interpret=interpret,
+                              mesh=mesh)  # [G, Lmax, nh, hd]
         flat_idx = jnp.where(g_idx >= 0, g_idx, s).reshape(-1)
         buf = jnp.zeros((s + 1, nh, hd), dtype=out.dtype)
         buf = buf.at[flat_idx].set(out.reshape(-1, nh, hd), mode="drop")
@@ -242,7 +243,7 @@ def _full_attention(q, k, v, valid, full_gather, scale: float,
 
 def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfig,
                   wp: int, attn_impl: str = "xla", act_quant: str | None = None,
-                  interpret: bool = False):
+                  interpret: bool = False, mesh=None):
     """use_full: traced bool scalar — lax.cond selects the attention type so
     the layer body compiles ONCE for a scan over all depth layers.
     attn_impl: "xla" (batched dense windows) or "kernel" (fused Pallas slab
@@ -261,14 +262,16 @@ def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfi
         from ..ops.vit_window_attention import window_attention
 
         def window_branch(a):
-            return window_attention(*a, wp=wp, interpret=interpret)
+            return window_attention(*a, wp=wp, interpret=interpret,
+                                    mesh=mesh)
     else:
         def window_branch(a):
             return _window_attention(*a, wp, scale)
     attn = jax.lax.cond(
         use_full,
         lambda a: _full_attention(a[0], a[1], a[2], a[3], full_gather, scale,
-                                  impl=attn_impl, interpret=interpret),
+                                  impl=attn_impl, interpret=interpret,
+                                  mesh=mesh),
         window_branch,
         (q, k, v, valid))
     x = x + linear(p["attn"]["proj"], attn.reshape(s, nh * hd), act_quant)
@@ -277,11 +280,12 @@ def _vision_block(p, x, cos, sin, valid, full_gather, use_full, cfg: VisionConfi
 
 
 @partial(jax.jit, static_argnames=("cfg", "wp", "attn_impl", "act_quant",
-                                   "interpret", "remat"))
+                                   "interpret", "remat", "mesh"))
 def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
                      valid, full_gather, out_unit_gather, wp: int,
                      attn_impl: str = "xla", act_quant: str | None = None,
-                     interpret: bool = False, remat: bool = False):
+                     interpret: bool = False, remat: bool = False,
+                     mesh=None):
     # patch embed: kernel==stride conv3d is a single matmul over flattened patches
     emb = jnp.einsum("si,io->so", patches, params["patch_embed"]["kernel"])
     safe = jnp.maximum(patch_gather, 0)
@@ -298,7 +302,7 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
         p_i, full_flag = inp
         return _vision_block(p_i, carry, cos, sin, valid, full_gather,
                              full_flag, cfg, wp, attn_impl, act_quant,
-                             interpret), None
+                             interpret, mesh=mesh), None
 
     seg = cfg.remat_segment
     if remat and seg > 1 and cfg.depth % seg == 0:
@@ -343,7 +347,8 @@ def _vit_forward_jit(params, cfg: VisionConfig, patches, patch_gather, pos_hw,
 def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
                 layout: VisionLayout, attn_impl: str = "auto",
                 act_quant: str | None = None,
-                interpret: bool = False, remat: bool = False) -> jax.Array:
+                interpret: bool = False, remat: bool = False,
+                mesh=None) -> jax.Array:
     """patches [S_real, C*tps*p*p] -> merged vision embeddings
     [S_real/4, out_hidden] in the same order the processor emitted patches.
 
@@ -355,18 +360,29 @@ def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
         multi_device = (isinstance(w, jax.Array)
                         and not isinstance(w, jax.core.Tracer)
                         and len(w.devices()) > 1)
-        # mesh-sharded params (eval/rollout towers on a mesh): the Pallas
-        # window kernel can't auto-partition under GSPMD — the XLA path
-        # shards via the weight annotations. Tracer params (training jit)
-        # can't be inspected; meshed trainers pass attn_impl explicitly
-        # (SFTConfig.vit_attn_impl).
-        attn_impl = ("kernel"
-                     if jax.default_backend() == "tpu" and not multi_device
-                     and layout.s_pad % (4 * layout.window_patches) == 0
-                     else "xla")
+        if multi_device:
+            # mesh-sharded params (eval/rollout towers on a mesh): run the
+            # fused kernels head-sharded over "tp" (partial-manual
+            # shard_map) when tp divides the head count; otherwise the XLA
+            # path shards via GSPMD from the weight annotations. Tracer
+            # params (training jit) can't be inspected; meshed trainers
+            # pass attn_impl explicitly (SFTConfig.vit_attn_impl).
+            m = getattr(w.sharding, "mesh", None)
+            tp = dict(m.shape).get("tp", 1) if m is not None else 0
+            if (jax.default_backend() == "tpu" and m is not None
+                    and tp >= 1 and cfg.num_heads % max(tp, 1) == 0
+                    and layout.s_pad % (4 * layout.window_patches) == 0):
+                attn_impl, mesh = "kernel", m
+            else:
+                attn_impl = "xla"
+        else:
+            attn_impl = ("kernel"
+                         if jax.default_backend() == "tpu"
+                         and layout.s_pad % (4 * layout.window_patches) == 0
+                         else "xla")
     return _vit_forward_jit(
         params, cfg, patches,
         jnp.asarray(layout.patch_gather), jnp.asarray(layout.pos_hw),
         jnp.asarray(layout.valid), jnp.asarray(layout.full_gather),
         jnp.asarray(layout.out_unit_gather), layout.window_patches,
-        attn_impl, act_quant, interpret, remat)
+        attn_impl, act_quant, interpret, remat, mesh=mesh)

@@ -7,10 +7,10 @@ serves an 80B-A3B, i.e. 3B ACTIVE of 80B, train/serve_llm/serve_qwen3.sh:13)
 is all-weights-HBM-bound: a B=8 decode step touches at most B*top_k
 distinct experts yet pays the full E-expert weight read.
 
-This is the megablox-style fix, TPU-native: the host... no — the TRACE
-builds a static-size table of the step's ACTIVE experts (A = min(E, T*k)
-slots, sorted-unique over the routing table, padded by repeating the last
-valid id), and a Pallas kernel grids over those slots with the expert id
+This is the megablox-style fix, TPU-native: each step builds a
+static-size table of its ACTIVE experts (A = min(E, T*k) slots,
+sorted-unique over the routing table, padded by repeating the last valid
+id), and a Pallas kernel grids over those slots with the expert id
 SCALAR-PREFETCHED into the weight BlockSpec index_map — exactly the int4
 kernel's layer-indexing trick (ops/int4_matmul.py) — so Mosaic only ever
 DMAs the routed experts' weight tiles. Padding slots repeat the previous
@@ -123,9 +123,9 @@ def ragged_expert_ffn(
         s_spec = pl.BlockSpec((1, bi), lambda a, i, ids: (ids[a], i))
         sd_spec = pl.BlockSpec((1, H), lambda a, i, ids: (ids[a], 0))
         kernel = functools.partial(_ffn_kernel_q, n_i=n_i)
-        # down scale is [E, H] over the I-tiled partial sums: dividing it
-        # out per tile is wrong only if applied once — apply per tile and
-        # the accumulation stays linear, so it is exact.
+        # the [E, H] down scale multiplies each I-tile's partial sum before
+        # accumulation — scaling is linear, so per-tile application equals
+        # scaling the full sum once (exactness pinned by the parity test)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -183,16 +183,39 @@ _window_attention_hm.defvjp(_window_attention_hm_fwd, _window_attention_hm_bwd)
 
 @functools.partial(jax.jit,
                    static_argnames=("wp", "block_windows", "head_chunk",
-                                    "interpret"))
+                                    "interpret", "mesh"))
 def window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      valid: jax.Array, wp: int = 64, block_windows: int = 4,
-                     head_chunk: int = 8, interpret: bool = False) -> jax.Array:
+                     head_chunk: int = 8, interpret: bool = False,
+                     mesh=None) -> jax.Array:
     """q/k/v [S, nh, hd] grouped in `wp`-slot windows; valid [S] bool.
 
     S must be a multiple of wp * block_windows (plan_vision_layout pads the
     layout to 4-window slabs). Fully-invalid windows emit garbage rows that
-    no downstream gather reads. Differentiable (custom recompute VJP)."""
+    no downstream gather reads. Differentiable (custom recompute VJP).
+
+    mesh: TP-sharded towers (meshed eval) — windows are per-head
+    independent, so each "tp" shard runs the unchanged kernel over its own
+    heads (partial-manual shard_map, valid mask replicated)."""
     S, nh, hd = q.shape
+    if mesh is not None:
+        tp = dict(mesh.shape).get("tp", 1)
+        if tp > 1:
+            assert nh % tp == 0, (nh, tp)
+            import functools as _ft
+
+            from jax.sharding import PartitionSpec as P
+
+            hspec = P(None, "tp", None)
+            inner = _ft.partial(window_attention, wp=wp,
+                                block_windows=block_windows,
+                                head_chunk=min(head_chunk, nh // tp),
+                                interpret=interpret)
+            fn = jax.shard_map(inner, mesh=mesh,
+                               in_specs=(hspec, hspec, hspec, P()),
+                               out_specs=hspec, axis_names={"tp"},
+                               check_vma=False)
+            return fn(q, k, v, valid)
     bq = wp * block_windows
     if S % bq:
         raise ValueError(f"S={S} not a multiple of slab {bq}")

@@ -25,6 +25,7 @@ SPEC="${SPEC:-8}"       # n-gram speculative decode drafts per dispatch
 python -m video_r2_tpu.apps.serve \
   --run.model_preset qwen3-moe-30b-a3b \
   --run.checkpoint "$MODEL_CKPT" \
+  --run.weight_quant int8 \
   --run.tp "$TP" --run.ep "$EP" \
   --port "$HOST_PORT" \
   --paged \

@@ -20,11 +20,22 @@ def setup_logging():
 
 def build_model(app: AppConfig):
     cfg = app.model_config()
+    wq = app.run.weight_quant
     if app.run.checkpoint:
-        params = load_hf_checkpoint(app.run.checkpoint, cfg)
-        logger.info("loaded weights from %s", app.run.checkpoint)
+        params = load_hf_checkpoint(
+            app.run.checkpoint, cfg,
+            quantize="int8" if wq else None,
+            bits=4 if wq == "int4" else 8)
+        logger.info("loaded weights from %s%s", app.run.checkpoint,
+                    f" ({wq} weight-only, quantized on load)" if wq else "")
     else:
-        params = init_params(cfg, seed=app.run.seed, method="zeros")
+        from ..models.quant import init_params_quantized_zeros
+
+        if wq:
+            params = init_params_quantized_zeros(
+                cfg, bits=4 if wq == "int4" else 8)
+        else:
+            params = init_params(cfg, seed=app.run.seed, method="zeros")
         logger.warning("no checkpoint given — zero-initialized params")
     return cfg, params
 

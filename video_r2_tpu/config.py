@@ -55,6 +55,10 @@ class RunConfig:
     resume: bool = True
     use_lora: bool = False
     attn_impl: str = "auto"           # auto -> flash on tpu, xla elsewhere
+    weight_quant: str = ""            # "int8"/"int4": weight-only quantized
+                                      # params, applied ON LOAD (host RAM
+                                      # stays ~1 checkpoint copy — the
+                                      # judge-scale serving path)
 
 
 @dataclass(frozen=True)

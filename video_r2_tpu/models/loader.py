@@ -41,17 +41,29 @@ def _normalize_key(k: str) -> str:
 
 
 def convert_hf_state_dict(state: dict, cfg: ModelConfig,
-                          dtype: str | None = None) -> dict:
-    """HF tensor dict -> params pytree. Accepts torch tensors or numpy arrays."""
+                          dtype: str | None = None,
+                          consume: bool = False) -> dict:
+    """HF tensor dict -> params pytree. Accepts torch tensors or numpy arrays.
+
+    consume=True takes ownership of `state` (clears it) and frees each host
+    tensor as soon as its pytree leaf is built — judge-scale checkpoints
+    (30B+) otherwise hold the full checkpoint in host RAM TWICE during
+    conversion."""
     dtype = jnp.dtype(dtype or cfg.dtype)
     sd = {_normalize_key(k): v for k, v in state.items()}
+    if consume:
+        state.clear()
+
+    def fetch(k):
+        return sd.pop(k) if consume else sd[k]
 
     def get(k, transpose=False):
-        a = _np(sd[k]).astype(np.float32)
+        a = _np(fetch(k)).astype(np.float32)
         return jnp.asarray(a.T if transpose else a, dtype=dtype)
 
     def stack(fmt, n, transpose=False):
-        a = np.stack([_np(sd[fmt.format(i)]).astype(np.float32) for i in range(n)])
+        a = np.stack([_np(fetch(fmt.format(i))).astype(np.float32)
+                      for i in range(n)])
         if transpose:
             a = a.transpose(0, *range(len(a.shape) - 1, 0, -1))
         return jnp.asarray(a, dtype=dtype)
@@ -60,7 +72,8 @@ def convert_hf_state_dict(state: dict, cfg: ModelConfig,
     visual = None if not cfg.has_vision else {
         "patch_embed": {
             "kernel": jnp.asarray(
-                _np(sd["visual.patch_embed.proj.weight"]).astype(np.float32)
+                _np(fetch("visual.patch_embed.proj.weight"))
+                .astype(np.float32)
                 .reshape(v.hidden_size, -1).T, dtype=dtype)
         },
         "blocks": {
@@ -110,7 +123,7 @@ def convert_hf_state_dict(state: dict, cfg: ModelConfig,
 
         def stack2(fmt, transpose_last=True):
             a = np.stack([
-                np.stack([_np(sd[fmt.format(i, e)]).astype(np.float32)
+                np.stack([_np(fetch(fmt.format(i, e))).astype(np.float32)
                           for e in range(E)]) for i in range(L)])
             if transpose_last:
                 a = a.transpose(0, 1, 3, 2)
@@ -150,8 +163,15 @@ def convert_hf_state_dict(state: dict, cfg: ModelConfig,
 
 
 def load_hf_checkpoint(path: str | Path, cfg: ModelConfig,
-                       dtype: str | None = None) -> dict:
-    """Load a HF checkpoint directory (safetensors shards)."""
+                       dtype: str | None = None,
+                       quantize: str | None = None, bits: int = 8) -> dict:
+    """Load a HF checkpoint directory (safetensors shards).
+
+    quantize="int8" (or bits=4) quantizes ON LOAD with host tensors freed
+    as each leaf converts — peak host RAM stays ~one checkpoint copy
+    instead of checkpoint + full bf16 tree + quantized tree, which is what
+    makes a 30B-class judge loadable on a modest host before it serves
+    TP-sharded (scripts/serve_judge.sh)."""
     from safetensors import safe_open
 
     path = Path(path)
@@ -163,7 +183,14 @@ def load_hf_checkpoint(path: str | Path, cfg: ModelConfig,
         with safe_open(shard, framework="np") as f:
             for k in f.keys():
                 state[k] = f.get_tensor(k)
-    return convert_hf_state_dict(state, cfg, dtype)
+    params = convert_hf_state_dict(state, cfg, dtype,
+                                   consume=quantize is not None)
+    if quantize is not None:
+        assert quantize == "int8", quantize
+        from .quant import quantize_params
+
+        params = quantize_params(params, bits=bits, consume=True)
+    return params
 
 
 def init_params(cfg: ModelConfig, seed: int = 0, dtype: str | None = None,

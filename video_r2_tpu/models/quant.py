@@ -80,11 +80,17 @@ def _path_tuple(keypath):
 
 def quantize_params(params: dict, include_embedding: bool = False,
                     bits: int = 8,
-                    group_size: int = INT4_GROUP_SIZE) -> dict:
+                    group_size: int = INT4_GROUP_SIZE,
+                    consume: bool = False) -> dict:
     """Replace targeted kernel leaves with quantized dicts (pytree-level
     rewrite; module dicts keep their biases). bits=4 uses group-wise int4
     where the input dim permits (K % 2*group_size == 0 — the 7B decoder and
-    lm_head do; ViT fc dims don't and stay int8)."""
+    lm_head do; ViT fc dims don't and stay int8).
+
+    consume=True MUTATES `params` (drops each full-precision kernel as its
+    quantized leaves are built) so peak memory is the quantized tree plus
+    ONE kernel, not two whole trees — the judge-scale load path
+    (loader.load_hf_checkpoint(quantize=...))."""
     assert bits in (4, 8), bits
 
     def quant_leaf(w, moe=False):
@@ -99,7 +105,9 @@ def quantize_params(params: dict, include_embedding: bool = False,
             if "kernel" in node and not isinstance(node["kernel"], dict) and (
                     moe or any(kp[-len(s):] == s for s in QUANT_SUFFIXES)):
                 out = {k: v for k, v in node.items() if k != "kernel"}
-                out.update(quant_leaf(node["kernel"], moe))
+                w = node.pop("kernel") if consume else node["kernel"]
+                out.update(quant_leaf(w, moe))
+                del w
                 return out
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         return node

@@ -268,3 +268,40 @@ def test_vit_kernels_under_tp(cfg_params, rng):
     oracle = vit_forward(vis, cfg.vision, patches, layout, attn_impl="xla")
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(oracle),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sampled_continuous_under_mesh_token_exact(cfg_params, rng):
+    """SAMPLED continuous decoding under tp=2: the engine rng stream and
+    the per-slot sampler are sharding-invariant, so sampled outputs are
+    token-identical to the single-device engine (same seed)."""
+    cfg, params = cfg_params
+    prompts = _prompts(rng)
+    samp = SamplingParams(pad_token_id=cfg.pad_token_id, eos_token_ids=(),
+                          do_sample=True, temperature=0.9, top_k=40,
+                          top_p=0.95)
+    kw = dict(num_slots=4, max_len=64, sp=samp, prompt_buckets=(16,), seed=7)
+    single = _drain(ContinuousEngine(params, cfg, **kw), prompts, 8)
+    mesh = make_mesh(MeshConfig(tp=2))
+    sharded = _drain(ContinuousEngine(params, cfg, mesh=mesh, **kw),
+                     prompts, 8)
+    assert sharded == single
+
+
+def test_paged_chunked_prefill_under_mesh(cfg_params, rng):
+    """Chunked prefill (page-aligned chunks through the suffix-prefill
+    path) composes with tp=2 — token-exact vs the single-device chunked
+    engine."""
+    cfg, params = cfg_params
+    long_prompt = list(rng.integers(2, 400, size=40))
+    short = list(rng.integers(2, 400, size=5))
+    kw = dict(num_slots=4, max_len=96,
+              sp=SamplingParams(pad_token_id=cfg.pad_token_id,
+                                eos_token_ids=()),
+              prompt_buckets=(16, 32, 48), page_size=16,
+              prefill_chunk_tokens=16)
+    single = _drain(PagedContinuousEngine(params, cfg, **kw),
+                    [long_prompt, short], 6)
+    mesh = make_mesh(MeshConfig(tp=2))
+    sharded = _drain(PagedContinuousEngine(params, cfg, mesh=mesh, **kw),
+                     [long_prompt, short], 6)
+    assert sharded == single

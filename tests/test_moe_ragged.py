@@ -130,14 +130,81 @@ def test_generate_ragged_decode_token_exact(rng):
                                   np.asarray(ref.sequences))
 
 
-def test_ragged_flag_downgrades_under_mesh(rng):
-    """cfg.moe_ragged_decode=True under an ep x tp mesh: engines/generate
-    downgrade to the einsum path (the ragged kernel is single-device) and
-    stay token-exact — the judge preset ships the flag on without breaking
-    sharded serving."""
-    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+def test_ragged_sharded_matches_oracle(moe_params, rng):
+    """ep x tp sharded ragged decode (moe_mlp_ragged_sharded): parity vs the
+    dense oracle and the single-device ragged path, and PROOF the per-shard
+    kernel reads only locally-routed experts — NaN-poisoning every expert no
+    token routes to leaves the sharded ragged output finite (the ep-meshed
+    einsum would stream those rows and 0*NaN-poison the combine)."""
+    from video_r2_tpu.models.moe import route
+    from video_r2_tpu.ops.moe_ragged import (moe_mlp_ragged_sharded,
+                                             ragged_mesh_ok)
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(ep=2, tp=2))
+    assert ragged_mesh_ok(mesh, moe_params, 2)
+    T, H, k = 3, 32, 2
+    x = jnp.asarray(rng.normal(0, 1, (T, H)), jnp.float32)
+    dense = moe_mlp_dense_oracle(moe_params, x[None], k, True)[0]
+    single = moe_mlp_ragged(moe_params, x, k, True, interpret=True)
+    sharded = moe_mlp_ragged_sharded(moe_params, x, k, True, mesh,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+    _, topi = route(moe_params["router"]["kernel"], x, k, True)
+    active = set(np.asarray(topi).reshape(-1).tolist())
+    inactive = [e for e in range(8) if e not in active]
+    assert inactive
+    poisoned = jax.tree_util.tree_map(lambda v: v, moe_params)
+    for name in ("gate", "up", "down"):
+        w = np.asarray(poisoned["experts"][name]["kernel"]).copy()
+        w[inactive] = np.nan
+        poisoned["experts"][name]["kernel"] = jnp.asarray(w)
+    out = moe_mlp_ragged_sharded(poisoned, x, k, True, mesh, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_sharded_int8_and_empty_shard(moe_params, rng):
+    """int8 expert leaves under the ep x tp shard_map (per-tile dequant on
+    LOCAL scale slices), and the empty-shard edge: a router biased so every
+    token routes to experts 0-1 leaves ep-shard 1 (experts 4-7) with ZERO
+    local slots — its active table clamps in-range (one wasted weight DMA,
+    zero combine) and the psum still reproduces the oracle."""
+    from video_r2_tpu.models.quant import quantize_params
+    from video_r2_tpu.ops.moe_ragged import moe_mlp_ragged_sharded
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(ep=2, tp=2))
+    T, H, k = 4, 32, 2
+    x = jnp.asarray(rng.normal(0, 1, (T, H)), jnp.float32)
+
+    qp = quantize_params(moe_params)
+    q_single = moe_mlp_ragged(qp, x, k, True, interpret=True)
+    q_shard = moe_mlp_ragged_sharded(qp, x, k, True, mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(q_shard), np.asarray(q_single),
+                               rtol=2e-5, atol=2e-5)
+
+    biased = jax.tree_util.tree_map(lambda v: v, moe_params)
+    rk = np.asarray(biased["router"]["kernel"]).copy()
+    rk[:, 2:] -= 50.0            # experts 2-7 never win top-2
+    biased["router"]["kernel"] = jnp.asarray(rk)
+    dense = moe_mlp_dense_oracle(biased, x[None], k, True)[0]
+    sharded = moe_mlp_ragged_sharded(biased, x, k, True, mesh,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_sharded_generate_token_exact(rng):
+    """cfg.moe_ragged_decode=True under an ep x tp mesh: generate() decode
+    steps run the shard_map'd ragged kernel and stay token-identical to the
+    unmeshed einsum path — the sharded-judge serving config."""
     from video_r2_tpu.engine.generate import SamplingParams, generate
-    from video_r2_tpu.engine.sampling import SamplingParams as SP
     from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
 
     model = _build_hf_tiny_moe()
@@ -155,6 +222,21 @@ def test_ragged_flag_downgrades_under_mesh(rng):
     np.testing.assert_array_equal(np.asarray(res.sequences),
                                   np.asarray(ref.sequences))
 
+def test_ragged_sharded_paged_engine_token_exact(rng):
+    """The paged continuous engine (the judge-serving engine) under
+    ep=2 x tp=2 with moe_ragged_decode=True: token-exact vs the unmeshed
+    einsum engine."""
+    from video_r2_tpu.engine.continuous import PagedContinuousEngine
+    from video_r2_tpu.engine.sampling import SamplingParams as SP
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    model = _build_hf_tiny_moe()
+    cfg = tiny_moe_config()
+    params = convert_hf_state_dict(model.state_dict(), cfg, dtype="float32")
+    rcfg = cfg.replace(text=dataclasses.replace(cfg.text,
+                                                moe_ragged_decode=True))
+    ids = rng.integers(2, 127, (2, 9))
+    mesh = make_mesh(MeshConfig(ep=2, tp=2))
     kw = dict(num_slots=2, max_len=64,
               sp=SP(pad_token_id=cfg.pad_token_id, eos_token_ids=()),
               prompt_buckets=(16,), page_size=16)

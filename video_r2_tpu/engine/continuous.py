@@ -71,10 +71,10 @@ def _prefill_into_slot(params, cache: KVCache, cfg, slot, ids, position_ids,
     return logits.astype(jnp.float32), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"),
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "mesh"),
                    donate_argnums=(1,))
 def _prefill_slot_chunk(params, cache: KVCache, cfg, slot, ids, position_ids,
-                        start, valid, attn_impl: str = "xla"):
+                        start, valid, attn_impl: str = "xla", mesh=None):
     """One CHUNK of a slot's prompt ([1, C] at token offset `start`): the
     chunk attends to the slot's already-written cache rows [0, start) plus
     itself causally, and its KV scatters back at [start, start+C). `start`
@@ -102,7 +102,8 @@ def _prefill_slot_chunk(params, cache: KVCache, cfg, slot, ids, position_ids,
     bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
     hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
                                   bias, cache=tmp, cache_position=start,
-                                  attn_impl=attn_impl, cache_fill=True)
+                                  attn_impl=attn_impl, cache_fill=True,
+                                  mesh=mesh)
     cache = KVCache(cache.k.at[:, slot].set(tmp.k[:, 0]),
                     cache.v.at[:, slot].set(tmp.v[:, 0]))
     logits = lm_head(params, cfg, hidden[0, jnp.clip(valid - start - 1,
@@ -111,7 +112,8 @@ def _prefill_slot_chunk(params, cache: KVCache, cfg, slot, ids, position_ids,
 
 
 def _decode_body(params, cache: KVCache, cfg, sp: SamplingParams,
-                 last_logits, cur_len, pos_base, active, samp, rng):
+                 last_logits, cur_len, pos_base, active, samp, rng,
+                 mesh=None):
     """One token for every slot. Inactive slots are masked no-ops. `samp` is
     the per-slot (temperature, top_p, top_k, do_sample) request sampling state.
     Returns (tokens [N], next_logits, cache, new_cur_len)."""
@@ -128,24 +130,26 @@ def _decode_body(params, cache: KVCache, cfg, sp: SamplingParams,
     bias = jnp.where(key_valid[:, None, None], 0.0, -1e30).astype(jnp.float32)
     hidden, cache = decoder_forward(
         params["model"], cfg.text, emb, cos, sin, bias,
-        cache=cache, cache_position=cur_len)
+        cache=cache, cache_position=cur_len, mesh=mesh)
     next_logits = lm_head(params, cfg, hidden[:, 0]).astype(jnp.float32)
     new_len = jnp.where(active, cur_len + 1, cur_len)
     return tok, next_logits, cache, new_len
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg", "sp", "mesh"),
+                   donate_argnums=(1,))
 def _decode_step(params, cache: KVCache, cfg, sp: SamplingParams,
-                 last_logits, cur_len, pos_base, active, samp, rng):
+                 last_logits, cur_len, pos_base, active, samp, rng,
+                 mesh=None):
     return _decode_body(params, cache, cfg, sp, last_logits, cur_len,
-                        pos_base, active, samp, rng)
+                        pos_base, active, samp, rng, mesh=mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps", "mesh"),
                    donate_argnums=(1,))
 def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
                   last_logits, cur_len, pos_base, active, samp, rng,
-                  n_steps: int):
+                  n_steps: int, mesh=None):
     """`n_steps` decode steps in ONE dispatch (lax.scan) — amortizes host
     dispatch latency and per-step glue over a window of tokens (vLLM-style
     multi-step scheduling). Tokens past a slot's EOS are discarded by the
@@ -153,7 +157,8 @@ def _decode_multi(params, cache: KVCache, cfg, sp: SamplingParams,
     def body(carry, key):
         logits, cache, cur = carry
         tok, logits, cache, cur = _decode_body(
-            params, cache, cfg, sp, logits, cur, pos_base, active, samp, key)
+            params, cache, cfg, sp, logits, cur, pos_base, active, samp, key,
+            mesh=mesh)
         return (logits, cache, cur), tok
 
     keys = jax.random.split(rng, n_steps)
@@ -265,12 +270,13 @@ def _spec_hist_update(hist, chunk, cur_len, n_commit):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spec_k", "rounds",
-                                              "greedy_only", "_reject_all"),
+                                              "greedy_only", "_reject_all",
+                                              "mesh"),
                    donate_argnums=(1, 8))
 def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
                  active, pad_id, hist, rej_tok, samp, rng,
                  spec_k: int, rounds: int = 1, greedy_only: bool = False,
-                 _reject_all: bool = False):
+                 _reject_all: bool = False, mesh=None):
     """`rounds` speculative verifies for every slot in ONE dispatch —
     greedy slots accept by argmax equality, sampled slots by per-slot
     rejection sampling (see _spec_accept); mixed pools run together.
@@ -310,7 +316,7 @@ def _decode_spec(params, cache: KVCache, cfg, last_logits, cur_len, pos_base,
         bias = jnp.where(allowed[:, None], 0.0, -1e30).astype(jnp.float32)
         hidden, cache = decoder_forward(
             params["model"], cfg.text, emb, cos, sin, bias,
-            cache=cache, cache_position=cur_len)
+            cache=cache, cache_position=cur_len, mesh=mesh)
         logits_w = lm_head(params, cfg, hidden).astype(jnp.float32)
         n_commit, new_logits, rej = _spec_accept(logits_w, drafts, logits,
                                                  active, K, samp, k_acc,
@@ -383,13 +389,12 @@ class ContinuousEngine:
             from ..parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
-            if getattr(cfg.text, "moe_ragged_decode", False):
-                # ragged active-experts decode is single-device (the
-                # "ep"-meshed einsum already reads only local experts)
-                import dataclasses
-
-                cfg = cfg.replace(text=dataclasses.replace(
-                    cfg.text, moe_ragged_decode=False))
+            # cfg.moe_ragged_decode stays on: moe_mlp routes decode steps
+            # through the ep x tp shard_map'd ragged kernel when the mesh
+            # qualifies (ops/moe_ragged.ragged_mesh_ok), else falls back to
+            # the GSPMD grouped einsum — no silent single-device kernel on
+            # sharded weights (mesh is threaded through every decode/prefill
+            # jit down to models/decoder._mlp)
         # spec_decode=K: speculative decoding inside the continuous loop —
         # each dispatch verifies K n-gram prompt-lookup drafts per slot at
         # its own frontier (emits 1 + accepted tokens). Greedy slots accept
@@ -763,7 +768,7 @@ class ContinuousEngine:
             jnp.asarray(st["padded"][:, start:end]),
             jnp.asarray(st["pos"][:, :, start:end]),
             jnp.int32(start), jnp.int32(true_len),
-            attn_impl="xla")
+            attn_impl="xla", mesh=self.mesh)
         st["done"] = end
         if end >= true_len:
             slot = st["slot"]
@@ -798,7 +803,8 @@ class ContinuousEngine:
             self.spec_decode, rounds,
             greedy_only=not bool(np.asarray(self.slot_do_sample)[
                 np.asarray(active)].any()),
-            _reject_all=getattr(self, "_spec_reject_all", False))
+            _reject_all=getattr(self, "_spec_reject_all", False),
+            mesh=self.mesh)
         return chunks, commits, new_len
 
     def _init_cache(self, dtype) -> None:
@@ -842,12 +848,14 @@ class ContinuousEngine:
             tok, self.last_logits, self.cache, new_len = _decode_step(
                 self.params, self.cache, self.cfg, self.sp, self.last_logits,
                 jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
-                jnp.asarray(active), self._samp_arrays(), rng)
+                jnp.asarray(active), self._samp_arrays(), rng,
+                mesh=self.mesh)
             return tok[None], new_len
         toks, self.last_logits, self.cache, new_len = _decode_multi(
             self.params, self.cache, self.cfg, self.sp, self.last_logits,
             jnp.asarray(self.cur_len), jnp.asarray(self.pos_base),
-            jnp.asarray(active), self._samp_arrays(), rng, steps)
+            jnp.asarray(active), self._samp_arrays(), rng, steps,
+            mesh=self.mesh)
         return toks, new_len
 
     def _release_slot(self, slot: int) -> None:
@@ -945,11 +953,12 @@ def _prefix_page_hashes(ids: np.ndarray, page_size: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "page_size"),
+                   static_argnames=("cfg", "page_size", "mesh"),
                    donate_argnums=(1,))
 def _prefill_suffix_into_pages(params, kv, cfg, prefix_pids, new_pids, ids,
                                position_ids, prefix_len, suffix_len,
-                               vision_embeds=None, page_size: int = 128):
+                               vision_embeds=None, page_size: int = 128,
+                               mesh=None):
     """Prefill only the SUFFIX of a prompt whose page-aligned prefix KV is
     already in the pool (automatic prefix cache hit): gather the prefix
     pages into a dense history, run the decoder over the suffix tokens
@@ -996,7 +1005,7 @@ def _prefill_suffix_into_pages(params, kv, cfg, prefix_pids, new_pids, ids,
     hidden, tmp = decoder_forward(params["model"], cfg.text, h, cos, sin,
                                   bias, cache=tmp, cache_position=K_pref,
                                   attn_impl="xla", causal=False,
-                                  cache_fill=True)
+                                  cache_fill=True, mesh=mesh)
     npb = S_suf // page_size
     kk = (tmp.k[:, 0, K_pref:].reshape(L, npb, page_size, kh, hd)
           .transpose(0, 3, 1, 2, 4))
@@ -1080,7 +1089,7 @@ def _paged_decoder_pass(params, cfg, kv, emb, cos, sin, pid, off,
         x = x + linear(p["attn"]["o"], attn.reshape(N, S, nh * hd))
         h2 = rms_norm(p["post_attention_layernorm"]["scale"], x,
                       cfg_t.rms_norm_eps)
-        return (x + _mlp(p["mlp"], h2, cfg_t), kv_c), None
+        return (x + _mlp(p["mlp"], h2, cfg_t, mesh=mesh), kv_c), None
 
     (x, kv), _ = jax.lax.scan(
         body, (emb, kv), (jnp.arange(n_layers), layers))
@@ -1197,7 +1206,7 @@ def _prefill_packed_into_pages(params, kv, cfg, pids, ids,
         hidden, tmp = decoder_forward(
             params["model"], cfg.text, h, cos, sin, bias, cache=tmp,
             cache_position=0, attn_impl=attn_impl, causal=True,
-            cache_fill=True)
+            cache_fill=True, mesh=mesh)
     L, _, _, kh, hd = tmp.k.shape
     npb = S // page_size
     kk = (tmp.k.reshape(L, R, npb, page_size, kh, hd)
@@ -1530,7 +1539,7 @@ class PagedContinuousEngine(ContinuousEngine):
                 jnp.asarray(pos[:, :, k:k + suf_bucket]),
                 jnp.asarray([k], jnp.int32),
                 jnp.asarray([true_len - k], jnp.int32),
-                vision_embeds=embeds, page_size=ps)
+                vision_embeds=embeds, page_size=ps, mesh=self.mesh)
             self._set_kv(kv)
         except Exception:
             pc.release_pages([int(p) for p in matched])
@@ -1701,7 +1710,7 @@ class PagedContinuousEngine(ContinuousEngine):
                 jnp.asarray(new, jnp.int32), ids_c, pos_c,
                 jnp.asarray([start], jnp.int32),
                 jnp.asarray([min(true_len, end) - start], jnp.int32),
-                vision_embeds=embeds_c, page_size=ps)
+                vision_embeds=embeds_c, page_size=ps, mesh=self.mesh)
         self._set_kv(kv)
         st["done"] = end
         if end >= true_len:   # remaining bucket tokens are pad — done

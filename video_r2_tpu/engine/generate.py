@@ -199,7 +199,7 @@ def decode(
             hidden, cache = decoder_forward(
                 params["model"], cfg.text, emb, cos, sin, bias,
                 cache=cache, cache_position=s_pad + t, attn_impl=attn_impl,
-                causal=False, act_quant=act_quant)
+                causal=False, act_quant=act_quant, mesh=mesh)
         next_logits = lm_head(params, cfg, hidden[:, 0],
                               act_quant).astype(jnp.float32)
         cur_len = jnp.where(done, cur_len, cur_len + 1)
@@ -256,14 +256,10 @@ def generate(
 ) -> GenerationResult:
     """Host-orchestrated batched generation."""
     B, S = input_ids.shape
-    if mesh is not None and getattr(cfg.text, "moe_ragged_decode", False):
-        # the ragged active-experts kernel is single-device (expert weights
-        # must be unsharded); the "ep"-meshed einsum path already reads
-        # only local experts per device
-        import dataclasses
-
-        cfg = cfg.replace(text=dataclasses.replace(
-            cfg.text, moe_ragged_decode=False))
+    # cfg.moe_ragged_decode + mesh: moe_mlp routes decode steps through the
+    # ep x tp shard_map'd ragged kernel when the mesh qualifies
+    # (ops/moe_ragged.ragged_mesh_ok); otherwise the GSPMD grouped einsum
+    # (which reads only local experts per device) runs as before.
     if spec_decode:
         # sampled requests use rejection-sampling verification (exact
         # target distribution, engine/spec_decode.py) — greedy stays

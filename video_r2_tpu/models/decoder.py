@@ -88,16 +88,17 @@ class DecodeKVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def _mlp(p_mlp: dict, h, cfg: TextConfig, act_quant=None):
+def _mlp(p_mlp: dict, h, cfg: TextConfig, act_quant=None, mesh=None):
     """Dense SwiGLU or sparse MoE (a "router" key marks MoE layers —
-    Qwen3-MoE judge family, models/moe.py)."""
+    Qwen3-MoE judge family, models/moe.py). mesh routes MoE ragged decode
+    through its ep x tp shard_map (sharded judge serving)."""
     if "router" in p_mlp:
         from .moe import moe_mlp
 
         return moe_mlp(p_mlp, h, cfg.num_experts_per_tok, cfg.norm_topk_prob,
                        capacity_factor=cfg.moe_capacity_factor,
                        group_size=cfg.moe_group_size, act_quant=act_quant,
-                       ragged_decode=cfg.moe_ragged_decode)
+                       ragged_decode=cfg.moe_ragged_decode, mesh=mesh)
     return swiglu_mlp(p_mlp, h, act_quant)
 
 
@@ -208,7 +209,7 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
             mask_bias)
         x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd), act_quant)
         h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
-        return x + _mlp(p["mlp"], h, cfg, act_quant), (ck, cv, ksc, vsc)
+        return x + _mlp(p["mlp"], h, cfg, act_quant, mesh), (ck, cv, ksc, vsc)
     elif cache_kv is not None:
         ck, cv = cache_kv
         if (isinstance(cache_position, jax.Array) and cache_position.ndim == 1
@@ -241,7 +242,7 @@ def _layer(p, x, cos, sin, mask_bias, cfg: TextConfig, cache_kv=None,
                                  mesh=mesh)
     x = x + linear(p["attn"]["o"], attn.reshape(B, S, nh * hd), act_quant)
     h = rms_norm(p["post_attention_layernorm"]["scale"], x, cfg.rms_norm_eps)
-    return x + _mlp(p["mlp"], h, cfg, act_quant), new_kv
+    return x + _mlp(p["mlp"], h, cfg, act_quant, mesh), new_kv
 
 
 def _has_stacked_q4(layers: dict) -> bool:
@@ -357,7 +358,7 @@ def decoder_forward(
                                cache_position=cache_position,
                                layer_idx=l, attn_impl=attn_impl,
                                kv_lengths=kv_lengths, causal=causal,
-                               act_quant=act_quant)
+                               act_quant=act_quant, mesh=mesh)
             return (x, *new_kv), None
 
         (hidden, *ys), _ = jax.lax.scan(
@@ -377,7 +378,8 @@ def decoder_forward(
                                      cache_kv=(ck, cv),
                                      cache_position=cache_position,
                                      layer_idx=l, attn_impl=attn_impl,
-                                     kv_lengths=kv_lengths, causal=causal)
+                                     kv_lengths=kv_lengths, causal=causal,
+                                     mesh=mesh)
                 return (x, ck, cv), None
 
             (hidden, ks, vs), _ = jax.lax.scan(
@@ -391,7 +393,7 @@ def decoder_forward(
                                      cache_position=cache_position,
                                      layer_idx=l, attn_impl=attn_impl,
                                      kv_lengths=kv_lengths, causal=causal,
-                                     act_quant=act_quant)
+                                     act_quant=act_quant, mesh=mesh)
                 return (x, ck, cv), None
 
             (hidden, ks, vs), _ = jax.lax.scan(

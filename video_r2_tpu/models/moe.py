@@ -174,6 +174,7 @@ def moe_mlp(
     group_size: int = 256,
     act_quant: str | None = None,
     ragged_decode: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """Sparse MoE feed-forward. Drop-in for swiglu_mlp on MoE layers.
 
@@ -182,10 +183,13 @@ def moe_mlp(
     Pallas grouped matmul that reads ONLY the step's routed experts'
     weights from HBM (megablox-style; the all-experts einsum's weight
     stream is the small-batch MoE decode bottleneck — an A3B judge reads
-    3B active but streams the full 80B otherwise). Exact (never drops);
-    single-device decode path (expert weights must be unsharded — the
-    "ep"-meshed einsum path already reads only local experts per device).
-    Prefill shapes fall through to the grouped einsum unchanged."""
+    3B active but streams the full 80B otherwise). Exact (never drops).
+    With a mesh (ep x tp judge serving) the ragged kernel runs per-shard
+    over local experts/channels inside a partial-manual shard_map
+    (moe_mlp_ragged_sharded); meshes the shard_map can't cover (fsdp/dp/
+    sp/pp > 1, non-dividing ep/tp) fall back to the grouped einsum, whose
+    GSPMD sharding already reads only local experts per device. Prefill
+    shapes fall through to the grouped einsum unchanged."""
     B, S, H = x.shape
     k = num_experts_per_tok
     E = p["router"]["kernel"].shape[-1]
@@ -193,11 +197,19 @@ def moe_mlp(
     xt = x.reshape(T, H)
 
     if ragged_decode and T <= RAGGED_MAX_TOKENS and act_quant != "int8":
-        from ..ops.moe_ragged import moe_mlp_ragged
+        from ..ops.moe_ragged import (moe_mlp_ragged, moe_mlp_ragged_sharded,
+                                      ragged_mesh_ok)
 
         interpret = jax.default_backend() != "tpu"
-        return moe_mlp_ragged(p, xt, k, norm_topk_prob,
-                              interpret=interpret).reshape(B, S, H)
+        if mesh is not None:
+            if ragged_mesh_ok(mesh, p, k):
+                return moe_mlp_ragged_sharded(
+                    p, xt, k, norm_topk_prob, mesh,
+                    interpret=interpret).reshape(B, S, H)
+            # unqualifying mesh: grouped einsum below (GSPMD-sharded)
+        else:
+            return moe_mlp_ragged(p, xt, k, norm_topk_prob,
+                                  interpret=interpret).reshape(B, S, H)
 
     n = min(group_size, T)
     G = -(-T // n)

@@ -2,43 +2,138 @@
 
 The reference leans on torch DataLoader worker processes for video decode
 (SURVEY §3.1 'dataloader video decode is the host-side bottleneck'). Here:
-a thread-pool prefetcher — cv2/PIL release the GIL during decode/draw, so
-threads give process-worker throughput without pickling tensors across
-process boundaries, and batches land as numpy ready for one host->HBM copy.
+a thread-pool prefetcher by default — cv2/PIL release the GIL during
+decode/draw, so on a single-core host threads give process-worker
+throughput without pickling tensors across process boundaries, and batches
+land as numpy ready for one host->HBM copy.
+
+use_processes=True is the torch-DataLoader-equivalent for MULTI-core pod
+hosts, where the numpy patchify/resize glue between the GIL-releasing cv2
+calls serializes threads: fork() worker processes at construction (the
+callable and its captured state are inherited by fork, never pickled),
+ship (seq, indices) over an mp.Queue, get numpy results back (pickled
+once — the standard dataloader copy). Contract: `make_batch` must not
+touch jax/XLA in process mode — children inherit the parent's initialized
+runtime whose service threads did not survive the fork (the same rule
+torch imposes on CUDA in dataloader workers). The eval/video decode path
+(fetch_video host backend + tokenizer) is jax-free by design.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+import traceback
 from typing import Callable, Iterable, Sequence
 
 
+class WorkerError(RuntimeError):
+    """A make_batch exception raised in a worker process, re-raised on the
+    consumer with the child traceback attached (the original exception may
+    not survive pickling)."""
+
+
+def _proc_worker(make_batch, job_q, res_q):
+    while True:
+        job = job_q.get()
+        if job is None:
+            return
+        seq, idx = job
+        try:
+            out = make_batch(idx)
+        except BaseException as e:  # noqa: BLE001 — crosses a process boundary
+            out = WorkerError(
+                f"prefetch worker failed on {idx!r}: {e!r}\n"
+                + traceback.format_exc())
+        try:
+            res_q.put((seq, out))
+        except Exception as e:      # unpicklable batch: surface, don't hang
+            res_q.put((seq, WorkerError(
+                f"prefetch worker result for {idx!r} not picklable: {e!r}")))
+
+
 class PrefetchLoader:
-    """Runs `make_batch(indices)` on worker threads for each element of
-    `batch_indices`, yielding results in order, up to `prefetch` ahead."""
+    """Runs `make_batch(indices)` on worker threads (default) or forked
+    worker processes for each element of `batch_indices`, yielding results
+    in order, up to `prefetch` ahead."""
 
     def __init__(self, batch_indices: Iterable[Sequence[int]],
                  make_batch: Callable[[Sequence[int]], object],
-                 num_workers: int = 2, prefetch: int = 2):
+                 num_workers: int = 2, prefetch: int = 2,
+                 use_processes: bool = False):
         self._make_batch = make_batch
         # `prefetch` bounds COMPLETED batches ahead of the consumer, not just
         # queued jobs — without it a fast host fills _pending with the whole
         # dataset's prepared arrays while the device lags
         self._max_ahead = max(prefetch, 1)
-        self._jobs: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         self._stop = threading.Event()
         self._total: int | None = None
         self._next_emit = 0
         self._pending: dict[int, object] = {}
         self._cv = threading.Condition()
         self._indices = batch_indices
+        self._procs: list = []
+        if use_processes:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")   # inherit make_batch, no pickling
+            self._job_q = ctx.Queue()
+            self._res_q = ctx.Queue()
+            self._procs = [ctx.Process(target=_proc_worker,
+                                       args=(make_batch, self._job_q,
+                                             self._res_q), daemon=True)
+                           for _ in range(max(num_workers, 1))]
+            for p in self._procs:
+                p.start()
+            self._feeder = threading.Thread(target=self._feed_procs,
+                                            daemon=True)
+            self._collector = threading.Thread(target=self._collect_procs,
+                                               daemon=True)
+            self._feeder.start()
+            self._collector.start()
+            return
+        self._jobs: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         self._feeder = threading.Thread(target=self._feed, daemon=True)
         self._workers = [threading.Thread(target=self._work, daemon=True)
                          for _ in range(num_workers)]
         self._feeder.start()
         for w in self._workers:
             w.start()
+
+    # -- process mode -------------------------------------------------------
+    def _feed_procs(self):
+        n = 0
+        for idx in self._indices:
+            if self._stop.is_set():
+                return
+            with self._cv:  # backpressure on SUBMITTED jobs: results are
+                # bounded by the same window (each job yields one result)
+                while (n >= self._next_emit + self._max_ahead
+                       + len(self._procs) and not self._stop.is_set()):
+                    self._cv.wait(timeout=0.1)
+            if self._stop.is_set():
+                return
+            self._job_q.put((n, idx))
+            n += 1
+        with self._cv:
+            self._total = n
+            self._cv.notify_all()
+        for _ in self._procs:
+            self._job_q.put(None)
+
+    def _collect_procs(self):
+        while not self._stop.is_set():
+            try:
+                seq, out = self._res_q.get(timeout=0.2)
+            except queue.Empty:
+                with self._cv:
+                    if (self._total is not None
+                            and self._next_emit >= self._total):
+                        return
+                continue
+            with self._cv:
+                self._pending[seq] = out
+                self._cv.notify_all()
 
     def _feed(self):
         n = 0
@@ -110,3 +205,8 @@ class PrefetchLoader:
 
     def close(self):
         self._stop.set()
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+        for p in self._procs:
+            p.join(timeout=2.0)

@@ -7,6 +7,8 @@ qwen2_5_vl.py:184-199), process in fixed-size batches, restore order.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -215,10 +217,18 @@ class EngineBackend:
         flat = [i for chunk, _ in schedule for i in chunk]
         from ..data.prefetch import PrefetchLoader
 
+        # VR2_DECODE_PROCS=N: decode in N forked worker PROCESSES (the
+        # reference's torch-DataLoader-workers equivalent) — on multi-core
+        # pod hosts the numpy patchify glue between GIL-releasing cv2 calls
+        # serializes the default thread pool; _prepare is jax-free (host
+        # fetch_video + tokenizer) so it is fork-safe. 0/unset = threads.
+        n_procs = int(os.environ.get("VR2_DECODE_PROCS", "0") or 0)
         loader = PrefetchLoader(
             ([i] for i in flat),
             lambda idx: self._prepare(instances[idx[0]]),
-            num_workers=4, prefetch=2 * self.batch_size)
+            num_workers=n_procs if n_procs > 0 else 4,
+            prefetch=2 * self.batch_size,
+            use_processes=n_procs > 0)
         results: dict[int, str] = {}
         hook = getattr(self, "cache_hook", None)
         try:

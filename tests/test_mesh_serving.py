@@ -167,20 +167,58 @@ def test_chat_engine_mesh_continuous(cfg_params):
     assert out == ref
 
 
-def test_batch_mode_mesh_guards(cfg_params):
-    """Batch (non-continuous) ChatEngine under a mesh REFUSES spec_decode /
-    kv_quant loudly instead of silently dropping them (VERDICT r3 Weak #2:
-    a user standing up a sharded judge must not get silently-degraded
-    serving)."""
-    from video_r2_tpu.engine import ByteTokenizer
-    from video_r2_tpu.engine.server import ChatEngine
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_batch_generate_spec_under_mesh(cfg_params, rng, kv_quant):
+    """Batch generate(spec_decode=K) under tp=2 (bf16 AND int8 KV): verify
+    chunks scatter into the kv-head-sharded cache per shard — token-exact
+    vs unmeshed PLAIN greedy decode (the spec contract). Closes the r3
+    guard: batch-mode sharded serving no longer drops capabilities."""
+    from video_r2_tpu.engine.generate import generate
+    from video_r2_tpu.parallel.sharding import shard_params
 
     cfg, params = cfg_params
+    B, S = 3, 11
+    ids = rng.integers(2, 400, (B, S))
+    lengths = np.array([S, S - 4, S - 2])
+    for b in range(B):
+        ids[b, lengths[b]:] = 0
+    sp = SamplingParams(max_new_tokens=7, do_sample=False,
+                        pad_token_id=cfg.pad_token_id, eos_token_ids=())
+    ref = generate(params, cfg, ids, lengths, sp)
     mesh = make_mesh(MeshConfig(tp=2))
-    with pytest.raises(ValueError, match="spec_decode"):
-        ChatEngine(params, cfg, ByteTokenizer(), mesh=mesh, spec_decode=4)
-    with pytest.raises(ValueError, match="kv_quant"):
-        ChatEngine(params, cfg, ByteTokenizer(), mesh=mesh, kv_quant="int8")
+    res = generate(shard_params(params, mesh), cfg, ids, lengths, sp,
+                   mesh=mesh, spec_decode=3, kv_quant=kv_quant)
+    if kv_quant is None:
+        np.testing.assert_array_equal(np.asarray(res.sequences),
+                                      np.asarray(ref.sequences))
+    else:
+        # int8-KV spec contract: token-exact vs plain int8-KV greedy
+        ref_q = generate(params, cfg, ids, lengths, sp, kv_quant="int8")
+        np.testing.assert_array_equal(np.asarray(res.sequences),
+                                      np.asarray(ref_q.sequences))
+
+
+def test_batch_generate_int8_kv_under_mesh(cfg_params, rng):
+    """Plain (non-spec) int8-KV batch generate under tp=2 — token-exact vs
+    unmeshed int8-KV. Regression pin: prefill's mesh branch used to rebuild
+    the QuantKVCache as KVCache(k, v), silently dropping the scale pages
+    (100% garbage tokens)."""
+    from video_r2_tpu.engine.generate import generate
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    cfg, params = cfg_params
+    B, S = 2, 9
+    ids = rng.integers(2, 400, (B, S))
+    lengths = np.array([S, S - 3])
+    ids[1, S - 3:] = 0
+    sp = SamplingParams(max_new_tokens=6, do_sample=False,
+                        pad_token_id=cfg.pad_token_id, eos_token_ids=())
+    ref = generate(params, cfg, ids, lengths, sp, kv_quant="int8")
+    mesh = make_mesh(MeshConfig(tp=2))
+    res = generate(shard_params(params, mesh), cfg, ids, lengths, sp,
+                   mesh=mesh, kv_quant="int8")
+    np.testing.assert_array_equal(np.asarray(res.sequences),
+                                  np.asarray(ref.sequences))
 
 
 def test_mesh_rejects_unsupported_attn(cfg_params):

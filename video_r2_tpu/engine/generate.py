@@ -95,11 +95,17 @@ def prefill(
         cache = cache_cls.init(cfg.text, B, max_cache_len, h.dtype)
     if mesh is not None:
         assert cache_layout == "seq", "TP inference uses the seq-major cache"
-        from ..parallel.sharding import kv_cache_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sh = kv_cache_sharding(mesh, cfg.text.num_key_value_heads)
-        cache = KVCache(jax.lax.with_sharding_constraint(cache.k, sh),
-                        jax.lax.with_sharding_constraint(cache.v, sh))
+        # kv-head "tp" pin; preserve the cache TYPE — rebuilding a
+        # QuantKVCache as KVCache(k, v) would silently drop its scale
+        # leaves and turn the int8 fill into garbage
+        kh = cfg.text.num_key_value_heads
+        axis = "tp" if kh % dict(mesh.shape).get("tp", 1) == 0 else None
+        sh5 = NamedSharding(mesh, P(None, None, None, axis, None))
+        sh4 = NamedSharding(mesh, P(None, None, None, axis))
+        cache = type(cache)(*(jax.lax.with_sharding_constraint(
+            c, sh5 if c.ndim == 5 else sh4) for c in cache))
     # prefill cache: write rows [0, S)
     hidden, cache = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                     cache=cache, cache_position=0,
@@ -157,11 +163,15 @@ def decode(
         s_pad = max_len - sp.max_new_tokens
     if mesh is not None:
         assert not use_kernel, "TP inference uses the seq-major cache"
-        from ..parallel.sharding import kv_cache_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sh = kv_cache_sharding(mesh, cfg.text.num_key_value_heads)
-        cache = KVCache(jax.lax.with_sharding_constraint(cache.k, sh),
-                        jax.lax.with_sharding_constraint(cache.v, sh))
+        # kv-head "tp" pin; QuantKVCache scale leaves are [L, B, Smax, kh]
+        kh = cfg.text.num_key_value_heads
+        axis = "tp" if kh % dict(mesh.shape).get("tp", 1) == 0 else None
+        sh5 = NamedSharding(mesh, P(None, None, None, axis, None))
+        sh4 = NamedSharding(mesh, P(None, None, None, axis))
+        cache = type(cache)(*(jax.lax.with_sharding_constraint(
+            c, sh5 if c.ndim == 5 else sh4) for c in cache))
     eos = jnp.asarray(sp.eos_token_ids, dtype=jnp.int32) if sp.eos_token_ids else None
 
     def is_eos(tok):
@@ -263,9 +273,8 @@ def generate(
     if spec_decode:
         # sampled requests use rejection-sampling verification (exact
         # target distribution, engine/spec_decode.py) — greedy stays
-        # token-identical to plain decode
-        if mesh is not None:
-            raise ValueError("spec_decode needs a single device (no mesh)")
+        # token-identical to plain decode. Works under a mesh: verify
+        # chunks scatter into the kv-head-sharded cache per shard.
         if kv_quant not in (None, "int8"):
             raise ValueError(f"spec_decode: unsupported kv_quant={kv_quant!r}")
         decode_impl = "xla"
@@ -363,7 +372,7 @@ def generate(
             params, cfg, sp, logits, cache, jnp.asarray(lengths),
             jnp.asarray(rope_deltas), jnp.asarray(input_ids), s_pad=S,
             spec_k=spec_decode, act_quant=decode_act_quant,
-            rng=jax.random.PRNGKey(seed))
+            rng=jax.random.PRNGKey(seed), mesh=mesh)
         return GenerationResult(np.asarray(toks), np.asarray(gen_len),
                                 np.asarray(logps))
     toks, logps, gen_len, _ = decode(

@@ -83,18 +83,10 @@ class ChatEngine:
         # int8 KV cache in batch (non-continuous) mode too — composes with
         # speculative decoding (the verify chunks quantize at row frontiers)
         self.kv_quant = kv_quant
-        if mesh is not None and not continuous:
-            # batch-mode generate() under a mesh supports neither yet; raise
-            # instead of silently serving a slower/fatter judge (VERDICT r3
-            # Weak #2 — no silent capability degradation)
-            if spec_decode:
-                raise ValueError(
-                    "spec_decode with mesh requires continuous=True (the "
-                    "batch generate() path is single-chip for spec)")
-            if kv_quant:
-                raise ValueError(
-                    "kv_quant with mesh requires the paged continuous "
-                    "engine (continuous=True, engine_kind='paged')")
+        # batch-mode generate() under a mesh now supports spec_decode AND
+        # int8 KV (verify chunks scatter into the kv-head-sharded cache per
+        # shard; token-exact tests in tests/test_mesh_serving.py) — the r3
+        # silent-degradation guards are gone because nothing degrades.
         self._lock = threading.Lock()
         self._seed = 0
         self._queue = None

@@ -63,7 +63,7 @@ def _filtered(logits: jax.Array, sp: SamplingParams) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("cfg", "sp", "s_pad", "spec_k",
-                                   "act_quant", "_reject_all"),
+                                   "act_quant", "_reject_all", "mesh"),
          donate_argnums=(4,))
 def spec_decode(
     params: dict,
@@ -83,6 +83,10 @@ def spec_decode(
     _reject_all: bool = False,   # profiling: force acceptance ~0 to measure
                                  # the verify-overhead floor
     rng: jax.Array | None = None,  # required when sp.do_sample
+    mesh=None,                   # TP inference: KV head-sharded over "tp"
+                                 # (verify chunks scatter per shard; the
+                                 # continuous engines already speculate
+                                 # sharded — this is the batch-path analog)
 ):
     """Speculative decode — greedy or SAMPLED.
 
@@ -117,6 +121,19 @@ def spec_decode(
         if eos is None:
             return jnp.zeros_like(tok, dtype=bool)
         return jnp.any(tok[..., None] == eos, axis=-1)
+
+    if mesh is not None:
+        # pin the cache's kv-head "tp" sharding (as decode() does) so GSPMD
+        # keeps the multi-GB buffer put across the while_loop's scatters;
+        # QuantKVCache scale leaves are [L, B, Smax, kh] (head axis last)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        kh = cfg.text.num_key_value_heads
+        axis = "tp" if kh % dict(mesh.shape).get("tp", 1) == 0 else None
+        sh5 = NamedSharding(mesh, P(None, None, None, axis, None))
+        sh4 = NamedSharding(mesh, P(None, None, None, axis))
+        cache = type(cache)(*(jax.lax.with_sharding_constraint(
+            c, sh5 if c.ndim == 5 else sh4) for c in cache))
 
     # history = [prompt | generated] with a W-token scratch tail so frontier
     # scatters never collide under index clipping
@@ -184,7 +201,7 @@ def spec_decode(
         hidden, cache = decoder_forward(
             params["model"], cfg.text, emb, cos, sin, bias, cache=cache,
             cache_position=s_pad + gen_len, attn_impl="xla", causal=False,
-            act_quant=act_quant)
+            act_quant=act_quant, mesh=mesh)
         logits_w = lm_head(params, cfg, hidden, act_quant).astype(jnp.float32)
 
         lse_w = jax.scipy.special.logsumexp(logits_w, axis=-1)

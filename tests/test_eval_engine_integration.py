@@ -102,6 +102,34 @@ def test_generate_until_multi_round():
     assert m.seen == ["Q1. ", "Q1. <r1>Q2. "]
 
 
+def test_engine_model_eval_batch_spec_decode(rng):
+    """Batch-mode eval with spec_decode=K: responses identical to plain
+    batch eval (eval generation is greedy; spec greedy is token-exact by
+    construction) — spec now rides the batch generate path too, composing
+    with the auto prefill-chunk config."""
+    cfg = tiny_test_config(vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    params = init_params(cfg, dtype="float32")
+    docs = [{
+        "video": rng.integers(0, 256, size=(6, 56, 56, 3), dtype=np.uint8),
+        "question": f"What is shown {i}?",
+        "candidates": ["a cat", "a dog"],
+        "answer": "a dog",
+    } for i in range(2)]
+
+    def run(**kw):
+        task = get_task("mvbench_think", docs=docs)
+        task.config.generation_kwargs["max_new_tokens"] = 6
+        m = EngineModel(params, cfg, ByteTokenizer(), max_num_frames=4,
+                        max_pixels=56 * 56, batch_size=2, **kw)
+        return [r["resps"] for r in
+                evaluate(m, [task])["samples"]["mvbench_think"]]
+
+    assert run(spec_decode=3) == run()
+
+
 def test_engine_model_eval(rng, tmp_path):
     cfg = tiny_test_config(vocab_size=152064).replace(
         image_token_id=151655, video_token_id=151656,

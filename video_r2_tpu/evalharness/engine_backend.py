@@ -73,11 +73,12 @@ class EngineBackend:
         self.engine_mode = engine_mode
         self.engine_max_len = engine_max_len
         self.page_size = page_size
-        # spec_decode=K: speculative decoding in paged continuous eval —
-        # eval generation is GREEDY and answers quote options/subtitles,
-        # the n-gram lookup's best workload. Batch-mode eval keeps plain
-        # decode (spec's seq-major cache conflicts with the batch path's
-        # prefill-chunk/kv-quant configs; the paged pool has no such clash)
+        # spec_decode=K: speculative decoding — eval generation is GREEDY
+        # and answers quote options/subtitles, the n-gram lookup's best
+        # workload. Wired into BOTH engine modes: the paged continuous
+        # engine's per-slot frontiers, and batch generate's while_loop
+        # (token-exact by construction; composes with prefill_chunk,
+        # kv_quant, and a mesh — tests/test_eval_spec.py)
         self.spec_decode = spec_decode
         # snap resize targets to 112-px ViT windows: zero window padding in
         # the ViT and far fewer compile-shape buckets (video/geometry.py
@@ -350,7 +351,8 @@ class EngineBackend:
                        vision_token_id=self.cfg.video_token_id,
                        seed=self.seed, attn_impl=self.attn_impl,
                        act_quant=self.act_quant, kv_quant=self.kv_quant,
-                       prefill_chunk=pc, mesh=self.mesh)
+                       prefill_chunk=pc, mesh=self.mesh,
+                       spec_decode=self.spec_decode)
         out = {}
         for row, idx in enumerate(indices):
             ids = res.sequences[row][: res.lengths[row]]

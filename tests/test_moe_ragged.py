@@ -222,6 +222,31 @@ def test_ragged_sharded_generate_token_exact(rng):
     np.testing.assert_array_equal(np.asarray(res.sequences),
                                   np.asarray(ref.sequences))
 
+def test_ragged_sharded_short_forward_scoring(rng):
+    """model.forward with a SHORT sequence (T <= RAGGED_MAX_TOKENS), a
+    sharded MoE, and moe_ragged_decode=True — the eval loglikelihood
+    scoring shape. Regression pin: forward() didn't thread mesh, so this
+    traced the single-device ragged Pallas kernel over ep x tp-sharded
+    expert weights (the exact 'silent single-device kernel on sharded
+    weights' case the engine paths guard against)."""
+    from video_r2_tpu.models.model import forward
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    model = _build_hf_tiny_moe()
+    cfg = tiny_moe_config()
+    params = convert_hf_state_dict(model.state_dict(), cfg, dtype="float32")
+    rcfg = cfg.replace(text=dataclasses.replace(cfg.text,
+                                                moe_ragged_decode=True))
+    ids = rng.integers(2, 127, (1, 12))
+    pos = np.broadcast_to(np.arange(12)[None, None], (3, 1, 12)).copy()
+    single = np.asarray(forward(params, cfg, ids, pos)[0])
+    mesh = make_mesh(MeshConfig(ep=2, tp=2))
+    sharded = np.asarray(forward(shard_params(params, mesh), rcfg, ids, pos,
+                                 mesh=mesh)[0])
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
+
+
 def test_ragged_sharded_paged_engine_token_exact(rng):
     """The paged continuous engine (the judge-serving engine) under
     ep=2 x tp=2 with moe_ragged_decode=True: token-exact vs the unmeshed

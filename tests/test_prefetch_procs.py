@@ -94,6 +94,54 @@ def test_process_mode_backpressure():
     assert done + rest == list(range(50))
 
 
+def test_process_mode_worker_death_raises():
+    """A worker killed mid-job (segfault/OOM-kill analog: SIGKILL) must
+    surface as WorkerError instead of hanging the consumer forever on the
+    lost seq (torch DataLoader's 'worker exited unexpectedly' behavior)."""
+    import os
+    import signal
+
+    def make(idx):
+        if idx[0] == 2:
+            os.kill(os.getpid(), signal.SIGKILL)
+        return idx[0]
+
+    loader = PrefetchLoader(([i] for i in range(6)), make,
+                            num_workers=1, prefetch=1, use_processes=True)
+    got = []
+    try:
+        with pytest.raises(WorkerError, match="died"):
+            for x in loader:
+                got.append(x)
+    finally:
+        loader.close()
+    # SIGKILL may land before the child's queue feeder thread flushes an
+    # already-put earlier result to the pipe, so 1 can be lost too — the
+    # contract is: completed prefix in order, then a raise (never a hang)
+    assert got in ([0], [0, 1])
+
+
+def test_process_mode_unpicklable_result_raises():
+    """mp.Queue pickles asynchronously in the child's feeder thread, where
+    a failure silently drops the item; the worker pre-pickles so an
+    unpicklable batch surfaces as WorkerError instead of a hang."""
+    def make(idx):
+        if idx[0] == 1:
+            return lambda: None   # unpicklable
+        return idx[0]
+
+    loader = PrefetchLoader(([i] for i in range(3)), make,
+                            num_workers=1, use_processes=True)
+    got = []
+    try:
+        with pytest.raises(WorkerError, match="not picklable"):
+            for x in loader:
+                got.append(x)
+    finally:
+        loader.close()
+    assert got == [0]
+
+
 @pytest.mark.parametrize("nproc", [2])
 def test_process_mode_cv2_decode(tmp_path, nproc):
     """Real fork-safety smoke on the actual workload: cv2 decode +

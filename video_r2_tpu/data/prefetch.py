@@ -34,6 +34,8 @@ class WorkerError(RuntimeError):
 
 
 def _proc_worker(make_batch, job_q, res_q):
+    import pickle
+
     while True:
         job = job_q.get()
         if job is None:
@@ -45,11 +47,17 @@ def _proc_worker(make_batch, job_q, res_q):
             out = WorkerError(
                 f"prefetch worker failed on {idx!r}: {e!r}\n"
                 + traceback.format_exc())
+        # pre-pickle SYNCHRONOUSLY: mp.Queue.put pickles later in the
+        # queue's feeder thread, where a failure prints to the child's
+        # stderr and silently DROPS the item — the consumer would hang
+        # forever on this seq. Doing it here makes the failure catchable
+        # (and the queue then only pickles a bytes blob).
         try:
-            res_q.put((seq, out))
-        except Exception as e:      # unpicklable batch: surface, don't hang
-            res_q.put((seq, WorkerError(
-                f"prefetch worker result for {idx!r} not picklable: {e!r}")))
+            blob = pickle.dumps(out, protocol=pickle.HIGHEST_PROTOCOL)
+        except Exception as e:
+            blob = pickle.dumps(WorkerError(
+                f"prefetch worker result for {idx!r} not picklable: {e!r}"))
+        res_q.put((seq, blob))
 
 
 class PrefetchLoader:
@@ -73,6 +81,9 @@ class PrefetchLoader:
         self._cv = threading.Condition()
         self._indices = batch_indices
         self._procs: list = []
+        self._submitted = 0
+        self._received = 0
+        self._fatal: WorkerError | None = None
         if use_processes:
             import multiprocessing as mp
 
@@ -115,6 +126,8 @@ class PrefetchLoader:
                 return
             self._job_q.put((n, idx))
             n += 1
+            with self._cv:
+                self._submitted = n
         with self._cv:
             self._total = n
             self._cv.notify_all()
@@ -122,17 +135,37 @@ class PrefetchLoader:
             self._job_q.put(None)
 
     def _collect_procs(self):
+        import pickle
+
         while not self._stop.is_set():
             try:
-                seq, out = self._res_q.get(timeout=0.2)
+                seq, blob = self._res_q.get(timeout=0.2)
             except queue.Empty:
                 with self._cv:
                     if (self._total is not None
                             and self._next_emit >= self._total):
                         return
+                    outstanding = self._submitted - self._received
+                # a worker killed mid-job (segfault, OOM-kill) loses its
+                # (seq, result) forever — detect the nonzero exitcode and
+                # surface instead of letting __next__ wait on that seq
+                # eternally (torch DataLoader's 'worker exited
+                # unexpectedly'). Normal exits (code 0, after the None
+                # sentinel) are fine: peers may still be finishing.
+                dead = [p for p in self._procs
+                        if not p.is_alive() and p.exitcode not in (0, None)]
+                if dead and outstanding > 0:
+                    with self._cv:
+                        self._fatal = WorkerError(
+                            f"{len(dead)} prefetch worker(s) died "
+                            f"(exitcodes {[p.exitcode for p in dead]}) with "
+                            f"{outstanding} job(s) outstanding")
+                        self._cv.notify_all()
+                    return
                 continue
             with self._cv:
-                self._pending[seq] = out
+                self._pending[seq] = pickle.loads(blob)
+                self._received += 1
                 self._cv.notify_all()
 
     def _feed(self):
@@ -181,6 +214,8 @@ class PrefetchLoader:
                     self._next_emit += 1
                     self._cv.notify_all()  # wake backpressured workers
                     break
+                if self._fatal is not None:
+                    raise self._fatal      # dead worker: seq never arrives
                 self._cv.wait(timeout=0.1)
         if isinstance(batch, Exception):
             raise batch
@@ -195,6 +230,8 @@ class PrefetchLoader:
             if self._total is not None and self._next_emit >= self._total:
                 raise StopIteration
             if self._next_emit not in self._pending:
+                if self._fatal is not None:
+                    raise self._fatal      # dead worker: seq never arrives
                 return None
             batch = self._pending.pop(self._next_emit)
             self._next_emit += 1

@@ -95,17 +95,9 @@ def prefill(
         cache = cache_cls.init(cfg.text, B, max_cache_len, h.dtype)
     if mesh is not None:
         assert cache_layout == "seq", "TP inference uses the seq-major cache"
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharding import pin_kv_cache
 
-        # kv-head "tp" pin; preserve the cache TYPE — rebuilding a
-        # QuantKVCache as KVCache(k, v) would silently drop its scale
-        # leaves and turn the int8 fill into garbage
-        kh = cfg.text.num_key_value_heads
-        axis = "tp" if kh % dict(mesh.shape).get("tp", 1) == 0 else None
-        sh5 = NamedSharding(mesh, P(None, None, None, axis, None))
-        sh4 = NamedSharding(mesh, P(None, None, None, axis))
-        cache = type(cache)(*(jax.lax.with_sharding_constraint(
-            c, sh5 if c.ndim == 5 else sh4) for c in cache))
+        cache = pin_kv_cache(cache, mesh, cfg.text.num_key_value_heads)
     # prefill cache: write rows [0, S)
     hidden, cache = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                     cache=cache, cache_position=0,
@@ -163,15 +155,9 @@ def decode(
         s_pad = max_len - sp.max_new_tokens
     if mesh is not None:
         assert not use_kernel, "TP inference uses the seq-major cache"
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharding import pin_kv_cache
 
-        # kv-head "tp" pin; QuantKVCache scale leaves are [L, B, Smax, kh]
-        kh = cfg.text.num_key_value_heads
-        axis = "tp" if kh % dict(mesh.shape).get("tp", 1) == 0 else None
-        sh5 = NamedSharding(mesh, P(None, None, None, axis, None))
-        sh4 = NamedSharding(mesh, P(None, None, None, axis))
-        cache = type(cache)(*(jax.lax.with_sharding_constraint(
-            c, sh5 if c.ndim == 5 else sh4) for c in cache))
+        cache = pin_kv_cache(cache, mesh, cfg.text.num_key_value_heads)
     eos = jnp.asarray(sp.eos_token_ids, dtype=jnp.int32) if sp.eos_token_ids else None
 
     def is_eos(tok):

@@ -124,16 +124,10 @@ def spec_decode(
 
     if mesh is not None:
         # pin the cache's kv-head "tp" sharding (as decode() does) so GSPMD
-        # keeps the multi-GB buffer put across the while_loop's scatters;
-        # QuantKVCache scale leaves are [L, B, Smax, kh] (head axis last)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # keeps the multi-GB buffer put across the while_loop's scatters
+        from ..parallel.sharding import pin_kv_cache
 
-        kh = cfg.text.num_key_value_heads
-        axis = "tp" if kh % dict(mesh.shape).get("tp", 1) == 0 else None
-        sh5 = NamedSharding(mesh, P(None, None, None, axis, None))
-        sh4 = NamedSharding(mesh, P(None, None, None, axis))
-        cache = type(cache)(*(jax.lax.with_sharding_constraint(
-            c, sh5 if c.ndim == 5 else sh4) for c in cache))
+        cache = pin_kv_cache(cache, mesh, cfg.text.num_key_value_heads)
 
     # history = [prompt | generated] with a W-token scratch tail so frontier
     # scatters never collide under index clipping

@@ -78,7 +78,8 @@ class EngineBackend:
         # workload. Wired into BOTH engine modes: the paged continuous
         # engine's per-slot frontiers, and batch generate's while_loop
         # (token-exact by construction; composes with prefill_chunk,
-        # kv_quant, and a mesh — tests/test_eval_spec.py)
+        # kv_quant, and a mesh — tests/test_eval_engine_integration.py::
+        # test_engine_model_eval_batch_spec_decode)
         self.spec_decode = spec_decode
         # snap resize targets to 112-px ViT windows: zero window padding in
         # the ViT and far fewer compile-shape buckets (video/geometry.py
@@ -224,6 +225,13 @@ class EngineBackend:
         # serializes the default thread pool; _prepare is jax-free (host
         # fetch_video + tokenizer) so it is fork-safe. 0/unset = threads.
         n_procs = int(os.environ.get("VR2_DECODE_PROCS", "0") or 0)
+        if (n_procs > 0
+                and getattr(self.vcfg, "preprocess_backend", "host") != "host"):
+            raise ValueError(
+                "VR2_DECODE_PROCS requires preprocess_backend='host': "
+                "forked decode workers must not touch jax/XLA "
+                "(data/prefetch.py contract), and the 'device' backend "
+                "runs the fused jax preprocess graph inside _prepare")
         loader = PrefetchLoader(
             ([i] for i in flat),
             lambda idx: self._prepare(instances[idx[0]]),
@@ -286,7 +294,8 @@ class EngineBackend:
             hidden, _ = forward(self.params, self.cfg, jnp.asarray(ids),
                                 jnp.asarray(np.asarray(pos)),
                                 video_patches=patches, video_layout=layout,
-                                attn_impl=self.attn_impl, return_hidden=True)
+                                attn_impl=self.attn_impl, return_hidden=True,
+                                mesh=self.mesh)
             C = len(cont_ids)
             rows = hidden[0, len(ctx_ids) - 1: len(ctx_ids) - 1 + C]
             w = lm_head_weight(self.params, self.cfg)

@@ -131,6 +131,10 @@ def forward(
     cache_position: int = 0,
     attn_impl: str = "xla",
     return_hidden: bool = False,
+    mesh=None,                          # sharded scoring: MoE ragged decode
+                                        # needs it (short sequences would
+                                        # otherwise trace the single-device
+                                        # ragged kernel on sharded weights)
 ) -> tuple[jax.Array, KVCache | None]:
     """Full forward. Returns (logits [B,S,V] or hidden [B,S,H], cache)."""
     if not isinstance(input_ids, jax.core.Tracer):
@@ -146,7 +150,8 @@ def forward(
     bias = causal_mask_bias(input_ids.shape[1], attention_mask)
     h, cache = decoder_forward(params["model"], cfg.text, h, cos, sin, bias,
                                cache=cache, cache_position=cache_position,
-                               attn_impl=attn_impl, cache_fill=True)
+                               attn_impl=attn_impl, cache_fill=True,
+                               mesh=mesh)
     if return_hidden:
         return h, cache
     return lm_head(params, cfg, h), cache

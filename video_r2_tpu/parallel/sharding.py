@@ -148,6 +148,21 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (ndim - 1))))
 
 
+def pin_kv_cache(cache, mesh: Mesh, kv_heads: int):
+    """with_sharding_constraint every KV-cache leaf to the kv-head "tp"
+    layout inside a jit: 5-d [L, B, Smax, kh, hd] value leaves and 4-d
+    [L, B, Smax, kh] QuantKVCache scale leaves. Preserves the cache TYPE
+    over its leaves — the one shared implementation of this pin, because a
+    hand-rolled KVCache(k, v) rebuild once silently dropped a
+    QuantKVCache's scale pages (100% garbage tokens;
+    tests/test_mesh_serving.py::test_batch_generate_int8_kv_under_mesh)."""
+    axis = "tp" if kv_heads % dict(mesh.shape).get("tp", 1) == 0 else None
+    sh5 = NamedSharding(mesh, P(None, None, None, axis, None))
+    sh4 = NamedSharding(mesh, P(None, None, None, axis))
+    return type(cache)(*(jax.lax.with_sharding_constraint(
+        c, sh5 if c.ndim == 5 else sh4) for c in cache))
+
+
 def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
     """KV cache [L, B, S, kv_heads, head_dim] sharded on heads over "tp"
     (megatron attention sharding: each tp shard holds its own heads' KV —

@@ -67,6 +67,32 @@ def test_ragged_matches_grouped_and_oracle(moe_params, T, rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_ragged_block_i_non_divisible(moe_params, rng):
+    """block_i that doesn't divide I picks the largest divisor instead of
+    asserting — the A3B judge preset (moe_intermediate_size=768,
+    models/config.py qwen3_moe_30b_a3b) hits exactly this against the 512
+    default and used to crash on its first ragged decode step."""
+    from video_r2_tpu.models.moe import route
+    from video_r2_tpu.ops.moe_ragged import active_expert_table
+
+    T, H, k, E = 2, 32, 2, 8
+    x = jnp.asarray(rng.normal(0, 1, (T, H)), jnp.float32)
+    topv, topi = route(moe_params["router"]["kernel"], x, k, True)
+    ids, a_idx = active_expert_table(topi, E)
+    A = ids.shape[0]
+    x_slots = jnp.zeros((A, 8, H), jnp.float32).at[0, 0].set(x[0])
+    full = ragged_expert_ffn(x_slots, ids, moe_params["experts"]["gate"],
+                             moe_params["experts"]["up"],
+                             moe_params["experts"]["down"],
+                             block_i=16, interpret=True)   # I=16, divides
+    tiled = ragged_expert_ffn(x_slots, ids, moe_params["experts"]["gate"],
+                              moe_params["experts"]["up"],
+                              moe_params["experts"]["down"],
+                              block_i=12, interpret=True)  # 12 ∤ 16 -> bi=8
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_ragged_int8_experts(moe_params, rng):
     """int8 weight-only expert leaves ({kernel_q, scale}) dequantize inside
     the kernel tile-by-tile — parity vs the grouped einsum's factored-scale
@@ -142,7 +168,7 @@ def test_ragged_sharded_matches_oracle(moe_params, rng):
     from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
 
     mesh = make_mesh(MeshConfig(ep=2, tp=2))
-    assert ragged_mesh_ok(mesh, moe_params, 2)
+    assert ragged_mesh_ok(mesh, moe_params)
     T, H, k = 3, 32, 2
     x = jnp.asarray(rng.normal(0, 1, (T, H)), jnp.float32)
     dense = moe_mlp_dense_oracle(moe_params, x[None], k, True)[0]

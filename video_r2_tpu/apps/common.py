@@ -21,6 +21,10 @@ def setup_logging():
 def build_model(app: AppConfig):
     cfg = app.model_config()
     wq = app.run.weight_quant
+    if wq not in ("", None, "int8", "int4"):
+        # a typo ('in8', 'int_4') would otherwise silently load int8
+        raise ValueError(
+            f"run.weight_quant must be '', 'int8', or 'int4' (got {wq!r})")
     if app.run.checkpoint:
         params = load_hf_checkpoint(
             app.run.checkpoint, cfg,

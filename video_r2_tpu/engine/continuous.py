@@ -1024,9 +1024,10 @@ def _pin_pool(kv, mesh):
         return kv
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..parallel.sharding import kv_head_axis
+
     kh = kv[0].shape[1]
-    tp = dict(mesh.shape).get("tp", 1)
-    axis = "tp" if tp > 1 and kh % tp == 0 else None
+    axis = kv_head_axis(mesh, kh)
     sh5 = NamedSharding(mesh, P(None, axis, None, None, None))
     sh4 = NamedSharding(mesh, P(None, axis, None, None))
     return tuple(jax.lax.with_sharding_constraint(x, sh5 if x.ndim == 5
@@ -1384,9 +1385,10 @@ class PagedContinuousEngine(ContinuousEngine):
             # _pin_pool keep this layout across scatters
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..parallel.sharding import kv_head_axis
+
             kh = self.cfg.text.num_key_value_heads
-            tp = dict(self.mesh.shape).get("tp", 1)
-            axis = "tp" if tp > 1 and kh % tp == 0 else None
+            axis = kv_head_axis(self.mesh, kh)
             sh5 = NamedSharding(self.mesh, P(None, axis, None, None, None))
             sh4 = NamedSharding(self.mesh, P(None, axis, None, None))
             pc = self.pcache

@@ -212,10 +212,17 @@ class ChatEngine:
         if not stops or self._queue is None:
             return None
         acc: list[int] = []
+        # only re-decode a tail window per token (full-history decode is
+        # O(n^2) tokenizer work on the engine loop thread, stalling every
+        # slot's dispatches on long generations). Window: enough tokens to
+        # cover the longest stop string even if special tokens decode to
+        # nothing — a stop match always lies within the last
+        # len(stop) + slack characters.
+        w_tok = max(len(s) for s in stops) + 32
 
         def watch(rid, t):
             acc.append(t)
-            txt = self.tok.decode(acc, skip_special_tokens=True)
+            txt = self.tok.decode(acc[-w_tok:], skip_special_tokens=True)
             if any(s in txt for s in stops):
                 self._cont.request_cancel(rid)
 

@@ -202,7 +202,7 @@ def moe_mlp(
 
         interpret = jax.default_backend() != "tpu"
         if mesh is not None:
-            if ragged_mesh_ok(mesh, p, k):
+            if ragged_mesh_ok(mesh, p):
                 return moe_mlp_ragged_sharded(
                     p, xt, k, norm_topk_prob, mesh,
                     interpret=interpret).reshape(B, S, H)

@@ -370,10 +370,14 @@ def vit_forward(params: dict, cfg: VisionConfig, patches: jax.Array,
             m = getattr(w.sharding, "mesh", None)
             tp = dict(m.shape).get("tp", 1) if m is not None else 0
             if (jax.default_backend() == "tpu" and m is not None
-                    and tp >= 1 and cfg.num_heads % max(tp, 1) == 0
+                    and tp > 1 and cfg.num_heads % tp == 0
                     and layout.s_pad % (4 * layout.window_patches) == 0):
                 attn_impl, mesh = "kernel", m
             else:
+                # tp <= 1 multi-device (fsdp/dp/ep-only mesh): there is no
+                # head axis to shard_map over, and a bare pallas_call
+                # inside the GSPMD partition is exactly what the downgrade
+                # exists to avoid — xla shards via the weight annotations
                 attn_impl = "xla"
         else:
             attn_impl = ("kernel"

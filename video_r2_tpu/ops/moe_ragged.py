@@ -109,8 +109,12 @@ def ragged_expert_ffn(
     wu = up["kernel_q"] if quant else up["kernel"]
     wd = down["kernel_q"] if quant else down["kernel"]
     E, _, I = wg.shape
-    bi = min(block_i, I)
-    assert I % bi == 0, (I, bi)
+    # largest divisor of I <= block_i, preferring lane-aligned (x128)
+    # tiles: I=768 (the A3B judge preset, models/config.py qwen3_moe_30b
+    # _a3b) picks 384, not an AssertionError on 768 % 512
+    cap = min(block_i, I)
+    bi = next((d for d in range(cap, 0, -1) if I % d == 0 and d % 128 == 0),
+              0) or next(d for d in range(cap, 0, -1) if I % d == 0)
     n_i = I // bi
 
     x_spec = pl.BlockSpec((1, C, H), lambda a, i, ids: (a, 0, 0))
@@ -238,7 +242,7 @@ def moe_mlp_ragged(p: dict, xt: jax.Array, k: int, norm_topk_prob: bool,
                          p["experts"]["up"], p["experts"]["down"], interpret)
 
 
-def ragged_mesh_ok(mesh, p: dict, k: int) -> bool:
+def ragged_mesh_ok(mesh, p: dict) -> bool:
     """Can this step run the ep x tp sharded ragged path? Requires: every
     mesh axis other than ep/tp is size 1 (the shard_map body is manual over
     ep/tp only — a >1 fsdp/dp/sp/pp axis would leave operands auto-sharded

@@ -148,6 +148,15 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (ndim - 1))))
 
 
+def kv_head_axis(mesh: Mesh, kv_heads: int) -> str | None:
+    """THE one place deciding which mesh axis KV caches/pools shard their
+    kv-head dim over: "tp" when it divides the head count, else None
+    (replicated heads). Every pin/placement (pin_kv_cache,
+    kv_cache_sharding, the paged engine's pool placement and _pin_pool)
+    must agree or GSPMD re-lays-out the multi-GB buffers each step."""
+    return "tp" if kv_heads % dict(mesh.shape).get("tp", 1) == 0 else None
+
+
 def pin_kv_cache(cache, mesh: Mesh, kv_heads: int):
     """with_sharding_constraint every KV-cache leaf to the kv-head "tp"
     layout inside a jit: 5-d [L, B, Smax, kh, hd] value leaves and 4-d
@@ -156,7 +165,7 @@ def pin_kv_cache(cache, mesh: Mesh, kv_heads: int):
     hand-rolled KVCache(k, v) rebuild once silently dropped a
     QuantKVCache's scale pages (100% garbage tokens;
     tests/test_mesh_serving.py::test_batch_generate_int8_kv_under_mesh)."""
-    axis = "tp" if kv_heads % dict(mesh.shape).get("tp", 1) == 0 else None
+    axis = kv_head_axis(mesh, kv_heads)
     sh5 = NamedSharding(mesh, P(None, None, None, axis, None))
     sh4 = NamedSharding(mesh, P(None, None, None, axis))
     return type(cache)(*(jax.lax.with_sharding_constraint(
@@ -168,8 +177,8 @@ def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
     (megatron attention sharding: each tp shard holds its own heads' KV —
     the reference's only TP use is vLLM judge serving, serve_qwen3.sh:13).
     Falls back to replicated when tp doesn't divide the head count."""
-    axis = "tp" if kv_heads % mesh.shape["tp"] == 0 else None
-    return NamedSharding(mesh, P(None, None, None, axis, None))
+    return NamedSharding(mesh, P(None, None, None,
+                                 kv_head_axis(mesh, kv_heads), None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -60,6 +60,12 @@ class GRPOConfig:
     similarity_threshold: float = 0.75
     logp_chunk_size: int = 1024
     pp_microbatches: int = 0       # GPipe microbatches when the mesh has pp>1
+    # ViT attention in the loss's embed path (mirrors SFTConfig.vit_attn_
+    # impl): "auto" = fused Pallas kernels on TPU; make_grpo_step downgrades
+    # auto -> "xla" under a mesh (tracer params can't be device-inspected;
+    # the Pallas window kernel is single-device — GSPMD shards the xla
+    # tower from the weight annotations)
+    vit_attn_impl: str = "auto"
     # rollout infrastructure (TRL's use_vllm analog): "batch" = static batch
     # generate; "paged" = continuous batching over the paged KV pool, so
     # rollouts that hit EOS early free their slot for the next request
@@ -157,6 +163,7 @@ def per_token_logps(
     completion_len: int, temperature: float, chunk_size: int = 1024,
     video_patches=None, video_layout=None, video_embeds=None,
     attn_impl: str = "xla", pp_mesh=None, pp_microbatches: int = 0,
+    vit_attn_impl: str = "auto",
 ):
     """log p(token) for the last `completion_len` tokens. [B, completion_len].
     `video_embeds` short-circuits the ViT with precomputed merged embeddings
@@ -170,7 +177,8 @@ def per_token_logps(
         h = params["model"]["embed_tokens"]["embedding"][input_ids]
         h = merge_vision_embeddings(input_ids, h, video_embeds, cfg.video_token_id)
     else:
-        h = embed_inputs(params, cfg, input_ids, video_patches, video_layout)
+        h = embed_inputs(params, cfg, input_ids, video_patches, video_layout,
+                         vit_attn_impl=vit_attn_impl)
     cos, sin = mrope_cos_sin(position_ids, cfg, dtype=h.dtype)
     if pp_mesh is not None:
         from ..parallel.pipeline import pipeline_decoder_forward
@@ -232,7 +240,7 @@ def grpo_loss(
         batch["attention_mask"], C, gcfg.temperature, gcfg.logp_chunk_size,
         batch.get("video_patches"), video_layout,
         batch.get("video_embeds"), attn_impl,
-        pp_mesh, gcfg.pp_microbatches)
+        pp_mesh, gcfg.pp_microbatches, gcfg.vit_attn_impl)
 
     cmask = batch["completion_mask"].astype(jnp.float32)
     adv = batch["advantages"].astype(jnp.float32)
@@ -292,6 +300,13 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
     if pp > 1 and attn_impl == "sp":
         raise ValueError("pp and sp cannot combine: the sp shard_map cannot "
                          "nest inside the pp stage schedule")
+    if mesh is not None and gcfg.vit_attn_impl == "auto":
+        # tracer params inside the sharded jit can't be device-inspected;
+        # the Pallas window kernel is single-device — same downgrade as
+        # make_sft_step (SFTConfig.vit_attn_impl)
+        import dataclasses
+
+        gcfg = dataclasses.replace(gcfg, vit_attn_impl="xla")
     pp_mesh = mesh if pp > 1 else None
 
     def step_fn(state: GRPOTrainState, batch: dict):

@@ -28,6 +28,9 @@ run sft_step        2400 python scripts/profile_sft_step.py
 # 3. ragged MoE decode latency at judge shapes (VERDICT r3 Missing #2 evidence)
 run moe_ragged      1800 python scripts/profile_moe_ragged.py
 
+# 3b. GMM MoE prefill latency (exact vs einsum cf=0/cf=1.25 at judge shape)
+run moe_gmm         1800 python scripts/profile_moe_gmm.py
+
 # 4. GRPO rollouts/hr with spec sampling (r3 backlog headline candidate)
 run rollout_spec    3600 python scripts/profile_rollout_spec.py
 

@@ -78,12 +78,19 @@ class TextConfig:
     # (GShard semantics) and expert compute shrinks to ~cf x useful.
     moe_capacity_factor: float = 0.0
     moe_group_size: int = 256
-    # Single-device decode: small steps (T <= ops.moe_ragged.RAGGED_MAX_
-    # TOKENS) read ONLY the routed experts' weights via the ragged Pallas
-    # kernel (megablox-style — the all-experts einsum is all-weights-HBM-
-    # bound at decode batch sizes). Exact (no drops). Leave False for
-    # "ep"-sharded meshes (the einsum path already reads local experts).
+    # Decode: small steps (T <= ops.moe_ragged.RAGGED_MAX_TOKENS) read
+    # ONLY the routed experts' weights via the ragged Pallas kernel
+    # (megablox-style — the all-experts einsum is all-weights-HBM-bound at
+    # decode batch sizes). Exact (no drops). Under an ep x tp serving mesh
+    # the kernel runs per shard (moe_mlp_ragged_sharded); other mesh
+    # shapes fall back to the einsum.
     moe_ragged_decode: bool = False
+    # Prefill: sorted grouped matmul (ops/moe_gmm.py) over exactly the
+    # routed rows — exact at ~1.1-1.5x the routed compute, vs the einsum's
+    # exact mode (capacity_factor=0) allocating group*k slots for EVERY
+    # expert (~E x compute + multi-GB activations at the judge shape).
+    # INFERENCE-ONLY (no VJP; training keeps the einsum).
+    moe_gmm_prefill: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -145,14 +152,17 @@ def qwen3_moe_30b_a3b() -> ModelConfig:
             num_key_value_heads=4, head_dim_override=128, qk_norm=True,
             attention_bias=False, num_experts=128, num_experts_per_tok=8,
             moe_intermediate_size=768, norm_topk_prob=True,
-            # judge serving runs EXACT (0.0 = full capacity, no drops):
-            # measured at this routing shape (profile_moe_capacity.py, r4),
-            # decode steps never drop at any factor, but skewed-router
-            # PREFILL drops 15-64% of router weight even at 2.0 — not a
-            # safe tradeoff for judging quality. Decode weight reads are
-            # bounded by moe_ragged_decode, not the capacity factor; raise
-            # the factor only for training-throughput experiments.
+            # judge serving runs EXACT (no drops): measured at this routing
+            # shape (profile_moe_capacity.py, r4), decode steps never drop
+            # at any factor, but skewed-router PREFILL drops 15-64% of
+            # router weight even at 2.0 — not a safe tradeoff for judging
+            # quality. Exactness is CHEAP here: decode reads only routed
+            # experts (moe_ragged_decode) and prefill computes only routed
+            # rows (moe_gmm_prefill — the einsum's exact mode would be
+            # ~E x oversized at E=128 and OOM at real prompt lengths);
+            # capacity_factor only governs the einsum fallback/training.
             moe_capacity_factor=0.0, moe_ragged_decode=True,
+            moe_gmm_prefill=True,
             mrope_section=(22, 21, 21),  # text-only: plain RoPE (equal pos)
             rope_theta=1_000_000.0,
         ),

@@ -98,7 +98,8 @@ def _mlp(p_mlp: dict, h, cfg: TextConfig, act_quant=None, mesh=None):
         return moe_mlp(p_mlp, h, cfg.num_experts_per_tok, cfg.norm_topk_prob,
                        capacity_factor=cfg.moe_capacity_factor,
                        group_size=cfg.moe_group_size, act_quant=act_quant,
-                       ragged_decode=cfg.moe_ragged_decode, mesh=mesh)
+                       ragged_decode=cfg.moe_ragged_decode, mesh=mesh,
+                       gmm_prefill=getattr(cfg, "moe_gmm_prefill", False))
     return swiglu_mlp(p_mlp, h, act_quant)
 
 

@@ -175,6 +175,7 @@ def moe_mlp(
     act_quant: str | None = None,
     ragged_decode: bool = False,
     mesh=None,
+    gmm_prefill: bool = False,
 ) -> jax.Array:
     """Sparse MoE feed-forward. Drop-in for swiglu_mlp on MoE layers.
 
@@ -188,8 +189,17 @@ def moe_mlp(
     over local experts/channels inside a partial-manual shard_map
     (moe_mlp_ragged_sharded); meshes the shard_map can't cover (fsdp/dp/
     sp/pp > 1, non-dividing ep/tp) fall back to the grouped einsum, whose
-    GSPMD sharding already reads only local experts per device. Prefill
-    shapes fall through to the grouped einsum unchanged."""
+    GSPMD sharding already reads only local experts per device.
+
+    gmm_prefill=True (cfg.moe_gmm_prefill): larger (prefill) steps route
+    through ops/moe_gmm.py — sorted grouped matmul over exactly the
+    routed rows (+ block padding). The einsum's EXACT mode
+    (capacity_factor=0, the judge default: drops are not a safe judging
+    tradeoff) allocates C = group*k slots for every expert, ~E x the
+    routed compute at the A3B judge shape and a multi-GB expert_in at
+    real prompt lengths; GMM is exact at ~1.1-1.5x. INFERENCE-ONLY (the
+    kernel has no VJP — MoE training keeps the einsum). Without the flag
+    prefill falls through to the grouped einsum unchanged."""
     B, S, H = x.shape
     k = num_experts_per_tok
     E = p["router"]["kernel"].shape[-1]
@@ -210,6 +220,21 @@ def moe_mlp(
         else:
             return moe_mlp_ragged(p, xt, k, norm_topk_prob,
                                   interpret=interpret).reshape(B, S, H)
+
+    if gmm_prefill and act_quant != "int8":
+        from ..ops.moe_gmm import moe_mlp_gmm, moe_mlp_gmm_sharded
+        from ..ops.moe_ragged import ragged_mesh_ok
+
+        interpret = jax.default_backend() != "tpu"
+        if mesh is not None:
+            if ragged_mesh_ok(mesh, p):
+                return moe_mlp_gmm_sharded(
+                    p, xt, k, norm_topk_prob, mesh,
+                    interpret=interpret).reshape(B, S, H)
+            # unqualifying mesh: grouped einsum below (GSPMD-sharded)
+        else:
+            return moe_mlp_gmm(p, xt, k, norm_topk_prob,
+                               interpret=interpret).reshape(B, S, H)
 
     n = min(group_size, T)
     G = -(-T // n)

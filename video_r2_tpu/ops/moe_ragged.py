@@ -40,49 +40,61 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ffn_kernel(ids_ref, x_ref, wg_ref, wu_ref, wd_ref, o_ref, acc_ref,
-                *, n_i: int):
+def _ffn_kernel(ids_ref, valid_ref, x_ref, wg_ref, wu_ref, wd_ref, o_ref,
+                acc_ref, *, n_i: int):
     """One (active-expert slot, intermediate tile) grid step of the fused
-    SwiGLU expert FFN: acc += silu(x @ wg_b) * (x @ wu_b) @ wd_b."""
+    SwiGLU expert FFN: acc += silu(x @ wg_b) * (x @ wu_b) @ wd_b.
+    valid_ref[a] == 0 marks a slack block (the GMM layout's static bound
+    past the occupied rows): its dots are skipped and its output written
+    as zeros — uninitialized HBM could hold NaN bits that would poison
+    the 0-weight combine downstream."""
+    a = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[0]                       # [C, H]
-    g = jax.nn.silu(jnp.dot(x, wg_ref[0], preferred_element_type=jnp.float32))
-    u = jnp.dot(x, wu_ref[0], preferred_element_type=jnp.float32)
-    h = (g * u).astype(x.dtype)        # [C, bi]
-    acc_ref[...] += jnp.dot(h, wd_ref[0], preferred_element_type=jnp.float32)
+    @pl.when(valid_ref[a] != 0)
+    def _():
+        x = x_ref[0]                       # [C, H]
+        g = jax.nn.silu(jnp.dot(x, wg_ref[0],
+                                preferred_element_type=jnp.float32))
+        u = jnp.dot(x, wu_ref[0], preferred_element_type=jnp.float32)
+        h = (g * u).astype(x.dtype)        # [C, bi]
+        acc_ref[...] += jnp.dot(h, wd_ref[0],
+                                preferred_element_type=jnp.float32)
 
     @pl.when(i == n_i - 1)
     def _():
         o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _ffn_kernel_q(ids_ref, x_ref, wg_ref, sg_ref, wu_ref, su_ref,
+def _ffn_kernel_q(ids_ref, valid_ref, x_ref, wg_ref, sg_ref, wu_ref, su_ref,
                   wd_ref, sd_ref, o_ref, acc_ref, *, n_i: int):
     """int8 weight-only variant: per-output-channel scales ([E, I] for
     gate/up, [E, H] for down) multiply the f32 dot outputs — the same
     factoring models/quant.py uses, done per tile in VMEM."""
+    a = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[0]
-    g = (jnp.dot(x, wg_ref[0].astype(x.dtype),
-                 preferred_element_type=jnp.float32)
-         * sg_ref[0].astype(jnp.float32)[None, :])
-    u = (jnp.dot(x, wu_ref[0].astype(x.dtype),
-                 preferred_element_type=jnp.float32)
-         * su_ref[0].astype(jnp.float32)[None, :])
-    h = (jax.nn.silu(g) * u).astype(x.dtype)
-    acc_ref[...] += (jnp.dot(h, wd_ref[0].astype(x.dtype),
-                             preferred_element_type=jnp.float32)
-                     * sd_ref[0].astype(jnp.float32)[None, :])
+    @pl.when(valid_ref[a] != 0)
+    def _():
+        x = x_ref[0]
+        g = (jnp.dot(x, wg_ref[0].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+             * sg_ref[0].astype(jnp.float32)[None, :])
+        u = (jnp.dot(x, wu_ref[0].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+             * su_ref[0].astype(jnp.float32)[None, :])
+        h = (jax.nn.silu(g) * u).astype(x.dtype)
+        acc_ref[...] += (jnp.dot(h, wd_ref[0].astype(x.dtype),
+                                 preferred_element_type=jnp.float32)
+                         * sd_ref[0].astype(jnp.float32)[None, :])
 
     @pl.when(i == n_i - 1)
     def _():
@@ -96,6 +108,9 @@ def ragged_expert_ffn(
     gate: dict, up: dict, down: dict,   # expert weight leaves ([E, ..] each)
     block_i: int = 512,
     interpret: bool = False,
+    blk_valid: jax.Array | None = None,  # [A] int32; 0 = slack block (skip
+                                         # compute, write zeros) — the GMM
+                                         # layout's static-bound tail
 ) -> jax.Array:
     """Fused SwiGLU over ACTIVE experts only. Returns [A, C, H].
 
@@ -116,16 +131,18 @@ def ragged_expert_ffn(
     bi = next((d for d in range(cap, 0, -1) if I % d == 0 and d % 128 == 0),
               0) or next(d for d in range(cap, 0, -1) if I % d == 0)
     n_i = I // bi
+    if blk_valid is None:
+        blk_valid = jnp.ones((A,), jnp.int32)
 
-    x_spec = pl.BlockSpec((1, C, H), lambda a, i, ids: (a, 0, 0))
-    gu_spec = pl.BlockSpec((1, H, bi), lambda a, i, ids: (ids[a], 0, i))
-    d_spec = pl.BlockSpec((1, bi, H), lambda a, i, ids: (ids[a], i, 0))
-    out_spec = pl.BlockSpec((1, C, H), lambda a, i, ids: (a, 0, 0))
+    x_spec = pl.BlockSpec((1, C, H), lambda a, i, ids, v: (a, 0, 0))
+    gu_spec = pl.BlockSpec((1, H, bi), lambda a, i, ids, v: (ids[a], 0, i))
+    d_spec = pl.BlockSpec((1, bi, H), lambda a, i, ids, v: (ids[a], i, 0))
+    out_spec = pl.BlockSpec((1, C, H), lambda a, i, ids, v: (a, 0, 0))
     scratch = [pltpu.VMEM((C, H), jnp.float32)]
 
     if quant:
-        s_spec = pl.BlockSpec((1, bi), lambda a, i, ids: (ids[a], i))
-        sd_spec = pl.BlockSpec((1, H), lambda a, i, ids: (ids[a], 0))
+        s_spec = pl.BlockSpec((1, bi), lambda a, i, ids, v: (ids[a], i))
+        sd_spec = pl.BlockSpec((1, H), lambda a, i, ids, v: (ids[a], 0))
         kernel = functools.partial(_ffn_kernel_q, n_i=n_i)
         # the [E, H] down scale multiplies each I-tile's partial sum before
         # accumulation — scaling is linear, so per-tile application equals
@@ -133,7 +150,7 @@ def ragged_expert_ffn(
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(A, n_i),
                 in_specs=[x_spec, gu_spec, s_spec, gu_spec, s_spec,
                           d_spec, sd_spec],
@@ -142,14 +159,14 @@ def ragged_expert_ffn(
             ),
             out_shape=jax.ShapeDtypeStruct((A, C, H), x_slots.dtype),
             interpret=interpret,
-        )(active_ids.astype(jnp.int32), x_slots,
+        )(active_ids.astype(jnp.int32), blk_valid.astype(jnp.int32), x_slots,
           wg, gate["scale"], wu, up["scale"], wd, down["scale"])
 
     kernel = functools.partial(_ffn_kernel, n_i=n_i)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(A, n_i),
             in_specs=[x_spec, gu_spec, gu_spec, d_spec],
             out_specs=out_spec,
@@ -157,7 +174,8 @@ def ragged_expert_ffn(
         ),
         out_shape=jax.ShapeDtypeStruct((A, C, H), x_slots.dtype),
         interpret=interpret,
-    )(active_ids.astype(jnp.int32), x_slots, wg, wu, wd)
+    )(active_ids.astype(jnp.int32), blk_valid.astype(jnp.int32),
+      x_slots, wg, wu, wd)
 
 
 def active_expert_table(topi: jax.Array, num_experts: int
@@ -258,6 +276,20 @@ def ragged_mesh_ok(mesh, p: dict) -> bool:
     return E % ep == 0 and I % tp == 0 and (E // ep) >= 1
 
 
+def expert_leaf_specs(kind: str, quant: bool):
+    """shard_map in_specs for one expert weight leaf dict, matching
+    parallel/sharding.py's expert rules with fsdp collapsed (the sharded
+    ragged/GMM paths require every non-ep/tp mesh axis to be size 1).
+    kind: "gu" (gate/up [E, H, I] — I on "tp") or "d" (down [E, I, H])."""
+    from jax.sharding import PartitionSpec as P
+
+    kspec = P("ep", None, "tp") if kind == "gu" else P("ep", "tp", None)
+    if not quant:
+        return {"kernel": kspec}
+    sspec = P("ep", "tp") if kind == "gu" else P("ep", None)
+    return {"kernel_q": kspec, "scale": sspec}
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_ragged_fn(mesh, k: int, norm_topk_prob: bool, quant: bool,
                        E: int, interpret: bool):
@@ -275,15 +307,7 @@ def _sharded_ragged_fn(mesh, k: int, norm_topk_prob: bool, quant: bool,
 
     ep = dict(mesh.shape).get("ep", 1)
     E_local = E // ep
-
-    def leaf_spec(kind: str) -> dict:
-        # matches parallel/sharding.py expert rules with fsdp collapsed
-        # (ragged_mesh_ok guarantees fsdp == 1)
-        kspec = P("ep", None, "tp") if kind == "gu" else P("ep", "tp", None)
-        if not quant:
-            return {"kernel": kspec}
-        sspec = P("ep", "tp") if kind == "gu" else P("ep", None)
-        return {"kernel_q": kspec, "scale": sspec}
+    leaf_spec = lambda kind: expert_leaf_specs(kind, quant)  # noqa: E731
 
     def body(rk, gate, up, down, xt_l):
         e0 = jax.lax.axis_index("ep") * E_local

@@ -307,6 +307,13 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
         import dataclasses
 
         gcfg = dataclasses.replace(gcfg, vit_attn_impl="xla")
+    if getattr(cfg.text, "moe_gmm_prefill", False):
+        # inference-only path (no VJP): the GRPO loss forward always takes
+        # the einsum, same downgrade as make_sft_step
+        import dataclasses
+
+        cfg = cfg.replace(text=dataclasses.replace(
+            cfg.text, moe_gmm_prefill=False))
     pp_mesh = mesh if pp > 1 else None
 
     def step_fn(state: GRPOTrainState, batch: dict):

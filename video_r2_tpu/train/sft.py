@@ -112,6 +112,13 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
     if pp > 1 and scfg.attn_impl == "sp":
         raise ValueError("pp and sp cannot combine: the sp shard_map cannot "
                          "nest inside the pp stage schedule")
+    if getattr(cfg.text, "moe_gmm_prefill", False):
+        # the sorted-GMM MoE forward is inference-only (no VJP on the
+        # grouped Pallas kernel); training always takes the einsum
+        import dataclasses
+
+        cfg = cfg.replace(text=dataclasses.replace(
+            cfg.text, moe_gmm_prefill=False))
     if mesh is not None and scfg.vit_attn_impl == "auto":
         import dataclasses
 

@@ -101,6 +101,46 @@ def test_gmm_int8_experts(moe_params, rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_gmm_w8a8(moe_params, rng):
+    """act_quant="int8" through the GMM kernel (_ffn_kernel_qq: integer-MXU
+    dots, row scales factored out): differs from weight-only (the branch
+    runs), stays within int8 error of the einsum W8A8 path (per-TILE h
+    requantization vs its full-row quant), and moe_mlp routes there
+    instead of silently falling back to the einsum."""
+    from video_r2_tpu.models.quant import quantize_params
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    qp = quantize_params(moe_params)
+    T, H, k = 10, 32, 2
+    x = jnp.asarray(rng.normal(0, 1, (T, H)), jnp.float32)
+    wo = np.asarray(moe_mlp_gmm(qp, x, k, True, block_rows=8,
+                                interpret=True))
+    aq = np.asarray(moe_mlp_gmm(qp, x, k, True, block_rows=8,
+                                interpret=True, act_quant="int8"))
+    assert not np.array_equal(wo, aq)
+    ein = np.asarray(moe_mlp(qp, x[None], k, True, capacity_factor=0.0,
+                             act_quant="int8")[0])
+    assert np.abs(aq - ein).max() < 0.1 * max(np.abs(ein).max(), 1.0)
+    # moe_mlp with the flags takes the kernel path (poison-free proof:
+    # identical to the direct kernel call, not to the einsum)
+    via = np.asarray(moe_mlp(qp, x[None], k, True, act_quant="int8",
+                             gmm_prefill=True)[0])
+    direct = np.asarray(moe_mlp_gmm(qp, x, k, True, interpret=True,
+                                    act_quant="int8"))
+    np.testing.assert_allclose(via, direct, rtol=1e-6, atol=1e-6)
+    # sharded W8A8
+    mesh = make_mesh(MeshConfig(ep=2, tp=2))
+    shard = np.asarray(moe_mlp_gmm_sharded(qp, x, k, True, mesh,
+                                           interpret=True,
+                                           act_quant="int8"))
+    single = np.asarray(moe_mlp_gmm(qp, x, k, True,
+                                    block_rows=None, interpret=True,
+                                    act_quant="int8"))
+    # tp splits the intermediate axis, so per-tile h quant boundaries
+    # differ from single-device — int8-error agreement, not bitwise
+    assert np.abs(shard - single).max() < 0.1 * max(np.abs(single).max(), 1.0)
+
+
 def test_gmm_reads_only_routed_experts(moe_params, rng):
     """NaN-poison every expert no token routes to: GMM output stays finite
     (those weight rows are never DMA'd) while the exact-mode einsum

@@ -110,6 +110,28 @@ def test_ragged_int8_experts(moe_params, rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_ragged_w8a8(moe_params, rng):
+    """act_quant="int8" through the ragged decode kernel: differs from
+    weight-only, stays within int8 error of the einsum W8A8 path, and
+    moe_mlp(ragged_decode=True, act_quant="int8") no longer falls back to
+    the einsum when the weights are int8."""
+    from video_r2_tpu.models.quant import quantize_params
+
+    qp = quantize_params(moe_params)
+    T, H, k = 4, 32, 2
+    x = jnp.asarray(rng.normal(0, 1, (T, H)), jnp.float32)
+    wo = np.asarray(moe_mlp_ragged(qp, x, k, True, interpret=True))
+    aq = np.asarray(moe_mlp_ragged(qp, x, k, True, interpret=True,
+                                   act_quant="int8"))
+    assert not np.array_equal(wo, aq)
+    ein = np.asarray(moe_mlp(qp, x[None], k, True, capacity_factor=0.0,
+                             act_quant="int8")[0])
+    assert np.abs(aq - ein).max() < 0.1 * max(np.abs(ein).max(), 1.0)
+    via = np.asarray(moe_mlp(qp, x[None], k, True, act_quant="int8",
+                             ragged_decode=True)[0])
+    np.testing.assert_allclose(via, aq, rtol=1e-6, atol=1e-6)
+
+
 def test_ragged_ffn_reads_only_active(moe_params, rng):
     """Poison the INACTIVE experts' weights with NaN: the ragged output must
     stay finite (those rows are never touched), while the all-experts

@@ -206,7 +206,14 @@ def moe_mlp(
     T = B * S
     xt = x.reshape(T, H)
 
-    if ragged_decode and T <= RAGGED_MAX_TOKENS and act_quant != "int8":
+    # W8A8 (act_quant="int8") rides the kernels too when the weights are
+    # int8 (integer-MXU dots with row-scale factoring, _ffn_kernel_qq);
+    # int8 activations with FLOAT weights have no kernel — einsum then.
+    quant_w = "kernel_q" in p["experts"]["gate"]
+    aq_ok = act_quant != "int8" or quant_w
+    kernel_aq = act_quant if quant_w else None
+
+    if ragged_decode and T <= RAGGED_MAX_TOKENS and aq_ok:
         from ..ops.moe_ragged import (moe_mlp_ragged, moe_mlp_ragged_sharded,
                                       ragged_mesh_ok)
 
@@ -214,14 +221,15 @@ def moe_mlp(
         if mesh is not None:
             if ragged_mesh_ok(mesh, p):
                 return moe_mlp_ragged_sharded(
-                    p, xt, k, norm_topk_prob, mesh,
-                    interpret=interpret).reshape(B, S, H)
+                    p, xt, k, norm_topk_prob, mesh, interpret=interpret,
+                    act_quant=kernel_aq).reshape(B, S, H)
             # unqualifying mesh: grouped einsum below (GSPMD-sharded)
         else:
             return moe_mlp_ragged(p, xt, k, norm_topk_prob,
-                                  interpret=interpret).reshape(B, S, H)
+                                  interpret=interpret,
+                                  act_quant=kernel_aq).reshape(B, S, H)
 
-    if gmm_prefill and act_quant != "int8":
+    if gmm_prefill and aq_ok:
         from ..ops.moe_gmm import moe_mlp_gmm, moe_mlp_gmm_sharded
         from ..ops.moe_ragged import ragged_mesh_ok
 
@@ -229,12 +237,13 @@ def moe_mlp(
         if mesh is not None:
             if ragged_mesh_ok(mesh, p):
                 return moe_mlp_gmm_sharded(
-                    p, xt, k, norm_topk_prob, mesh,
-                    interpret=interpret).reshape(B, S, H)
+                    p, xt, k, norm_topk_prob, mesh, interpret=interpret,
+                    act_quant=kernel_aq).reshape(B, S, H)
             # unqualifying mesh: grouped einsum below (GSPMD-sharded)
         else:
             return moe_mlp_gmm(p, xt, k, norm_topk_prob,
-                               interpret=interpret).reshape(B, S, H)
+                               interpret=interpret,
+                               act_quant=kernel_aq).reshape(B, S, H)
 
     n = min(group_size, T)
     G = -(-T // n)

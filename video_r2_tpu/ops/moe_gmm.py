@@ -34,7 +34,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .moe_ragged import expert_leaf_specs, ragged_expert_ffn
+from .moe_ragged import expert_leaf_specs, quantize_rows, ragged_expert_ffn
 
 
 def sorted_expert_layout(topi: jax.Array, E: int, block_rows: int
@@ -101,7 +101,8 @@ def auto_block_rows(Tk: int, E: int) -> int:
 
 def moe_mlp_gmm(p: dict, xt: jax.Array, k: int, norm_topk_prob: bool,
                 block_rows: int | None = None,
-                interpret: bool | None = None) -> jax.Array:
+                interpret: bool | None = None,
+                act_quant: str | None = None) -> jax.Array:
     """Exact sparse MoE forward over sorted expert groups. xt [T, H] ->
     [T, H]. Routing semantics identical to models/moe.py:route; output
     equals the dense HF oracle (no capacity, no drops) at T*k + O(E*bm)
@@ -118,11 +119,11 @@ def moe_mlp_gmm(p: dict, xt: jax.Array, k: int, norm_topk_prob: bool,
     topv, topi = route(p["router"]["kernel"], xt, k, norm_topk_prob)
     return _gmm_apply(xt, topv, topi, E, p["experts"]["gate"],
                       p["experts"]["up"], p["experts"]["down"],
-                      block_rows, interpret)
+                      block_rows, interpret, act_quant=act_quant)
 
 
 def _gmm_apply(xt, topv, topi, E: int, gate, up, down, block_rows: int,
-               interpret: bool) -> jax.Array:
+               interpret: bool, act_quant: str | None = None) -> jax.Array:
     """Sort/scatter -> grouped kernel -> gather/combine. topi may carry
     sentinel ids == E (masked non-local slots under expert parallelism):
     their rows compute against a clamped local expert and combine with the
@@ -135,9 +136,15 @@ def _gmm_apply(xt, topv, topi, E: int, gate, up, down, block_rows: int,
 
     tok_of_flat = jnp.arange(Tk) // k
     x_sorted = jnp.zeros((R_pad, H), xt.dtype).at[dst].set(xt[tok_of_flat])
-    y = ragged_expert_ffn(x_sorted.reshape(R_pad // bm, bm, H), blk_expert,
-                          gate, up, down, interpret=interpret,
-                          blk_valid=blk_valid)
+    xs = x_sorted.reshape(R_pad // bm, bm, H)
+    if act_quant == "int8" and "kernel_q" in gate:
+        xq, ax = quantize_rows(xs)
+        y = ragged_expert_ffn(xq, blk_expert, gate, up, down,
+                              interpret=interpret, blk_valid=blk_valid,
+                              x_scales=ax)
+    else:
+        y = ragged_expert_ffn(xs, blk_expert, gate, up, down,
+                              interpret=interpret, blk_valid=blk_valid)
     yflat = y.reshape(R_pad, H)
     w = topv.reshape(-1)
     contrib = yflat[dst] * w[:, None].astype(yflat.dtype)
@@ -147,7 +154,8 @@ def _gmm_apply(xt, topv, topi, E: int, gate, up, down, block_rows: int,
 
 @functools.lru_cache(maxsize=64)
 def _sharded_gmm_fn(mesh, k: int, norm_topk_prob: bool, quant: bool,
-                    E: int, block_rows: int, interpret: bool):
+                    E: int, block_rows: int, interpret: bool,
+                    act_quant: str | None = None):
     """Cached jitted shard_map for ep x tp GMM prefill — same structure as
     ops/moe_ragged._sharded_ragged_fn (which documents the check_vma /
     eager-impl / tiled-output-combine constraints): every shard routes
@@ -168,7 +176,7 @@ def _sharded_gmm_fn(mesh, k: int, norm_topk_prob: bool, quant: bool,
         topi_l = jnp.where(local, topi - e0, E_local)
         topv_l = jnp.where(local, topv, jnp.zeros_like(topv))
         out = _gmm_apply(xt_l, topv_l, topi_l, E_local, gate, up, down,
-                         block_rows, interpret)
+                         block_rows, interpret, act_quant=act_quant)
         return out[None]
 
     return jax.jit(jax.shard_map(
@@ -183,7 +191,8 @@ def _sharded_gmm_fn(mesh, k: int, norm_topk_prob: bool, quant: bool,
 def moe_mlp_gmm_sharded(p: dict, xt: jax.Array, k: int,
                         norm_topk_prob: bool, mesh,
                         block_rows: int | None = None,
-                        interpret: bool | None = None) -> jax.Array:
+                        interpret: bool | None = None,
+                        act_quant: str | None = None) -> jax.Array:
     """GMM prefill under an ep x tp serving mesh: each shard computes only
     the rows routed to ITS experts (plus block padding) with tp-split
     intermediate channels — exact judge prefill at any scale, replacing
@@ -198,7 +207,7 @@ def moe_mlp_gmm_sharded(p: dict, xt: jax.Array, k: int,
     quant = "kernel_q" in gate
     keep = ("kernel_q", "scale") if quant else ("kernel",)
     fn = _sharded_gmm_fn(mesh, k, norm_topk_prob, quant, E, block_rows,
-                         interpret)
+                         interpret, act_quant if quant else None)
     parts = fn(p["router"]["kernel"],
                *({n: leaf[n] for n in keep}
                  for leaf in (gate, p["experts"]["up"],

@@ -101,6 +101,44 @@ def _ffn_kernel_q(ids_ref, valid_ref, x_ref, wg_ref, sg_ref, wu_ref, su_ref,
         o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _ffn_kernel_qq(ids_ref, valid_ref, xq_ref, ax_ref, wg_ref, sg_ref,
+                   wu_ref, su_ref, wd_ref, sd_ref, o_ref, acc_ref,
+                   *, n_i: int):
+    """W8A8 variant: int8 activations x int8 weights on the integer MXU
+    (the MoE counterpart of layers._w8a8_linear). Row scales ax [C] factor
+    onto the f32 dot outputs with the per-channel weight scales; the
+    intermediate h re-quantizes per row PER TILE (finer than the einsum
+    path's full-row quant — a tolerance difference, not a bug)."""
+    a = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(valid_ref[a] != 0)
+    def _():
+        xq = xq_ref[0]                                     # [C, H] int8
+        ax = ax_ref[0].astype(jnp.float32)                 # [C]
+        g = (jnp.dot(xq, wg_ref[0], preferred_element_type=jnp.int32)
+             .astype(jnp.float32) * ax[:, None]
+             * sg_ref[0].astype(jnp.float32)[None, :])
+        u = (jnp.dot(xq, wu_ref[0], preferred_element_type=jnp.int32)
+             .astype(jnp.float32) * ax[:, None]
+             * su_ref[0].astype(jnp.float32)[None, :])
+        h = jax.nn.silu(g) * u                             # [C, bi] f32
+        ah = jnp.maximum(jnp.max(jnp.abs(h), axis=-1), 1e-6) / 127.0
+        hq = jnp.clip(jnp.round(h / ah[:, None]), -127, 127).astype(jnp.int8)
+        acc_ref[...] += (jnp.dot(hq, wd_ref[0],
+                                 preferred_element_type=jnp.int32)
+                         .astype(jnp.float32) * ah[:, None]
+                         * sd_ref[0].astype(jnp.float32)[None, :])
+
+    @pl.when(i == n_i - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_i", "interpret"))
 def ragged_expert_ffn(
     x_slots: jax.Array,        # [A, C, H] dispatched tokens (zero-padded)
@@ -111,6 +149,10 @@ def ragged_expert_ffn(
     blk_valid: jax.Array | None = None,  # [A] int32; 0 = slack block (skip
                                          # compute, write zeros) — the GMM
                                          # layout's static-bound tail
+    x_scales: jax.Array | None = None,   # [A, C] f32: x_slots is int8 with
+                                         # these per-row absmax scales ->
+                                         # W8A8 dots on the integer MXU
+                                         # (requires int8 weight leaves)
 ) -> jax.Array:
     """Fused SwiGLU over ACTIVE experts only. Returns [A, C, H].
 
@@ -120,6 +162,7 @@ def ragged_expert_ffn(
     scalar-prefetched ids)."""
     A, C, H = x_slots.shape
     quant = "kernel_q" in gate
+    assert x_scales is None or quant, "W8A8 needs int8 weight leaves"
     wg = gate["kernel_q"] if quant else gate["kernel"]
     wu = up["kernel_q"] if quant else up["kernel"]
     wd = down["kernel_q"] if quant else down["kernel"]
@@ -139,6 +182,27 @@ def ragged_expert_ffn(
     d_spec = pl.BlockSpec((1, bi, H), lambda a, i, ids, v: (ids[a], i, 0))
     out_spec = pl.BlockSpec((1, C, H), lambda a, i, ids, v: (a, 0, 0))
     scratch = [pltpu.VMEM((C, H), jnp.float32)]
+
+    if quant and x_scales is not None:
+        s_spec = pl.BlockSpec((1, bi), lambda a, i, ids, v: (ids[a], i))
+        sd_spec = pl.BlockSpec((1, H), lambda a, i, ids, v: (ids[a], 0))
+        ax_spec = pl.BlockSpec((1, C), lambda a, i, ids, v: (a, 0))
+        kernel = functools.partial(_ffn_kernel_qq, n_i=n_i)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(A, n_i),
+                in_specs=[x_spec, ax_spec, gu_spec, s_spec, gu_spec, s_spec,
+                          d_spec, sd_spec],
+                out_specs=out_spec,
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((A, C, H), jnp.float32),
+            interpret=interpret,
+        )(active_ids.astype(jnp.int32), blk_valid.astype(jnp.int32),
+          x_slots, x_scales.astype(jnp.float32),
+          wg, gate["scale"], wu, up["scale"], wd, down["scale"])
 
     if quant:
         s_spec = pl.BlockSpec((1, bi), lambda a, i, ids, v: (ids[a], i))
@@ -178,6 +242,15 @@ def ragged_expert_ffn(
       x_slots, wg, wu, wd)
 
 
+def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row absmax int8 over the last axis (same semantics as
+    models/moe._quantize_rows; local copy avoids a circular import)."""
+    x32 = x.astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x32 / a[..., None]), -127, 127).astype(jnp.int8)
+    return xq, a
+
+
 def active_expert_table(topi: jax.Array, num_experts: int
                         ) -> tuple[jax.Array, jax.Array]:
     """Routing table [T, k] -> (active_ids [A] sorted, a_idx [T, k]).
@@ -213,8 +286,8 @@ def active_expert_table(topi: jax.Array, num_experts: int
 
 
 def _ragged_apply(xt: jax.Array, topv: jax.Array, topi: jax.Array, E: int,
-                  gate: dict, up: dict, down: dict, interpret: bool
-                  ) -> jax.Array:
+                  gate: dict, up: dict, down: dict, interpret: bool,
+                  act_quant: str | None = None) -> jax.Array:
     """Dispatch/kernel/combine over the active-expert table for a routed
     step. topi entries may be the sentinel E (masked slot — zero dispatch
     AND zero combine; the ep-sharded path masks non-local slots this way).
@@ -236,8 +309,13 @@ def _ragged_apply(xt: jax.Array, topv: jax.Array, topi: jax.Array, E: int,
     x_rep = jnp.repeat(xt, k, axis=0)                              # [Tk, H]
     x_slots = jnp.einsum("tac,th->ach", oh, x_rep)
 
-    y_slots = ragged_expert_ffn(x_slots, active_ids, gate, up, down,
-                                interpret=interpret)
+    if act_quant == "int8" and "kernel_q" in gate:
+        xq, ax = quantize_rows(x_slots)
+        y_slots = ragged_expert_ffn(xq, active_ids, gate, up, down,
+                                    interpret=interpret, x_scales=ax)
+    else:
+        y_slots = ragged_expert_ffn(x_slots, active_ids, gate, up, down,
+                                    interpret=interpret)
 
     w_rep = topv.reshape(-1)                                       # [Tk]
     out = jnp.einsum("tac,ach->th", oh * w_rep[:, None, None], y_slots)
@@ -245,7 +323,8 @@ def _ragged_apply(xt: jax.Array, topv: jax.Array, topi: jax.Array, E: int,
 
 
 def moe_mlp_ragged(p: dict, xt: jax.Array, k: int, norm_topk_prob: bool,
-                   interpret: bool | None = None) -> jax.Array:
+                   interpret: bool | None = None,
+                   act_quant: str | None = None) -> jax.Array:
     """Decode-path sparse MoE over active experts only. xt [T, H] (T small:
     a decode step's tokens); returns [T, H]. Exact (never drops — per-
     active-expert capacity is T). Routing semantics identical to
@@ -257,7 +336,8 @@ def moe_mlp_ragged(p: dict, xt: jax.Array, k: int, norm_topk_prob: bool,
     E = p["router"]["kernel"].shape[-1]
     topv, topi = route(p["router"]["kernel"], xt, k, norm_topk_prob)
     return _ragged_apply(xt, topv, topi, E, p["experts"]["gate"],
-                         p["experts"]["up"], p["experts"]["down"], interpret)
+                         p["experts"]["up"], p["experts"]["down"], interpret,
+                         act_quant=act_quant)
 
 
 def ragged_mesh_ok(mesh, p: dict) -> bool:
@@ -292,7 +372,8 @@ def expert_leaf_specs(kind: str, quant: bool):
 
 @functools.lru_cache(maxsize=64)
 def _sharded_ragged_fn(mesh, k: int, norm_topk_prob: bool, quant: bool,
-                       E: int, interpret: bool):
+                       E: int, interpret: bool,
+                       act_quant: str | None = None):
     """Cached jitted shard_map for one (mesh, routing, leaf-kind, E) combo.
 
     The jit wrapper is required because partial-manual shard_map has no
@@ -316,7 +397,7 @@ def _sharded_ragged_fn(mesh, k: int, norm_topk_prob: bool, quant: bool,
         topi_l = jnp.where(local, topi - e0, E_local)   # sentinel: not ours
         topv_l = jnp.where(local, topv, jnp.zeros_like(topv))
         out = _ragged_apply(xt_l, topv_l, topi_l, E_local, gate, up, down,
-                            interpret)
+                            interpret, act_quant=act_quant)
         return out[None]   # [1, T, H] partial: this shard's experts/channels
 
     # Combine OUTSIDE the shard_map: shards return [1, T, H] partials
@@ -336,7 +417,8 @@ def _sharded_ragged_fn(mesh, k: int, norm_topk_prob: bool, quant: bool,
 
 def moe_mlp_ragged_sharded(p: dict, xt: jax.Array, k: int,
                            norm_topk_prob: bool, mesh,
-                           interpret: bool | None = None) -> jax.Array:
+                           interpret: bool | None = None,
+                           act_quant: str | None = None) -> jax.Array:
     """Ragged decode under an ep x tp serving mesh (the judge topology:
     vLLM --tensor-parallel-size 4 in the reference, serve_qwen3.sh:13).
 
@@ -356,7 +438,8 @@ def moe_mlp_ragged_sharded(p: dict, xt: jax.Array, k: int,
     gate = p["experts"]["gate"]
     quant = "kernel_q" in gate
     keep = ("kernel_q", "scale") if quant else ("kernel",)
-    fn = _sharded_ragged_fn(mesh, k, norm_topk_prob, quant, E, interpret)
+    fn = _sharded_ragged_fn(mesh, k, norm_topk_prob, quant, E, interpret,
+                            act_quant if quant else None)
     parts = fn(p["router"]["kernel"],
                *({n: leaf[n] for n in keep}
                  for leaf in (gate, p["experts"]["up"],

@@ -89,7 +89,9 @@ class TextConfig:
     # routed rows — exact at ~1.1-1.5x the routed compute, vs the einsum's
     # exact mode (capacity_factor=0) allocating group*k slots for EVERY
     # expert (~E x compute + multi-GB activations at the judge shape).
-    # INFERENCE-ONLY (no VJP; training keeps the einsum).
+    # Float weights differentiate (recompute custom VJP, grads == einsum);
+    # int8/W8A8 variants are inference-only and the shipped trainers force
+    # the einsum regardless (make_sft_step / make_grpo_step).
     moe_gmm_prefill: bool = False
 
     @property

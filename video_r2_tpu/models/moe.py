@@ -240,10 +240,18 @@ def moe_mlp(
                     p, xt, k, norm_topk_prob, mesh, interpret=interpret,
                     act_quant=kernel_aq).reshape(B, S, H)
             # unqualifying mesh: grouped einsum below (GSPMD-sharded)
-        else:
+        elif quant_w or kernel_aq == "int8":
             return moe_mlp_gmm(p, xt, k, norm_topk_prob,
                                interpret=interpret,
                                act_quant=kernel_aq).reshape(B, S, H)
+        else:
+            # float weights: the custom-VJP wrapper — identical forward,
+            # and jax.grad works (exact MoE training without the E x
+            # einsum; recompute backward, ops/moe_gmm.py)
+            from ..ops.moe_gmm import moe_mlp_gmm_diff
+
+            return moe_mlp_gmm_diff(p, xt, k, norm_topk_prob,
+                                    interpret=interpret).reshape(B, S, H)
 
     n = min(group_size, T)
     G = -(-T // n)

@@ -308,8 +308,8 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
 
         gcfg = dataclasses.replace(gcfg, vit_attn_impl="xla")
     if getattr(cfg.text, "moe_gmm_prefill", False):
-        # inference-only path (no VJP): the GRPO loss forward always takes
-        # the einsum, same downgrade as make_sft_step
+        # the GRPO loss forward always takes the einsum — same
+        # conservative downgrade (and rationale) as make_sft_step
         import dataclasses
 
         cfg = cfg.replace(text=dataclasses.replace(

@@ -113,8 +113,11 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
         raise ValueError("pp and sp cannot combine: the sp shard_map cannot "
                          "nest inside the pp stage schedule")
     if getattr(cfg.text, "moe_gmm_prefill", False):
-        # the sorted-GMM MoE forward is inference-only (no VJP on the
-        # grouped Pallas kernel); training always takes the einsum
+        # training always takes the einsum: the SHARDED GMM and the
+        # int8/W8A8 variants have no VJP (the float single-device path
+        # does — ops/moe_gmm.gmm_expert_ffn_diff — but this builder can't
+        # see the weights, so it stays conservative; custom loops can call
+        # moe_mlp(gmm_prefill=True) directly for exact GMM training)
         import dataclasses
 
         cfg = cfg.replace(text=dataclasses.replace(

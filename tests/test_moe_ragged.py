@@ -130,6 +130,13 @@ def test_ragged_w8a8(moe_params, rng):
     via = np.asarray(moe_mlp(qp, x[None], k, True, act_quant="int8",
                              ragged_decode=True)[0])
     np.testing.assert_allclose(via, aq, rtol=1e-6, atol=1e-6)
+    # dtype contract: the W8A8 kernel's f32 accumulator must not leak into
+    # the decoder's bf16 residual (a lax.scan carry — dtype mismatch there
+    # is a trace-time TypeError)
+    xb = x.astype(jnp.bfloat16)
+    out_b = moe_mlp_ragged(qp, xb, k, True, interpret=True,
+                           act_quant="int8")
+    assert out_b.dtype == jnp.bfloat16
 
 
 def test_ragged_ffn_reads_only_active(moe_params, rng):

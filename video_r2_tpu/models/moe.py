@@ -74,16 +74,6 @@ def route(router_kernel: jax.Array, x: jax.Array, k: int,
     return topv.astype(x.dtype), topi
 
 
-def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-row absmax int8 over the last axis (the MoE counterpart of
-    layers.quantize_act, kept n-d)."""
-    x32 = x.astype(jnp.float32)
-    a = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
-                    1e-6) / 127.0
-    xq = jnp.clip(jnp.round(x32 / a), -127, 127).astype(jnp.int8)
-    return xq, a
-
-
 def _expert_matmul(x: jax.Array, leaf: dict, eq: str,
                    act_quant: str | None) -> jax.Array:
     """x [G,E,C,K] @ expert kernels [E,K,N] -> [G,E,C,N]. int8 weight
@@ -91,7 +81,9 @@ def _expert_matmul(x: jax.Array, leaf: dict, eq: str,
     act_quant="int8" the dot itself runs int8 x int8 -> int32 on the
     integer MXU (the MoE counterpart of layers._w8a8_linear)."""
     if act_quant == "int8" and "kernel_q" in leaf:
-        xq, a = _quantize_rows(x)
+        from ..ops.moe_ragged import quantize_rows
+
+        xq, a = quantize_rows(x, keepdims=True)
         y = jnp.einsum(eq, xq, leaf["kernel_q"],
                        preferred_element_type=jnp.int32)
         y = (y.astype(jnp.float32) * a
@@ -197,9 +189,10 @@ def moe_mlp(
     (capacity_factor=0, the judge default: drops are not a safe judging
     tradeoff) allocates C = group*k slots for every expert, ~E x the
     routed compute at the A3B judge shape and a multi-GB expert_in at
-    real prompt lengths; GMM is exact at ~1.1-1.5x. INFERENCE-ONLY (the
-    kernel has no VJP — MoE training keeps the einsum). Without the flag
-    prefill falls through to the grouped einsum unchanged."""
+    real prompt lengths; GMM is exact at ~1.1-1.5x. Float weights on a
+    single device DIFFERENTIATE (recompute custom VJP, grads == einsum);
+    the sharded and int8/W8A8 variants are inference-only. Without the
+    flag prefill falls through to the grouped einsum unchanged."""
     B, S, H = x.shape
     k = num_experts_per_tok
     E = p["router"]["kernel"].shape[-1]
@@ -240,7 +233,7 @@ def moe_mlp(
                     p, xt, k, norm_topk_prob, mesh, interpret=interpret,
                     act_quant=kernel_aq).reshape(B, S, H)
             # unqualifying mesh: grouped einsum below (GSPMD-sharded)
-        elif quant_w or kernel_aq == "int8":
+        elif quant_w:
             return moe_mlp_gmm(p, xt, k, norm_topk_prob,
                                interpret=interpret,
                                act_quant=kernel_aq).reshape(B, S, H)

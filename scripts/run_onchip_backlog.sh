@@ -31,6 +31,9 @@ run moe_ragged      1800 python scripts/profile_moe_ragged.py
 # 3b. GMM MoE prefill latency (exact vs einsum cf=0/cf=1.25 at judge shape)
 run moe_gmm         1800 python scripts/profile_moe_gmm.py
 
+# 3c. GMM fwd+bwd Mosaic compile smoke (grad parity vs einsum on chip)
+run moe_gmm_bwd     1800 python scripts/smoke_gmm_bwd.py
+
 # 4. GRPO rollouts/hr with spec sampling (r3 backlog headline candidate)
 run rollout_spec    3600 python scripts/profile_rollout_spec.py
 

@@ -52,6 +52,54 @@ def test_grpo_step_sharded_matches_single(rng):
     np.testing.assert_allclose(float(m1["kl"]), float(m2["kl"]), rtol=1e-5)
 
 
+def test_grpo_multimodal_sharded_matches_single(rng):
+    """Multimodal GRPO loss (video patches through the ViT inside the
+    sharded jit) — sharded == single-device, with the default
+    vit_attn_impl='auto' exercising the mesh downgrade plumbing
+    (GRPOConfig.vit_attn_impl, the SFT-parity fix)."""
+    from video_r2_tpu.models import get_rope_index, plan_vision_layout
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, dtype="float32")
+    gcfg = GRPOConfig(num_generations=2, beta=0.04, logp_chunk_size=32)
+    opt = make_optimizer(OptimConfig(learning_rate=1e-3, total_steps=10),
+                         params)
+    B, C = 4, 4
+    grid = (2, 4, 4)
+    n_tok = grid[0] * (grid[1] // 2) * (grid[2] // 2)
+    row = ([5, 6] + [cfg.vision_start_token_id]
+           + [cfg.video_token_id] * n_tok + [cfg.vision_end_token_id]
+           + list(rng.integers(2, 400, size=C)))
+    ids = np.asarray([row] * B, np.int32)
+    pos, _ = get_rope_index(ids, cfg, video_grid_thw=np.asarray([grid] * B),
+                            second_per_grid_ts=np.asarray([1.0] * B))
+    layout = plan_vision_layout([grid] * B, cfg.vision)
+    patches = rng.normal(size=(int(np.prod(grid)) * B,
+                               cfg.vision.patch_input_dim)).astype(np.float32)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "position_ids": jnp.asarray(np.asarray(pos)),
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "completion_mask": jnp.ones((B, C), jnp.int32),
+        "advantages": jnp.asarray(rng.normal(size=(B,)), jnp.float32),
+        "ref_per_token_logps": jnp.asarray(
+            rng.normal(size=(B, C)) - 5.0, jnp.float32),
+        "video_patches": jnp.asarray(patches),
+    }
+    step1 = make_grpo_step(cfg, gcfg, opt, video_layout=layout, donate=False)
+    _, m1 = step1(GRPOTrainState(params, opt.init(params),
+                                 jnp.zeros((), jnp.int32)), batch)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    sparams = shard_params(params, mesh)
+    step2 = make_grpo_step(cfg, gcfg, opt, video_layout=layout,
+                           donate=False, mesh=mesh)
+    _, m2 = step2(GRPOTrainState(sparams, opt.init(sparams),
+                                 jnp.zeros((), jnp.int32)),
+                  step2.shard_batch(batch))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+
+
 def test_grpo_7b_sharded_lowers():
     """The real 7B GRPO loss step lowers over fsdp x tp at true shapes
     (abstract only — catches spec/divisibility bugs without 7B params)."""

@@ -366,7 +366,10 @@ def make_grpo_step(cfg: ModelConfig, gcfg: GRPOConfig, optimizer,
                 sh = jax.sharding.NamedSharding(
                     mesh, jax.sharding.PartitionSpec(None, ("dp", "fsdp"),
                                                      seq_axis))
-            elif k == "video_embeds":        # ragged token-concat, no batch dim
+            elif k in ("video_embeds", "video_patches", "image_patches"):
+                # ragged token/patch concat across the batch, no batch dim:
+                # replicate; GSPMD partitions the ViT from weight shardings
+                # (same rule as make_sft_step.shard_batch)
                 sh = replicated(mesh)
             elif k in ("input_ids", "attention_mask") and seq_axis:
                 # full-sequence [B, P+C] tensors shard S over "sp";

@@ -1,0 +1,196 @@
+"""Qwen3-Next hybrid judge model (models/qwen3_next.py).
+
+Parity anchors (the reference's judge is Qwen3-Next-80B-A3B served on vLLM,
+reference train/serve_llm/serve_qwen3.sh:11-17):
+- full-model logits golden vs HF Qwen3NextForCausalLM (torch fallback
+  gated-deltanet paths) — pins the chunked delta rule, Neumann triangular
+  inverse, gated attention with partial RoPE, zero-centered norms, and the
+  shared-expert MoE;
+- greedy generate token-exact vs HF generate (prefill + recurrent decode +
+  conv-state handoff), with uneven right-padded prompt lengths;
+- chunk-size invariance (the chunked rule is exact for any chunking);
+- right-padding "pause" semantics == per-row unpadded forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_r2_tpu.models.qwen3_next import (
+    Qwen3NextConfig,
+    _tri_inverse,
+    chunk_gated_delta_rule,
+    convert_hf_qwen3_next,
+    forward,
+    generate,
+    recurrent_gated_delta_step,
+)
+
+
+def tiny_next_config(**kw) -> Qwen3NextConfig:
+    return Qwen3NextConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=8, full_attention_interval=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.25, rope_theta=10000.0,
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=8, linear_value_head_dim=8,
+        linear_conv_kernel_dim=4,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=16,
+        shared_expert_intermediate_size=16, norm_topk_prob=True,
+        # tiny tests stay on the einsum MoE path; the ragged/GMM kernels
+        # have their own parity suites (test_moe_ragged / test_moe_gmm)
+        moe_ragged_decode=False, moe_gmm_prefill=False,
+        tie_word_embeddings=False, eos_token_id=1, pad_token_id=0,
+        dtype="float32",
+    ).replace(**kw)
+
+
+def _build_hf_tiny_next():
+    import torch
+    from transformers import Qwen3NextConfig as HFConfig
+    from transformers import Qwen3NextForCausalLM
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=8, full_attention_interval=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.25, rope_theta=10000.0,
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=8, linear_value_head_dim=8,
+        linear_conv_kernel_dim=4,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=16,
+        shared_expert_intermediate_size=16, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        tie_word_embeddings=False, rms_norm_eps=1e-6,
+        max_position_embeddings=512, attention_bias=False,
+    )
+    torch.manual_seed(0)
+    model = Qwen3NextForCausalLM(hf_cfg).eval().float()
+    return model
+
+
+@pytest.fixture(scope="module")
+def hf_next():
+    model = _build_hf_tiny_next()
+    cfg = tiny_next_config()
+    params = convert_hf_qwen3_next(model.state_dict(), cfg, dtype="float32")
+    return model, cfg, params
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def test_tri_inverse_exact(rng):
+    c = 16
+    m = jnp.asarray(np.tril(rng.normal(0, 0.5, (3, c, c)), -1),
+                    jnp.float32)
+    t = _tri_inverse(m)
+    prod = t @ (jnp.eye(c) - m)
+    np.testing.assert_allclose(np.asarray(prod),
+                               np.broadcast_to(np.eye(c), (3, c, c)),
+                               atol=1e-4)
+
+
+def test_chunk_rule_matches_recurrent(rng):
+    """The chunked delta rule equals the token-by-token recurrence — both
+    outputs and final state — for any chunk size."""
+    B, S, H, dk, dv = 2, 21, 3, 8, 8
+    q = jnp.asarray(rng.normal(0, 1, (B, S, H, dk)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, S, H, dk)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, S, H, dv)), jnp.float32)
+    g = jnp.asarray(-np.abs(rng.normal(0, 0.5, (B, S, H))), jnp.float32)
+    beta = jnp.asarray(rng.uniform(0, 1, (B, S, H)), jnp.float32)
+
+    state = jnp.zeros((B, H, dk, dv), jnp.float32)
+    outs = []
+    for t in range(S):
+        o, state = recurrent_gated_delta_step(
+            q[:, t], k[:, t], v[:, t], g[:, t], beta[:, t], state)
+        outs.append(o)
+    ref_out = jnp.stack(outs, 1)
+
+    for chunk in (4, 8, 64):
+        out, final = chunk_gated_delta_rule(q, k, v, g, beta,
+                                            chunk_size=chunk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(final), np.asarray(state),
+                                   rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------------------------- golden
+
+
+def test_next_golden_forward(hf_next, rng):
+    """Full-model logits vs HF Qwen3NextForCausalLM."""
+    import torch
+
+    model, cfg, params = hf_next
+    B, S = 2, 17
+    ids = rng.integers(2, 127, (B, S))
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(forward(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_next_chunk_size_invariance(hf_next, rng):
+    """chunk_size is a performance knob, not a semantics knob."""
+    _, cfg, params = hf_next
+    ids = jnp.asarray(rng.integers(2, 127, (2, 21)))
+    a = np.asarray(forward(params, cfg, ids, chunk_size=64))
+    b = np.asarray(forward(params, cfg, ids, chunk_size=8))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_next_right_padding_pause(hf_next, rng):
+    """Right-padded batch forward == per-row unpadded forward at valid
+    positions (g=0/beta=0 pause masking in the delta rule)."""
+    _, cfg, params = hf_next
+    S = 19
+    lengths = np.array([19, 11], np.int32)
+    ids = rng.integers(2, 127, (2, S))
+    ids[1, 11:] = 0
+    padded = np.asarray(forward(params, cfg, jnp.asarray(ids),
+                                lengths=jnp.asarray(lengths), chunk_size=8))
+    for b, n in enumerate(lengths):
+        solo = np.asarray(forward(params, cfg,
+                                  jnp.asarray(ids[b:b + 1, :n])))
+        np.testing.assert_allclose(padded[b, :n], solo[0],
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_next_generate_golden(hf_next, rng):
+    """Greedy decode (prefill cache -> recurrent delta rule + conv state +
+    KV decode) matches HF generate token-for-token, uneven lengths."""
+    import torch
+
+    model, cfg, params = hf_next
+    B, S, T = 2, 13, 8
+    ids = rng.integers(2, 127, (B, S))
+    lengths = np.array([S, S - 5], np.int32)
+    padded = ids.copy()
+    padded[1, S - 5:] = 0
+    with torch.no_grad():
+        ref_rows = []
+        for b in range(B):
+            row = torch.from_numpy(padded[b:b + 1, :lengths[b]])
+            out = model.generate(row, max_new_tokens=T, do_sample=False,
+                                 eos_token_id=None, pad_token_id=0)
+            ref_rows.append(out[0, lengths[b]:].numpy())
+    res = generate(params, cfg, padded, lengths, max_new_tokens=T)
+    for b in range(B):
+        np.testing.assert_array_equal(res[b], ref_rows[b])
+
+
+def test_next_moe_kernel_flags(hf_next, rng):
+    """The ragged-decode / GMM-prefill kernel flags reproduce the einsum
+    MoE path (interpret mode on CPU) — the judge preset runs with them ON."""
+    _, cfg, params = hf_next
+    ids = rng.integers(2, 127, (1, 9))
+    base = np.asarray(forward(params, cfg, jnp.asarray(ids)))
+    kcfg = cfg.replace(moe_ragged_decode=True, moe_gmm_prefill=True)
+    ours = np.asarray(forward(params, kcfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(ours, base, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,855 @@
+"""Qwen3-Next (hybrid gated-DeltaNet / gated-attention MoE) — the judge model.
+
+The reference's judge is literally Qwen/Qwen3-Next-80B-A3B-Instruct served on
+vLLM at TP=4 (reference train/serve_llm/serve_qwen3.sh:11-17). models/moe.py
+hosts the plain Qwen3-MoE family; THIS module hosts the actual Qwen3-Next
+architecture natively:
+
+- 3:1 hybrid layer pattern — three gated-DeltaNet linear-attention layers,
+  then one gated full-attention layer (partial RoPE, sigmoid output gate);
+- gated DeltaNet: depthwise causal conv over the fused q/k/v stream, qk
+  l2-norm, decay g = -exp(A_log)*softplus(a + dt_bias), write strength
+  beta = sigmoid(b), delta-rule state S in float32;
+- MoE MLP in every layer: Qwen3-MoE top-k routing (reuses models/moe.py,
+  including the ragged-decode and GMM-prefill Pallas kernels) PLUS a shared
+  expert scaled by a sigmoid gate;
+- zero-centered RMSNorm everywhere ((1 + w) * normed — HF Qwen3NextRMSNorm).
+
+TPU-first design, not a torch translation:
+- layers are STACKED per role and scanned — params carry a leading
+  [G = layers/4] axis (full-attention role) and [G, 3] axes (linear role);
+  one lax.scan over groups with an inner scan over the 3 linear sublayers
+  traces each role once instead of 48 times;
+- the chunked delta rule is matmul-only: the per-chunk unit-lower-triangular
+  inverse (I - M)^{-1} (HF runs a sequential python loop over 64 rows,
+  modeling_qwen3_next.py:486-489) is computed by log-depth Neumann doubling
+  Prod_j (I + M^(2^j)) — six batched [64,64] matmuls on the MXU, no
+  row-serial dependency;
+- the recurrent decode state is CONSTANT-SIZE ([B, nv, dk, dv] per linear
+  layer + a [B, K-1, conv_dim] conv tail): 36 of 48 layers need no KV cache
+  growth at all, so long-context judge serving is paged-KV-light by
+  construction;
+- right-padded batches (the engine convention) are exact via "pause"
+  masking: pad positions get g = 0 (no decay) and beta = 0 (no state write),
+  and the conv tail is gathered at each row's true length — equivalent to
+  the pad tokens not existing (HF instead requires left padding,
+  modeling_qwen3_next.py:1057-1067).
+
+Numerics parity anchor: HF Qwen3NextForCausalLM torch fallback paths
+(torch_chunk_gated_delta_rule / torch_recurrent_gated_delta_rule,
+modeling_qwen3_next.py:442-561) — pinned by tests/test_qwen3_next.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import linear, rotate_half, rotary_inv_freq, swiglu_mlp
+from .moe import moe_mlp
+
+
+@dataclass(frozen=True)
+class Qwen3NextConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 2048
+    intermediate_size: int = 5632          # dense MLP (only if num_experts=0)
+    num_hidden_layers: int = 48
+    full_attention_interval: int = 4       # every 4th layer is full attention
+    # full attention (gated, partial RoPE)
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 2
+    head_dim: int = 256
+    partial_rotary_factor: float = 0.25
+    rope_theta: float = 10_000_000.0
+    rms_norm_eps: float = 1e-6
+    # gated DeltaNet
+    linear_num_key_heads: int = 16
+    linear_num_value_heads: int = 32
+    linear_key_head_dim: int = 128
+    linear_value_head_dim: int = 128
+    linear_conv_kernel_dim: int = 4
+    # MoE (every layer; shared expert on top of the routed experts)
+    num_experts: int = 512
+    num_experts_per_tok: int = 10
+    moe_intermediate_size: int = 512
+    shared_expert_intermediate_size: int = 512
+    norm_topk_prob: bool = True
+    moe_capacity_factor: float = 0.0       # judge default: exact, no drops
+    moe_group_size: int = 256
+    moe_ragged_decode: bool = True         # ops/moe_ragged.py on decode steps
+    moe_gmm_prefill: bool = True           # ops/moe_gmm.py on prefill
+    tie_word_embeddings: bool = False
+    eos_token_id: int = 151645
+    pad_token_id: int = 151643
+    dtype: str = "bfloat16"
+
+    def replace(self, **kw) -> "Qwen3NextConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+    @property
+    def linear_key_dim(self) -> int:
+        return self.linear_num_key_heads * self.linear_key_head_dim
+
+    @property
+    def linear_value_dim(self) -> int:
+        return self.linear_num_value_heads * self.linear_value_head_dim
+
+    @property
+    def conv_dim(self) -> int:
+        return 2 * self.linear_key_dim + self.linear_value_dim
+
+    @property
+    def num_groups(self) -> int:
+        assert self.num_hidden_layers % self.full_attention_interval == 0
+        return self.num_hidden_layers // self.full_attention_interval
+
+
+def qwen3_next_80b_a3b() -> Qwen3NextConfig:
+    """Qwen/Qwen3-Next-80B-A3B-Instruct — the reference judge
+    (serve_qwen3.sh:11). Defaults above ARE this checkpoint's shape."""
+    return Qwen3NextConfig()
+
+
+# --------------------------------------------------------------------- norms
+
+
+def rms_norm_zc(w: jax.Array, x: jax.Array, eps: float) -> jax.Array:
+    """Zero-centered RMSNorm (HF Qwen3NextRMSNorm): scale is (1 + w), the
+    product stays in float32 until the final cast."""
+    x32 = x.astype(jnp.float32)
+    normed = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + eps)
+    return (normed * (1.0 + w.astype(jnp.float32))).astype(x.dtype)
+
+
+def rms_norm_gated(w: jax.Array, x: jax.Array, z: jax.Array,
+                   eps: float) -> jax.Array:
+    """Gated RMSNorm (HF Qwen3NextRMSNormGated): norm-before-gate, standard
+    (ones-centered) weight, gate applied as silu(z) in float32."""
+    x32 = x.astype(jnp.float32)
+    normed = (x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True)
+                                  + eps)).astype(x.dtype)
+    h = w.astype(x.dtype) * normed
+    return (h.astype(jnp.float32)
+            * jax.nn.silu(z.astype(jnp.float32))).astype(x.dtype)
+
+
+def _l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    return x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + eps)
+
+
+# ---------------------------------------------------------------- delta rule
+
+
+def _tri_inverse(m: jax.Array) -> jax.Array:
+    """(I - M)^{-1} for strictly-lower-triangular M [..., c, c] via Neumann
+    doubling: Prod_j (I + M^(2^j)). M is nilpotent (M^c = 0), so
+    ceil(log2(c)) rounds are exact — batched MXU matmuls instead of the
+    reference's row-sequential substitution loop."""
+    c = m.shape[-1]
+    eye = jnp.eye(c, dtype=m.dtype)
+    result = eye + m
+    power = m
+    steps = max(int(np.ceil(np.log2(c))), 1)
+    for _ in range(steps - 1):
+        power = power @ power
+        result = result + power @ result
+    return result
+
+
+def chunk_gated_delta_rule(q: jax.Array, k: jax.Array, v: jax.Array,
+                           g: jax.Array, beta: jax.Array,
+                           chunk_size: int = 64,
+                           initial_state: jax.Array | None = None,
+                           ) -> tuple[jax.Array, jax.Array]:
+    """Chunked gated delta rule (prefill path).
+
+    q, k: [B, S, H, dk] (kv heads already repeated to H), v: [B, S, H, dv],
+    g (log decay, <= 0), beta (write strength): [B, S, H]. Pad/pause
+    positions must arrive with g = 0 and beta = 0 — they then neither decay
+    nor write the state (the right-padding exactness contract).
+
+    Returns (out [B, S, H, dv] in v.dtype, final_state [B, H, dk, dv] f32).
+    Matches HF torch_chunk_gated_delta_rule (use_qk_l2norm_in_kernel=True)
+    including the in-kernel qk l2-norm and dk^-0.5 query scale.
+    """
+    B, S, H, dk = q.shape
+    dv = v.shape[-1]
+    c = chunk_size
+    pad = (-S) % c
+    q32 = _l2norm(q.astype(jnp.float32)) * (dk ** -0.5)
+    k32 = _l2norm(k.astype(jnp.float32))
+    v32 = v.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    b32 = beta.astype(jnp.float32)
+    if pad:
+        q32, k32, v32 = (jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                         for x in (q32, k32, v32))
+        # zero g/beta on the tail = pause (same trick HF uses for its pad)
+        g32, b32 = (jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                    for x in (g32, b32))
+    nc = (S + pad) // c
+
+    def chunked(x, d):
+        return x.reshape(B, nc, c, H, d).transpose(0, 3, 1, 2, 4)  # [B,H,nc,c,d]
+
+    qc, kc, vc = chunked(q32, dk), chunked(k32, dk), chunked(v32, dv)
+    gc = g32.reshape(B, nc, c, H).transpose(0, 3, 1, 2)            # [B,H,nc,c]
+    bc = b32.reshape(B, nc, c, H).transpose(0, 3, 1, 2)
+
+    gcs = jnp.cumsum(gc, axis=-1)                                  # within-chunk
+    # decay[i, j] = exp(g_i - g_j) for j <= i
+    tril = jnp.tril(jnp.ones((c, c), dtype=bool))
+    decay = jnp.where(tril, jnp.exp(gcs[..., :, None] - gcs[..., None, :]), 0.0)
+    k_beta = kc * bc[..., None]
+    v_beta = vc * bc[..., None]
+    m = -jnp.where(jnp.tril(jnp.ones((c, c), dtype=bool), -1),
+                   jnp.einsum("bhnik,bhnjk->bhnij", k_beta, kc) * decay, 0.0)
+    t_inv = _tri_inverse(m)                                        # (I - M)^-1
+    v_prime = jnp.einsum("bhnij,bhnjd->bhnid", t_inv, v_beta)
+    k_cumdecay = jnp.einsum("bhnij,bhnjd->bhnid", t_inv,
+                            k_beta * jnp.exp(gcs)[..., None])
+
+    state0 = (jnp.zeros((B, H, dk, dv), jnp.float32)
+              if initial_state is None else initial_state.astype(jnp.float32))
+    strict = jnp.tril(jnp.ones((c, c), dtype=bool))                # incl. diag
+
+    def body(state, xs):
+        q_i, k_i, v_i, kcd_i, g_i, dec_i = xs                      # [B,H,c,*]
+        attn = jnp.where(strict,
+                         jnp.einsum("bhik,bhjk->bhij", q_i, k_i) * dec_i, 0.0)
+        v_new = v_i - kcd_i @ state
+        out_i = (q_i * jnp.exp(g_i)[..., None]) @ state + attn @ v_new
+        g_last = g_i[..., -1]
+        state = (state * jnp.exp(g_last)[..., None, None]
+                 + jnp.einsum("bhck,bhcd->bhkd",
+                              k_i * jnp.exp(g_last[..., None] - g_i)[..., None],
+                              v_new))
+        return state, out_i
+
+    xs = tuple(x.transpose(2, 0, 1, 3, 4) for x in (qc, kc, v_prime,
+                                                    k_cumdecay)) \
+        + (gcs.transpose(2, 0, 1, 3), decay.transpose(2, 0, 1, 3, 4))
+    final_state, out = jax.lax.scan(body, state0, xs)
+    out = out.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * c, dv)
+    out = out[:, :, :S].transpose(0, 2, 1, 3)                      # [B,S,H,dv]
+    return out.astype(v.dtype), final_state
+
+
+def recurrent_gated_delta_step(q: jax.Array, k: jax.Array, v: jax.Array,
+                               g: jax.Array, beta: jax.Array,
+                               state: jax.Array,
+                               ) -> tuple[jax.Array, jax.Array]:
+    """One-token gated delta rule (decode path). q, k: [B, H, dk],
+    v: [B, H, dv], g/beta: [B, H], state: [B, H, dk, dv] f32.
+    HF torch_recurrent_gated_delta_rule semantics."""
+    dk = q.shape[-1]
+    q32 = _l2norm(q.astype(jnp.float32)) * (dk ** -0.5)
+    k32 = _l2norm(k.astype(jnp.float32))
+    v32 = v.astype(jnp.float32)
+    state = state * jnp.exp(g.astype(jnp.float32))[..., None, None]
+    kv_mem = jnp.einsum("bhk,bhkd->bhd", k32, state)
+    delta = (v32 - kv_mem) * beta.astype(jnp.float32)[..., None]
+    state = state + jnp.einsum("bhk,bhd->bhkd", k32, delta)
+    out = jnp.einsum("bhk,bhkd->bhd", q32, state)
+    return out.astype(v.dtype), state
+
+
+# ------------------------------------------------------------ DeltaNet layer
+
+
+def _split_qkvz_ba(cfg: Qwen3NextConfig, qkvz: jax.Array, ba: jax.Array):
+    """HF fix_query_key_value_ordering: the fused projections interleave
+    per-key-head [q | k | v-group | z-group] blocks (and [b-group | a-group])
+    — modeling_qwen3_next.py:631-658."""
+    *lead, _ = qkvz.shape
+    nk, nv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    hk, hv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+    r = nv // nk
+    qkvz = qkvz.reshape(*lead, nk, 2 * hk + 2 * r * hv)
+    q = qkvz[..., :hk]
+    k = qkvz[..., hk:2 * hk]
+    v = qkvz[..., 2 * hk:2 * hk + r * hv].reshape(*lead, nv, hv)
+    z = qkvz[..., 2 * hk + r * hv:].reshape(*lead, nv, hv)
+    ba = ba.reshape(*lead, nk, 2 * r)
+    b = ba[..., :r].reshape(*lead, nv)
+    a = ba[..., r:].reshape(*lead, nv)
+    return q, k, v, z, b, a
+
+
+def _causal_conv(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Depthwise causal conv + SiLU. x [B, S, D], w [D, K]. K is tiny (4):
+    a shift-and-add sum fuses into the surrounding elementwise graph instead
+    of lowering a conv op."""
+    S = x.shape[1]
+    K = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0)))
+    y = sum(xp[:, j:j + S, :] * w[:, j] for j in range(K))
+    return jax.nn.silu(y)
+
+
+def _conv_tail(x: jax.Array, lengths: jax.Array, K: int) -> jax.Array:
+    """Last K-1 VALID pre-activation conv inputs per row (the decode conv
+    state). x [B, S, D] right-padded, lengths [B]. Rows shorter than K-1
+    zero-fill on the left."""
+    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0)))
+    return jax.vmap(
+        lambda row, n: jax.lax.dynamic_slice(
+            row, (n, 0), (K - 1, row.shape[-1])))(xp, lengths)
+
+
+def _deltanet_gb(p: dict, b: jax.Array, a: jax.Array):
+    """beta = sigmoid(b); g = -exp(A_log) * softplus(a + dt_bias), float32
+    (HF computes A in float regardless of model dtype)."""
+    beta = jax.nn.sigmoid(b.astype(jnp.float32))
+    g = -jnp.exp(p["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        a.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    return g, beta
+
+
+def _deltanet_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
+                      valid: jax.Array | None, lengths: jax.Array | None,
+                      chunk_size: int, want_state: bool):
+    """Gated DeltaNet over a full (right-padded) sequence.
+    Returns (out [B, S, H], (conv_tail, state) or None)."""
+    B, S, _ = h.shape
+    qkvz = linear(p["qkvz"], h)
+    ba = linear(p["ba"], h)
+    q, k, v, z, b, a = _split_qkvz_ba(cfg, qkvz, ba)
+    mixed = jnp.concatenate([q.reshape(B, S, -1), k.reshape(B, S, -1),
+                             v.reshape(B, S, -1)], -1)
+    conv_out = _causal_conv(mixed, p["conv"])
+    kd, vd = cfg.linear_key_dim, cfg.linear_value_dim
+    nk, nv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    q = conv_out[..., :kd].reshape(B, S, nk, cfg.linear_key_head_dim)
+    k = conv_out[..., kd:2 * kd].reshape(B, S, nk, cfg.linear_key_head_dim)
+    v = conv_out[..., 2 * kd:].reshape(B, S, nv, cfg.linear_value_head_dim)
+    g, beta = _deltanet_gb(p, b, a)
+    if valid is not None:
+        # pause semantics at pad positions: no decay, no write
+        g = g * valid[..., None]
+        beta = beta * valid[..., None]
+    r = nv // nk
+    if r > 1:
+        q = jnp.repeat(q, r, axis=2)
+        k = jnp.repeat(k, r, axis=2)
+    out, state = chunk_gated_delta_rule(q, k, v, g, beta,
+                                        chunk_size=chunk_size)
+    out = rms_norm_gated(p["norm"], out, z, cfg.rms_norm_eps)
+    out = linear(p["out"], out.reshape(B, S, -1))
+    new_cache = None
+    if want_state:
+        tail_len = lengths if lengths is not None \
+            else jnp.full((B,), S, jnp.int32)
+        conv_tail = _conv_tail(mixed, tail_len, cfg.linear_conv_kernel_dim)
+        new_cache = (conv_tail, state)
+    return out, new_cache
+
+
+def _deltanet_decode(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
+                     conv_state: jax.Array, state: jax.Array):
+    """One-token DeltaNet step. h [B, 1, H]; conv_state [B, K-1, conv_dim];
+    state [B, nv, dk, dv] f32."""
+    B = h.shape[0]
+    qkvz = linear(p["qkvz"], h)
+    ba = linear(p["ba"], h)
+    q, k, v, z, b, a = _split_qkvz_ba(cfg, qkvz, ba)
+    mixed = jnp.concatenate([q.reshape(B, 1, -1), k.reshape(B, 1, -1),
+                             v.reshape(B, 1, -1)], -1)
+    window = jnp.concatenate([conv_state, mixed], 1)      # [B, K, conv_dim]
+    w = p["conv"].astype(window.dtype)                    # [conv_dim, K]
+    conv_out = jax.nn.silu(jnp.einsum("bkd,dk->bd", window, w))
+    new_conv_state = window[:, 1:]
+    kd = cfg.linear_key_dim
+    nk, nv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    q = conv_out[:, :kd].reshape(B, nk, cfg.linear_key_head_dim)
+    k = conv_out[:, kd:2 * kd].reshape(B, nk, cfg.linear_key_head_dim)
+    v = conv_out[:, 2 * kd:].reshape(B, nv, cfg.linear_value_head_dim)
+    g, beta = _deltanet_gb(p, b[:, 0], a[:, 0])
+    r = nv // nk
+    if r > 1:
+        q = jnp.repeat(q, r, axis=1)
+        k = jnp.repeat(k, r, axis=1)
+    out, state = recurrent_gated_delta_step(q, k, v, g, beta, state)
+    out = rms_norm_gated(p["norm"], out[:, None], z, cfg.rms_norm_eps)
+    out = linear(p["out"], out.reshape(B, 1, -1))
+    return out, (new_conv_state, state)
+
+
+# ------------------------------------------------------- full-attention layer
+
+
+def _rope_cos_sin(cfg: Qwen3NextConfig, positions: jax.Array):
+    """positions [B, S] -> cos/sin [B, S, rotary_dim] (float32)."""
+    inv = rotary_inv_freq(cfg.rotary_dim, cfg.rope_theta)
+    freqs = positions.astype(jnp.float32)[..., None] * inv
+    emb = jnp.concatenate([freqs, freqs], -1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_partial_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+                        rot: int) -> jax.Array:
+    """Rotary on the first `rot` dims only (partial_rotary_factor), fp32."""
+    x32 = x.astype(jnp.float32)
+    x_rot, x_pass = x32[..., :rot], x32[..., rot:]
+    c, s = cos[:, :, None, :], sin[:, :, None, :]
+    x_rot = x_rot * c + rotate_half(x_rot) * s
+    return jnp.concatenate([x_rot, x_pass], -1).astype(x.dtype)
+
+
+def _gated_attn_qkv(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
+                    positions: jax.Array):
+    """Projections + per-head-dim zero-centered qk norm + partial RoPE +
+    the sigmoid output gate stream. Returns q, k, v, gate."""
+    B, S, _ = h.shape
+    nh, kh, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    qg = linear(p["q"], h).reshape(B, S, nh, 2 * hd)
+    q, gate = qg[..., :hd], qg[..., hd:].reshape(B, S, nh * hd)
+    k = linear(p["k"], h).reshape(B, S, kh, hd)
+    v = linear(p["v"], h).reshape(B, S, kh, hd)
+    q = rms_norm_zc(p["q_norm"], q, cfg.rms_norm_eps)
+    k = rms_norm_zc(p["k_norm"], k, cfg.rms_norm_eps)
+    cos, sin = _rope_cos_sin(cfg, positions)
+    rot = cfg.rotary_dim
+    q = _apply_partial_rope(q, cos, sin, rot)
+    k = _apply_partial_rope(k, cos, sin, rot)
+    return q, k, v, gate
+
+
+def _attn_core(cfg: Qwen3NextConfig, q: jax.Array, k: jax.Array,
+               v: jax.Array, mask: jax.Array) -> jax.Array:
+    """Dense attention with GQA repeat. q [B,Sq,nh,hd], k/v [B,Sk,kh,hd],
+    mask [B, 1 | Sq, Sk] bool (True = attend)."""
+    B, Sq, nh, hd = q.shape
+    rep = nh // k.shape[2]
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+    scores = jnp.where(mask[:, None, :, :] if mask.ndim == 3 else mask,
+                       scores, -jnp.inf)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Sq, nh * hd)
+
+
+def _full_attn_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
+                       positions: jax.Array, want_state: bool):
+    B, S, _ = h.shape
+    q, k, v, gate = _gated_attn_qkv(cfg, p, h, positions)
+    mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None]
+    out = _attn_core(cfg, q, k, v, mask)
+    out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+    out = linear(p["o"], out)
+    return out, ((k, v) if want_state else None)
+
+
+def _full_attn_decode(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
+                      k_cache: jax.Array, v_cache: jax.Array,
+                      cur_len: jax.Array):
+    """h [B, 1, H]; k/v_cache [B, Smax, kh, hd]; cur_len [B] = the position
+    this token writes (and the number of valid cached keys before it)."""
+    q, k, v, gate = _gated_attn_qkv(cfg, p, h, cur_len[:, None])
+    k_cache = jax.vmap(
+        lambda c, kk, n: jax.lax.dynamic_update_slice(c, kk, (n, 0, 0)))(
+            k_cache, k, cur_len)
+    v_cache = jax.vmap(
+        lambda c, vv, n: jax.lax.dynamic_update_slice(c, vv, (n, 0, 0)))(
+            v_cache, v, cur_len)
+    Smax = k_cache.shape[1]
+    mask = (jnp.arange(Smax)[None] <= cur_len[:, None])[:, None, :]
+    out = _attn_core(cfg, q, k_cache, v_cache, mask)
+    out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+    return linear(p["o"], out), (k_cache, v_cache)
+
+
+# ------------------------------------------------------------------ MLP/MoE
+
+
+def _next_mlp(cfg: Qwen3NextConfig, p: dict, x: jax.Array,
+              is_decode: bool, mesh=None) -> jax.Array:
+    """Routed experts (models/moe.py — including the ragged/GMM kernels)
+    plus the shared expert scaled by sigmoid(shared_expert_gate(x))."""
+    if cfg.num_experts > 0:
+        routed = moe_mlp(
+            {"router": p["router"], "experts": p["experts"]}, x,
+            cfg.num_experts_per_tok, cfg.norm_topk_prob,
+            capacity_factor=cfg.moe_capacity_factor,
+            group_size=cfg.moe_group_size, mesh=mesh,
+            ragged_decode=cfg.moe_ragged_decode and is_decode,
+            gmm_prefill=cfg.moe_gmm_prefill and not is_decode)
+        shared = swiglu_mlp(p["shared"], x)
+        sgate = jax.nn.sigmoid(
+            linear(p["shared_gate"], x).astype(jnp.float32)).astype(x.dtype)
+        return routed + shared * sgate
+    return swiglu_mlp(p["mlp"], x)
+
+
+# ------------------------------------------------------------------- forward
+
+
+class Qwen3NextCache(NamedTuple):
+    """Hybrid cache. conv [G, 3, B, K-1, conv_dim]; rec [G, 3, B, nv, dk, dv]
+    float32; k/v [G, B, Smax, kh, hd]; length [B] current positions."""
+    conv: jax.Array
+    rec: jax.Array
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+
+def _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size, want_state):
+    res = h
+    hn = rms_norm_zc(lp["in_norm"], h, cfg.rms_norm_eps)
+    attn_out, st = _deltanet_prefill(cfg, lp, hn, valid, lengths,
+                                     chunk_size, want_state)
+    h = res + attn_out
+    res = h
+    hn = rms_norm_zc(lp["post_norm"], h, cfg.rms_norm_eps)
+    h = res + _next_mlp(cfg, lp, hn, is_decode=False)
+    return h, st
+
+
+def _full_sublayer(cfg, h, fp, positions, want_state):
+    res = h
+    hn = rms_norm_zc(fp["in_norm"], h, cfg.rms_norm_eps)
+    attn_out, st = _full_attn_prefill(cfg, fp, hn, positions, want_state)
+    h = res + attn_out
+    res = h
+    hn = rms_norm_zc(fp["post_norm"], h, cfg.rms_norm_eps)
+    h = res + _next_mlp(cfg, fp, hn, is_decode=False)
+    return h, st
+
+
+def _run_prefill(params: dict, cfg: Qwen3NextConfig, h: jax.Array,
+                 lengths: jax.Array | None, chunk_size: int,
+                 want_cache: bool):
+    B, S, _ = h.shape
+    valid = None
+    if lengths is not None:
+        valid = (jnp.arange(S)[None] < lengths[:, None]).astype(jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+
+    def group_body(h, gp):
+        def lin_body(h, lp):
+            return _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size,
+                                 want_cache)
+        h, lin_states = jax.lax.scan(lin_body, h, gp["lin"])
+        h, full_state = _full_sublayer(cfg, h, gp["full"], positions,
+                                       want_cache)
+        return h, (lin_states, full_state)
+
+    h, states = jax.lax.scan(group_body, h, params["groups"])
+    h = rms_norm_zc(params["final_norm"], h, cfg.rms_norm_eps)
+    cache = None
+    if want_cache:
+        (conv, rec), (k, v) = states
+        cache = Qwen3NextCache(
+            conv=conv, rec=rec, k=k, v=v,
+            length=(lengths if lengths is not None
+                    else jnp.full((B,), S, jnp.int32)))
+    return h, cache
+
+
+def forward(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
+            lengths: jax.Array | None = None,
+            chunk_size: int = 64) -> jax.Array:
+    """Full-sequence logits [B, S, V] (no cache) — training / golden path."""
+    h = params["embed"]["weight"][input_ids]
+    h, _ = _run_prefill(params, cfg, h, lengths, chunk_size, want_cache=False)
+    return _lm_head(params, cfg, h)
+
+
+def _lm_head(params: dict, cfg: Qwen3NextConfig, h: jax.Array) -> jax.Array:
+    if cfg.tie_word_embeddings:
+        return h @ params["embed"]["weight"].T
+    return linear(params["lm_head"], h)
+
+
+def prefill(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
+            lengths: jax.Array, max_len: int,
+            chunk_size: int = 64) -> tuple[jax.Array, Qwen3NextCache]:
+    """Right-padded prompt prefill. Returns (last-valid-position logits
+    [B, V], cache with KV buffers sized to max_len)."""
+    B, S = input_ids.shape
+    h = params["embed"]["weight"][input_ids]
+    h, cache = _run_prefill(params, cfg, h, lengths, chunk_size,
+                            want_cache=True)
+    last = h[jnp.arange(B), lengths - 1]
+    logits = _lm_head(params, cfg, last)
+    if max_len > S:
+        pad = ((0, 0), (0, 0), (0, max_len - S), (0, 0), (0, 0))
+        cache = cache._replace(k=jnp.pad(cache.k, pad),
+                               v=jnp.pad(cache.v, pad))
+    return logits, cache
+
+
+def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
+                cache: Qwen3NextCache) -> tuple[jax.Array, Qwen3NextCache]:
+    """One decode step. token [B] int32 -> (logits [B, V], new cache)."""
+    h = params["embed"]["weight"][token][:, None]                  # [B,1,H]
+
+    def group_body(h, xs):
+        gp, conv_g, rec_g, k_g, v_g = xs
+
+        def lin_body(h, xs2):
+            lp, conv_s, rec_s = xs2
+            res = h
+            hn = rms_norm_zc(lp["in_norm"], h, cfg.rms_norm_eps)
+            out, (conv_s, rec_s) = _deltanet_decode(cfg, lp, hn, conv_s,
+                                                    rec_s)
+            h = res + out
+            res = h
+            hn = rms_norm_zc(lp["post_norm"], h, cfg.rms_norm_eps)
+            h = res + _next_mlp(cfg, lp, hn, is_decode=True)
+            return h, (conv_s, rec_s)
+
+        h, (conv_g, rec_g) = jax.lax.scan(lin_body, h,
+                                          (gp["lin"], conv_g, rec_g))
+        res = h
+        hn = rms_norm_zc(gp["full"]["in_norm"], h, cfg.rms_norm_eps)
+        out, (k_g, v_g) = _full_attn_decode(cfg, gp["full"], hn, k_g, v_g,
+                                            cache.length)
+        h = res + out
+        res = h
+        hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)
+        h = res + _next_mlp(cfg, gp["full"], hn, is_decode=True)
+        return h, (conv_g, rec_g, k_g, v_g)
+
+    h, (conv, rec, k, v) = jax.lax.scan(
+        group_body, h, (params["groups"], cache.conv, cache.rec,
+                        cache.k, cache.v))
+    h = rms_norm_zc(params["final_norm"], h, cfg.rms_norm_eps)
+    logits = _lm_head(params, cfg, h[:, 0])
+    return logits, Qwen3NextCache(conv=conv, rec=rec, k=k, v=v,
+                                  length=cache.length + 1)
+
+
+def generate(params: dict, cfg: Qwen3NextConfig, input_ids: np.ndarray,
+             lengths: np.ndarray, max_new_tokens: int,
+             temperature: float = 0.0, seed: int = 0,
+             chunk_size: int = 64) -> np.ndarray:
+    """Batch generation from right-padded prompts. temperature == 0 is
+    greedy (token-exact vs HF generate — pinned by tests). Returns
+    [B, max_new_tokens] generated ids (rows keep generating past EOS; the
+    caller truncates — engine semantics)."""
+    B, S = input_ids.shape
+    ids = jnp.asarray(input_ids)
+    lens = jnp.asarray(lengths, jnp.int32)
+    logits, cache = jax.jit(
+        prefill, static_argnums=(1, 4, 5))(params, cfg, ids, lens,
+                                           S + max_new_tokens, chunk_size)
+    key = jax.random.PRNGKey(seed)
+
+    def pick(logits, key):
+        if temperature <= 0.0:
+            return jnp.argmax(logits, -1).astype(jnp.int32)
+        return jax.random.categorical(
+            key, logits.astype(jnp.float32) / temperature, -1).astype(jnp.int32)
+
+    def step(carry, _):
+        cache, tok, key = carry
+        logits, cache = decode_step(params, cfg, tok, cache)
+        key, sub = jax.random.split(key)
+        nxt = pick(logits, sub)
+        return (cache, nxt, key), nxt
+
+    key, sub = jax.random.split(key)
+    first = pick(logits, sub)
+
+    @jax.jit
+    def run(cache, first, key):
+        (cache, _, _), rest = jax.lax.scan(step, (cache, first, key),
+                                           length=max_new_tokens - 1)
+        return rest
+
+    rest = run(cache, first, key) if max_new_tokens > 1 \
+        else jnp.zeros((0, B), jnp.int32)
+    return np.asarray(jnp.concatenate([first[None], rest], 0).T)
+
+
+# ------------------------------------------------------------ params / loader
+
+
+def init_qwen3_next_params(cfg: Qwen3NextConfig, seed: int = 0,
+                           method: str = "normal") -> dict:
+    """Random (or zeros — benchmark-size models) parameter pytree."""
+    rng = np.random.default_rng(seed)
+    dt = jnp.dtype(cfg.dtype)
+
+    def mk(*shape, scale=0.02, f32=False):
+        if method == "zeros":
+            return jnp.zeros(shape, jnp.float32 if f32 else dt)
+        a = rng.normal(0.0, scale, shape).astype(np.float32)
+        return jnp.asarray(a, jnp.float32 if f32 else dt)
+
+    H, E, I = cfg.hidden_size, cfg.num_experts, cfg.moe_intermediate_size
+    nh, kh, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    nv = cfg.linear_num_value_heads
+    K = cfg.linear_conv_kernel_dim
+
+    def mlp_tree():
+        if E > 0:
+            Is = cfg.shared_expert_intermediate_size
+            return {
+                "router": {"kernel": mk(H, E)},
+                "experts": {"gate": {"kernel": mk(E, H, I)},
+                            "up": {"kernel": mk(E, H, I)},
+                            "down": {"kernel": mk(E, I, H)}},
+                "shared": {"gate": {"kernel": mk(H, Is)},
+                           "up": {"kernel": mk(H, Is)},
+                           "down": {"kernel": mk(Is, H)}},
+                "shared_gate": {"kernel": mk(H, 1)},
+            }
+        return {"mlp": {"gate": {"kernel": mk(H, cfg.intermediate_size)},
+                        "up": {"kernel": mk(H, cfg.intermediate_size)},
+                        "down": {"kernel": mk(cfg.intermediate_size, H)}}}
+
+    def lin_layer():
+        qkvz = 2 * cfg.linear_key_dim + 2 * cfg.linear_value_dim
+        d = {
+            "in_norm": mk(H, scale=0.0), "post_norm": mk(H, scale=0.0),
+            "qkvz": {"kernel": mk(H, qkvz)},
+            "ba": {"kernel": mk(H, 2 * nv)},
+            "conv": mk(cfg.conv_dim, K, scale=0.2),
+            "dt_bias": (jnp.ones((nv,), jnp.float32) if method == "zeros"
+                        else mk(nv, scale=1.0, f32=True) + 1.0),
+            "A_log": (jnp.zeros((nv,), jnp.float32) if method == "zeros"
+                      else jnp.asarray(
+                          np.log(rng.uniform(0.5, 8.0, (nv,))), jnp.float32)),
+            "norm": mk(cfg.linear_value_head_dim, scale=0.0) + 1.0,
+            "out": {"kernel": mk(cfg.linear_value_dim, H)},
+        }
+        d.update(mlp_tree())
+        return d
+
+    def full_layer():
+        d = {
+            "in_norm": mk(H, scale=0.0), "post_norm": mk(H, scale=0.0),
+            "q": {"kernel": mk(H, nh * hd * 2)},
+            "k": {"kernel": mk(H, kh * hd)},
+            "v": {"kernel": mk(H, kh * hd)},
+            "o": {"kernel": mk(nh * hd, H)},
+            "q_norm": mk(hd, scale=0.0), "k_norm": mk(hd, scale=0.0),
+        }
+        d.update(mlp_tree())
+        return d
+
+    G, P1 = cfg.num_groups, cfg.full_attention_interval - 1
+    lin = [ [lin_layer() for _ in range(P1)] for _ in range(G)]
+    full = [full_layer() for _ in range(G)]
+    stack2 = lambda rows: jax.tree.map(lambda *g: jnp.stack(g), *[
+        jax.tree.map(lambda *s: jnp.stack(s), *row) for row in rows])
+    stack1 = lambda items: jax.tree.map(lambda *g: jnp.stack(g), *items)
+    params = {
+        "embed": {"weight": mk(cfg.vocab_size, H)},
+        "groups": {"lin": stack2(lin), "full": stack1(full)},
+        "final_norm": mk(H, scale=0.0),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": mk(H, cfg.vocab_size)}
+    return params
+
+
+def convert_hf_qwen3_next(state_dict: dict, cfg: Qwen3NextConfig,
+                          dtype: str = "float32") -> dict:
+    """HF Qwen3NextForCausalLM state_dict -> stacked-groups pytree.
+    Weight-name spec: modeling_qwen3_next.py modules (linear_attn.*,
+    self_attn.*, mlp.{gate,experts,shared_expert,shared_expert_gate})."""
+    import torch  # noqa: F401  (state_dict values are torch tensors)
+
+    dt = jnp.dtype(dtype)
+
+    def get(name, transpose=False, to_f32=False):
+        w = state_dict[name].detach().to("cpu").float().numpy()
+        if transpose:
+            w = w.T
+        return jnp.asarray(w, jnp.float32 if to_f32 else dt)
+
+    P = cfg.full_attention_interval
+    G, P1 = cfg.num_groups, P - 1
+    E = cfg.num_experts
+
+    def mlp_tree(i):
+        pre = f"model.layers.{i}.mlp"
+        if E > 0:
+            gate = np.stack([state_dict[f"{pre}.experts.{e}.gate_proj.weight"]
+                             .detach().cpu().float().numpy().T
+                             for e in range(E)])
+            up = np.stack([state_dict[f"{pre}.experts.{e}.up_proj.weight"]
+                           .detach().cpu().float().numpy().T
+                           for e in range(E)])
+            down = np.stack([state_dict[f"{pre}.experts.{e}.down_proj.weight"]
+                             .detach().cpu().float().numpy().T
+                             for e in range(E)])
+            return {
+                "router": {"kernel": get(f"{pre}.gate.weight", transpose=True)},
+                "experts": {"gate": {"kernel": jnp.asarray(gate, dt)},
+                            "up": {"kernel": jnp.asarray(up, dt)},
+                            "down": {"kernel": jnp.asarray(down, dt)}},
+                "shared": {
+                    "gate": {"kernel": get(f"{pre}.shared_expert.gate_proj.weight", True)},
+                    "up": {"kernel": get(f"{pre}.shared_expert.up_proj.weight", True)},
+                    "down": {"kernel": get(f"{pre}.shared_expert.down_proj.weight", True)}},
+                "shared_gate": {"kernel": get(f"{pre}.shared_expert_gate.weight", True)},
+            }
+        return {"mlp": {
+            "gate": {"kernel": get(f"{pre}.gate_proj.weight", True)},
+            "up": {"kernel": get(f"{pre}.up_proj.weight", True)},
+            "down": {"kernel": get(f"{pre}.down_proj.weight", True)}}}
+
+    def lin_layer(i):
+        pre = f"model.layers.{i}"
+        d = {
+            "in_norm": get(f"{pre}.input_layernorm.weight"),
+            "post_norm": get(f"{pre}.post_attention_layernorm.weight"),
+            "qkvz": {"kernel": get(f"{pre}.linear_attn.in_proj_qkvz.weight", True)},
+            "ba": {"kernel": get(f"{pre}.linear_attn.in_proj_ba.weight", True)},
+            "conv": jnp.asarray(
+                state_dict[f"{pre}.linear_attn.conv1d.weight"]
+                .detach().cpu().float().numpy()[:, 0, :], dt),
+            "dt_bias": get(f"{pre}.linear_attn.dt_bias", to_f32=True),
+            "A_log": get(f"{pre}.linear_attn.A_log", to_f32=True),
+            "norm": get(f"{pre}.linear_attn.norm.weight"),
+            "out": {"kernel": get(f"{pre}.linear_attn.out_proj.weight", True)},
+        }
+        d.update(mlp_tree(i))
+        return d
+
+    def full_layer(i):
+        pre = f"model.layers.{i}"
+        d = {
+            "in_norm": get(f"{pre}.input_layernorm.weight"),
+            "post_norm": get(f"{pre}.post_attention_layernorm.weight"),
+            "q": {"kernel": get(f"{pre}.self_attn.q_proj.weight", True)},
+            "k": {"kernel": get(f"{pre}.self_attn.k_proj.weight", True)},
+            "v": {"kernel": get(f"{pre}.self_attn.v_proj.weight", True)},
+            "o": {"kernel": get(f"{pre}.self_attn.o_proj.weight", True)},
+            "q_norm": get(f"{pre}.self_attn.q_norm.weight"),
+            "k_norm": get(f"{pre}.self_attn.k_norm.weight"),
+        }
+        d.update(mlp_tree(i))
+        return d
+
+    lin = [[lin_layer(g * P + s) for s in range(P1)] for g in range(G)]
+    full = [full_layer(g * P + P1) for g in range(G)]
+    stack2 = lambda rows: jax.tree.map(lambda *g: jnp.stack(g), *[
+        jax.tree.map(lambda *s: jnp.stack(s), *row) for row in rows])
+    stack1 = lambda items: jax.tree.map(lambda *g: jnp.stack(g), *items)
+    params = {
+        "embed": {"weight": get("model.embed_tokens.weight")},
+        "groups": {"lin": stack2(lin), "full": stack1(full)},
+        "final_norm": get("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": get("lm_head.weight", transpose=True)}
+    return params

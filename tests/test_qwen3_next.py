@@ -185,6 +185,71 @@ def test_next_generate_golden(hf_next, rng):
         np.testing.assert_array_equal(res[b], ref_rows[b])
 
 
+def test_next_sharded_generate_token_exact(hf_next, rng):
+    """ep x tp sharded greedy generate == single device, token for token
+    (the judge deployment: TP=4 paged vLLM in the reference; here GSPMD
+    shards from parallel/sharding rules alone)."""
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    _, cfg, params = hf_next
+    B, S, T = 2, 11, 6
+    ids = rng.integers(2, 127, (B, S))
+    lengths = np.array([S, S - 4], np.int32)
+    ids[1, S - 4:] = 0
+    single = generate(params, cfg, ids, lengths, max_new_tokens=T)
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    sharded_params = shard_params(params, mesh)
+    sharded = generate(sharded_params, cfg, ids, lengths, max_new_tokens=T,
+                       mesh=mesh)
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_next_int8_quantized(hf_next, rng):
+    """Weight-only int8 judge: logits stay close to float and greedy
+    generate runs end to end (capacity feature — an 80B judge does not fit
+    unquantized)."""
+    from video_r2_tpu.models.qwen3_next import quantize_qwen3_next_params
+
+    _, cfg, params = hf_next
+    qparams = quantize_qwen3_next_params(params)
+    assert qparams["groups"]["lin"]["qkvz"]["kernel_q"].dtype == np.int8
+    assert qparams["groups"]["full"]["q"]["kernel_q"].dtype == np.int8
+    assert qparams["groups"]["lin"]["experts"]["gate"]["kernel_q"].dtype == np.int8
+    assert "kernel" in qparams["groups"]["lin"]["ba"]  # routing-adjacent: float
+    ids = rng.integers(2, 127, (2, 13))
+    ref = np.asarray(forward(params, cfg, jnp.asarray(ids)))
+    q = np.asarray(forward(qparams, cfg, jnp.asarray(ids)))
+    # int8 weight error at tiny dims: loose but meaningful bound
+    assert np.mean(np.abs(q - ref)) < 0.05 * (np.mean(np.abs(ref)) + 1.0)
+    out = generate(qparams, cfg, ids, np.array([13, 13], np.int32),
+                   max_new_tokens=4)
+    assert out.shape == (2, 4)
+
+
+def test_next_chat_engine_judge(hf_next):
+    """ChatEngine hosts a Qwen3-Next config (batch mode) and EngineJudge
+    batches through it — the reference's judge deployment shape."""
+    import pytest as _pytest
+
+    from video_r2_tpu.engine.chat import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine
+    from video_r2_tpu.rewards.judge import EngineJudge
+
+    _, cfg, params = hf_next
+    cfg = cfg.replace(vocab_size=128, eos_token_id=1, pad_token_id=0)
+    eng = ChatEngine(params, cfg, ByteTokenizer(specials={
+        "<|im_start|>": 2, "<|im_end|>": 1, "<|endoftext|>": 0}),
+        max_new_tokens=6)
+    judge = EngineJudge(eng, max_tokens=6)
+    outs = judge.chat_many([("sys", "judge this"), ("sys", "and this")])
+    assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
+    with _pytest.raises(ValueError, match="batch-mode"):
+        ChatEngine(params, cfg, ByteTokenizer(), continuous=True)
+    with _pytest.raises(ValueError, match="batch-mode"):
+        ChatEngine(params, cfg, ByteTokenizer(), spec_decode=4)
+
+
 def test_next_moe_kernel_flags(hf_next, rng):
     """The ragged-decode / GMM-prefill kernel flags reproduce the einsum
     MoE path (interpret mode on CPU) — the judge preset runs with them ON."""

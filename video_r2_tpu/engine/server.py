@@ -56,6 +56,22 @@ class ChatEngine:
                  page_size: int = 128, kv_quant: str | None = None,
                  spec_decode: int = 0, decode_window: int = 1,
                  prefill_chunk_tokens: int = 0):
+        # Qwen3-Next judge configs (models/qwen3_next.py — the hybrid
+        # DeltaNet architecture the reference's actual judge checkpoint
+        # uses) dispatch batch generate to that model's engine entry.
+        # Loud guards, not silent degradation (VERDICT r3): the features
+        # below ride the homogeneous-KV engines only.
+        self._next = type(cfg).__name__ == "Qwen3NextConfig"
+        if self._next:
+            unsupported = [n for n, v in (
+                ("continuous", continuous), ("spec_decode", spec_decode),
+                ("kv_quant", kv_quant), ("act_quant", act_quant)) if v]
+            if attn_impl not in ("xla", "auto"):
+                unsupported.append(f"attn_impl={attn_impl!r}")
+            if unsupported:
+                raise ValueError(
+                    "Qwen3-Next serving is batch-mode XLA only (for now): "
+                    f"unsupported option(s) {unsupported}")
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
         # parallel.sharding rules; the KV cache shards on heads over "tp".
@@ -262,15 +278,24 @@ class ChatEngine:
         packed = pack_prompts([ids], pad_id=self.cfg.pad_token_id)
         with self._lock:
             self._seed += 1
-            res = generate(self.params, self.cfg, packed.input_ids,
-                           packed.lengths, sp, seed=self._seed,
-                           attn_impl=self.attn_impl,
-                           act_quant=self.act_quant, mesh=self.mesh,
-                           kv_quant=self.kv_quant,
-                           spec_decode=self.spec_decode)
+            res = self._batch_generate(packed, sp)
         out_ids = res.sequences[0][: res.lengths[0]]
         return _apply_stop(self.tok.decode(out_ids, skip_special_tokens=True),
                            stops)
+
+    def _batch_generate(self, packed, sp):
+        """Non-continuous generate dispatch (callers hold the lock)."""
+        if self._next:
+            from ..models.qwen3_next import generate_packed
+
+            return generate_packed(self.params, self.cfg, packed.input_ids,
+                                   packed.lengths, sp, seed=self._seed,
+                                   mesh=self.mesh)
+        return generate(self.params, self.cfg, packed.input_ids,
+                        packed.lengths, sp, seed=self._seed,
+                        attn_impl=self.attn_impl, act_quant=self.act_quant,
+                        mesh=self.mesh, kv_quant=self.kv_quant,
+                        spec_decode=self.spec_decode)
 
     def chat_batch(self, messages_list: list[list[dict]],
                    temperature: float = 0.0, top_p: float = 1.0,
@@ -312,12 +337,7 @@ class ChatEngine:
         packed = pack_prompts(ids_list, pad_id=self.cfg.pad_token_id)
         with self._lock:
             self._seed += 1
-            res = generate(self.params, self.cfg, packed.input_ids,
-                           packed.lengths, sp, seed=self._seed,
-                           attn_impl=self.attn_impl,
-                           act_quant=self.act_quant, mesh=self.mesh,
-                           kv_quant=self.kv_quant,
-                           spec_decode=self.spec_decode)
+            res = self._batch_generate(packed, sp)
         return [_apply_stop(self.tok.decode(res.sequences[i][: res.lengths[i]],
                                             skip_special_tokens=True), stops)
                 for i in range(len(ids_list))]

@@ -81,7 +81,8 @@ def _path_tuple(keypath):
 def quantize_params(params: dict, include_embedding: bool = False,
                     bits: int = 8,
                     group_size: int = INT4_GROUP_SIZE,
-                    consume: bool = False) -> dict:
+                    consume: bool = False,
+                    extra_suffixes: tuple = ()) -> dict:
     """Replace targeted kernel leaves with quantized dicts (pytree-level
     rewrite; module dicts keep their biases). bits=4 uses group-wise int4
     where the input dim permits (K % 2*group_size == 0 — the 7B decoder and
@@ -90,8 +91,12 @@ def quantize_params(params: dict, include_embedding: bool = False,
     consume=True MUTATES `params` (drops each full-precision kernel as its
     quantized leaves are built) so peak memory is the quantized tree plus
     ONE kernel, not two whole trees — the judge-scale load path
-    (loader.load_hf_checkpoint(quantize=...))."""
+    (loader.load_hf_checkpoint(quantize=...)).
+
+    extra_suffixes: additional path suffixes to quantize — model families
+    with differently-named modules (Qwen3-Next) pass their own set."""
     assert bits in (4, 8), bits
+    suffixes = QUANT_SUFFIXES + tuple(extra_suffixes)
 
     def quant_leaf(w, moe=False):
         if not moe and bits == 4 and w.shape[-2] % (2 * group_size) == 0:
@@ -103,7 +108,7 @@ def quantize_params(params: dict, include_embedding: bool = False,
             kp = path + ("kernel",)
             moe = any(kp[-len(s):] == s for s in MOE_SUFFIXES)
             if "kernel" in node and not isinstance(node["kernel"], dict) and (
-                    moe or any(kp[-len(s):] == s for s in QUANT_SUFFIXES)):
+                    moe or any(kp[-len(s):] == s for s in suffixes)):
                 out = {k: v for k, v in node.items() if k != "kernel"}
                 w = node.pop("kernel") if consume else node["kernel"]
                 out.update(quant_leaf(w, moe))

@@ -476,6 +476,9 @@ def _full_attn_decode(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
 
 def _next_mlp(cfg: Qwen3NextConfig, p: dict, x: jax.Array,
               is_decode: bool, mesh=None) -> jax.Array:
+    # mesh: enables the SHARDED ragged/GMM expert kernels (shard_map over
+    # ep x tp) — the pure-einsum path needs no mesh (GSPMD shards it from
+    # the param annotations alone)
     """Routed experts (models/moe.py — including the ragged/GMM kernels)
     plus the shared expert scaled by sigmoid(shared_expert_gate(x))."""
     if cfg.num_experts > 0:
@@ -506,7 +509,8 @@ class Qwen3NextCache(NamedTuple):
     length: jax.Array
 
 
-def _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size, want_state):
+def _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size, want_state,
+                  mesh=None):
     res = h
     hn = rms_norm_zc(lp["in_norm"], h, cfg.rms_norm_eps)
     attn_out, st = _deltanet_prefill(cfg, lp, hn, valid, lengths,
@@ -514,24 +518,24 @@ def _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size, want_state):
     h = res + attn_out
     res = h
     hn = rms_norm_zc(lp["post_norm"], h, cfg.rms_norm_eps)
-    h = res + _next_mlp(cfg, lp, hn, is_decode=False)
+    h = res + _next_mlp(cfg, lp, hn, is_decode=False, mesh=mesh)
     return h, st
 
 
-def _full_sublayer(cfg, h, fp, positions, want_state):
+def _full_sublayer(cfg, h, fp, positions, want_state, mesh=None):
     res = h
     hn = rms_norm_zc(fp["in_norm"], h, cfg.rms_norm_eps)
     attn_out, st = _full_attn_prefill(cfg, fp, hn, positions, want_state)
     h = res + attn_out
     res = h
     hn = rms_norm_zc(fp["post_norm"], h, cfg.rms_norm_eps)
-    h = res + _next_mlp(cfg, fp, hn, is_decode=False)
+    h = res + _next_mlp(cfg, fp, hn, is_decode=False, mesh=mesh)
     return h, st
 
 
 def _run_prefill(params: dict, cfg: Qwen3NextConfig, h: jax.Array,
                  lengths: jax.Array | None, chunk_size: int,
-                 want_cache: bool):
+                 want_cache: bool, mesh=None):
     B, S, _ = h.shape
     valid = None
     if lengths is not None:
@@ -541,10 +545,10 @@ def _run_prefill(params: dict, cfg: Qwen3NextConfig, h: jax.Array,
     def group_body(h, gp):
         def lin_body(h, lp):
             return _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size,
-                                 want_cache)
+                                 want_cache, mesh=mesh)
         h, lin_states = jax.lax.scan(lin_body, h, gp["lin"])
         h, full_state = _full_sublayer(cfg, h, gp["full"], positions,
-                                       want_cache)
+                                       want_cache, mesh=mesh)
         return h, (lin_states, full_state)
 
     h, states = jax.lax.scan(group_body, h, params["groups"])
@@ -561,10 +565,11 @@ def _run_prefill(params: dict, cfg: Qwen3NextConfig, h: jax.Array,
 
 def forward(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
             lengths: jax.Array | None = None,
-            chunk_size: int = 64) -> jax.Array:
+            chunk_size: int = 64, mesh=None) -> jax.Array:
     """Full-sequence logits [B, S, V] (no cache) — training / golden path."""
     h = params["embed"]["weight"][input_ids]
-    h, _ = _run_prefill(params, cfg, h, lengths, chunk_size, want_cache=False)
+    h, _ = _run_prefill(params, cfg, h, lengths, chunk_size,
+                        want_cache=False, mesh=mesh)
     return _lm_head(params, cfg, h)
 
 
@@ -576,13 +581,14 @@ def _lm_head(params: dict, cfg: Qwen3NextConfig, h: jax.Array) -> jax.Array:
 
 def prefill(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
             lengths: jax.Array, max_len: int,
-            chunk_size: int = 64) -> tuple[jax.Array, Qwen3NextCache]:
+            chunk_size: int = 64, mesh=None
+            ) -> tuple[jax.Array, Qwen3NextCache]:
     """Right-padded prompt prefill. Returns (last-valid-position logits
     [B, V], cache with KV buffers sized to max_len)."""
     B, S = input_ids.shape
     h = params["embed"]["weight"][input_ids]
     h, cache = _run_prefill(params, cfg, h, lengths, chunk_size,
-                            want_cache=True)
+                            want_cache=True, mesh=mesh)
     last = h[jnp.arange(B), lengths - 1]
     logits = _lm_head(params, cfg, last)
     if max_len > S:
@@ -593,7 +599,8 @@ def prefill(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
 
 
 def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
-                cache: Qwen3NextCache) -> tuple[jax.Array, Qwen3NextCache]:
+                cache: Qwen3NextCache, mesh=None
+                ) -> tuple[jax.Array, Qwen3NextCache]:
     """One decode step. token [B] int32 -> (logits [B, V], new cache)."""
     h = params["embed"]["weight"][token][:, None]                  # [B,1,H]
 
@@ -609,7 +616,7 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
             h = res + out
             res = h
             hn = rms_norm_zc(lp["post_norm"], h, cfg.rms_norm_eps)
-            h = res + _next_mlp(cfg, lp, hn, is_decode=True)
+            h = res + _next_mlp(cfg, lp, hn, is_decode=True, mesh=mesh)
             return h, (conv_s, rec_s)
 
         h, (conv_g, rec_g) = jax.lax.scan(lin_body, h,
@@ -621,7 +628,7 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
         h = res + out
         res = h
         hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)
-        h = res + _next_mlp(cfg, gp["full"], hn, is_decode=True)
+        h = res + _next_mlp(cfg, gp["full"], hn, is_decode=True, mesh=mesh)
         return h, (conv_g, rec_g, k_g, v_g)
 
     h, (conv, rec, k, v) = jax.lax.scan(
@@ -633,31 +640,37 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
                                   length=cache.length + 1)
 
 
-def generate(params: dict, cfg: Qwen3NextConfig, input_ids: np.ndarray,
-             lengths: np.ndarray, max_new_tokens: int,
-             temperature: float = 0.0, seed: int = 0,
-             chunk_size: int = 64) -> np.ndarray:
-    """Batch generation from right-padded prompts. temperature == 0 is
-    greedy (token-exact vs HF generate — pinned by tests). Returns
-    [B, max_new_tokens] generated ids (rows keep generating past EOS; the
-    caller truncates — engine semantics)."""
+class NextGenResult(NamedTuple):
+    sequences: np.ndarray    # [B, max_new_tokens]
+    lengths: np.ndarray      # [B] tokens up to and including the first EOS
+
+
+def generate_packed(params: dict, cfg: Qwen3NextConfig,
+                    input_ids: np.ndarray, lengths: np.ndarray,
+                    sp, seed: int = 0, mesh=None,
+                    chunk_size: int = 64) -> NextGenResult:
+    """Engine entry: right-padded prompts + engine SamplingParams (greedy /
+    temperature / top-k / top-p — HF filter order via engine.sampling).
+    The EOS cut is applied post-hoc on the host (the whole budget runs in
+    one compiled scan; rows are truncated at their first EOS), so greedy
+    output is token-exact vs per-row early-stopped decoding."""
+    from ..engine.sampling import sample_token
+
     B, S = input_ids.shape
+    mnt = sp.max_new_tokens
     ids = jnp.asarray(input_ids)
     lens = jnp.asarray(lengths, jnp.int32)
     logits, cache = jax.jit(
-        prefill, static_argnums=(1, 4, 5))(params, cfg, ids, lens,
-                                           S + max_new_tokens, chunk_size)
+        lambda p, i, l: prefill(p, cfg, i, l, S + mnt, chunk_size,
+                                mesh=mesh))(params, ids, lens)
     key = jax.random.PRNGKey(seed)
 
     def pick(logits, key):
-        if temperature <= 0.0:
-            return jnp.argmax(logits, -1).astype(jnp.int32)
-        return jax.random.categorical(
-            key, logits.astype(jnp.float32) / temperature, -1).astype(jnp.int32)
+        return sample_token(logits, key, sp).astype(jnp.int32)
 
     def step(carry, _):
         cache, tok, key = carry
-        logits, cache = decode_step(params, cfg, tok, cache)
+        logits, cache = decode_step(params, cfg, tok, cache, mesh=mesh)
         key, sub = jax.random.split(key)
         nxt = pick(logits, sub)
         return (cache, nxt, key), nxt
@@ -668,12 +681,60 @@ def generate(params: dict, cfg: Qwen3NextConfig, input_ids: np.ndarray,
     @jax.jit
     def run(cache, first, key):
         (cache, _, _), rest = jax.lax.scan(step, (cache, first, key),
-                                           length=max_new_tokens - 1)
+                                           length=mnt - 1)
         return rest
 
-    rest = run(cache, first, key) if max_new_tokens > 1 \
+    rest = run(cache, first, key) if mnt > 1 \
         else jnp.zeros((0, B), jnp.int32)
-    return np.asarray(jnp.concatenate([first[None], rest], 0).T)
+    seqs = np.asarray(jnp.concatenate([first[None], rest], 0).T)
+    out_len = np.full((B,), mnt, np.int64)
+    for eos in sp.eos_token_ids:
+        hit = seqs == eos
+        has = hit.any(1)
+        out_len = np.where(has, np.minimum(out_len, hit.argmax(1) + 1),
+                           out_len)
+    return NextGenResult(sequences=seqs, lengths=out_len)
+
+
+def generate(params: dict, cfg: Qwen3NextConfig, input_ids: np.ndarray,
+             lengths: np.ndarray, max_new_tokens: int,
+             temperature: float = 0.0, seed: int = 0,
+             chunk_size: int = 64, mesh=None) -> np.ndarray:
+    """Batch generation from right-padded prompts. temperature == 0 is
+    greedy (token-exact vs HF generate — pinned by tests). Returns
+    [B, max_new_tokens] generated ids (rows keep generating past EOS; the
+    caller truncates — engine semantics)."""
+    from ..engine.sampling import SamplingParams
+
+    sp = SamplingParams(do_sample=temperature > 0.0,
+                        temperature=max(temperature, 1e-6),
+                        max_new_tokens=max_new_tokens)
+    return generate_packed(params, cfg, input_ids, lengths, sp, seed=seed,
+                           mesh=mesh, chunk_size=chunk_size).sequences
+
+
+# Qwen3-Next module names to quantize on top of models/quant.py's defaults
+# (the bare q/k/v/o of the gated-attention role, the DeltaNet projections,
+# and the shared expert; experts ride MOE_SUFFIXES). Routing/conv/dt/A_log
+# stay float — routing and decay are precision-sensitive and tiny.
+NEXT_QUANT_SUFFIXES = (
+    ("qkvz", "kernel"), ("out", "kernel"),
+    ("q", "kernel"), ("k", "kernel"), ("v", "kernel"), ("o", "kernel"),
+    ("shared", "gate", "kernel"), ("shared", "up", "kernel"),
+    ("shared", "down", "kernel"),
+)
+
+
+def quantize_qwen3_next_params(params: dict, bits: int = 8,
+                               consume: bool = False) -> dict:
+    """Weight-only int8/int4 for the judge model — an 80B-A3B at bf16 is
+    160 GB; int8 halves it (the reference serves it across 4 GPUs,
+    serve_qwen3.sh:13). layers.linear and moe_mlp consume the quantized
+    leaves directly."""
+    from .quant import quantize_params
+
+    return quantize_params(params, bits=bits, consume=consume,
+                           extra_suffixes=NEXT_QUANT_SUFFIXES)
 
 
 # ------------------------------------------------------------ params / loader

@@ -55,6 +55,24 @@ _TEXT_RULES: list[tuple[tuple[str, ...], P]] = [
     (("fc1", "bias"), P("tp")),
     (("fc2", "kernel"), P("tp", "fsdp")),
     (("fc2", "bias"), P()),
+    # Qwen3-Next (models/qwen3_next.py) — leaves stack [G] (full-attention
+    # role) or [G, 3] (DeltaNet role); _spec_for prepends a None per extra
+    # leading stack axis. Fused projection outputs (qkvz, q+gate) are
+    # per-head blocks: "tp" splits on head boundaries when tp divides the
+    # head count (GSPMD stays correct otherwise, just reshards around the
+    # per-head reshape). conv/dt_bias/A_log/ba outputs are small and feed
+    # head-interleaved gathers — replicated.
+    (("qkvz", "kernel"), P("fsdp", "tp")),
+    (("ba", "kernel"), P("fsdp", None)),
+    (("out", "kernel"), P("tp", "fsdp")),
+    (("q", "kernel"), P("fsdp", "tp")),
+    (("k", "kernel"), P("fsdp", "tp")),
+    (("v", "kernel"), P("fsdp", "tp")),
+    (("o", "kernel"), P("tp", "fsdp")),
+    (("shared", "gate", "kernel"), P("fsdp", "tp")),
+    (("shared", "up", "kernel"), P("fsdp", "tp")),
+    (("shared", "down", "kernel"), P("tp", "fsdp")),
+    (("embed", "weight"), P("tp", "fsdp")),
 ]
 
 
@@ -79,10 +97,8 @@ def _spec_for(path: tuple[str, ...], leaf) -> P:
             if reduce_k and len(axes) >= 2:
                 axes = axes[:-2] + [axes[-1]]
             base = len(axes)
-            if leaf.ndim == base + 1:       # stacked over layers
-                return P(None, *axes)
-            if leaf.ndim == base:
-                return P(*axes)
+            if leaf.ndim >= base:           # 1+ leading stack axes (layers,
+                return P(*([None] * (leaf.ndim - base)), *axes)  # groups, E)
     return P()  # norms, scalars: replicated
 
 

@@ -250,6 +250,25 @@ def test_next_chat_engine_judge(hf_next):
         ChatEngine(params, cfg, ByteTokenizer(), spec_decode=4)
 
 
+def test_next_checkpoint_load(hf_next, rng, tmp_path):
+    """save_pretrained safetensors dir -> load_qwen3_next_checkpoint
+    (consume + quantize-on-load paths) == direct state-dict conversion."""
+    from video_r2_tpu.models.qwen3_next import load_qwen3_next_checkpoint
+
+    model, cfg, params = hf_next
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    loaded = load_qwen3_next_checkpoint(tmp_path, cfg, dtype="float32")
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    qloaded = load_qwen3_next_checkpoint(tmp_path, cfg, dtype="float32",
+                                         quantize="int8")
+    assert qloaded["groups"]["lin"]["qkvz"]["kernel_q"].dtype == np.int8
+    ids = rng.integers(2, 127, (1, 7))
+    out = generate(qloaded, cfg, ids, np.array([7], np.int32),
+                   max_new_tokens=3)
+    assert out.shape == (1, 3)
+
+
 def test_next_moe_kernel_flags(hf_next, rng):
     """The ragged-decode / GMM-prefill kernel flags reproduce the einsum
     MoE path (interpret mode on CPU) — the judge preset runs with them ON."""

@@ -25,17 +25,35 @@ def build_model(app: AppConfig):
         # a typo ('in8', 'int_4') would otherwise silently load int8
         raise ValueError(
             f"run.weight_quant must be '', 'int8', or 'int4' (got {wq!r})")
+    is_next = type(cfg).__name__ == "Qwen3NextConfig"
     if app.run.checkpoint:
-        params = load_hf_checkpoint(
-            app.run.checkpoint, cfg,
-            quantize="int8" if wq else None,
-            bits=4 if wq == "int4" else 8)
+        if is_next:
+            from ..models.qwen3_next import load_qwen3_next_checkpoint
+
+            params = load_qwen3_next_checkpoint(
+                app.run.checkpoint, cfg,
+                quantize="int8" if wq else None,
+                bits=4 if wq == "int4" else 8)
+        else:
+            params = load_hf_checkpoint(
+                app.run.checkpoint, cfg,
+                quantize="int8" if wq else None,
+                bits=4 if wq == "int4" else 8)
         logger.info("loaded weights from %s%s", app.run.checkpoint,
                     f" ({wq} weight-only, quantized on load)" if wq else "")
     else:
-        from ..models.quant import init_params_quantized_zeros
+        if is_next:
+            from ..models.qwen3_next import (init_qwen3_next_params,
+                                             quantize_qwen3_next_params)
 
-        if wq:
+            params = init_qwen3_next_params(cfg, seed=app.run.seed,
+                                            method="zeros")
+            if wq:
+                params = quantize_qwen3_next_params(
+                    params, bits=4 if wq == "int4" else 8, consume=True)
+        elif wq:
+            from ..models.quant import init_params_quantized_zeros
+
             params = init_params_quantized_zeros(
                 cfg, bits=4 if wq == "int4" else 8)
         else:

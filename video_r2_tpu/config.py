@@ -21,11 +21,20 @@ from .train.lora import LoRAConfig
 from .train.optim import OptimConfig
 from .train.sft import SFTConfig
 
+def _qwen3_next_80b():
+    from .models.qwen3_next import qwen3_next_80b_a3b
+
+    return qwen3_next_80b_a3b()
+
+
 MODEL_PRESETS = {
     "qwen25vl-7b": qwen25vl_7b,
     "qwen25vl-3b": qwen25vl_3b,
     "qwen25vl-72b": qwen25vl_72b,
     "qwen3-moe-30b-a3b": qwen3_moe_30b_a3b,  # judge-class MoE (text-only)
+    # the reference's ACTUAL judge checkpoint (serve_qwen3.sh:11): hybrid
+    # gated-DeltaNet architecture, models/qwen3_next.py (batch serving)
+    "qwen3-next-80b-a3b": _qwen3_next_80b,
     "tiny-test": tiny_test_config,
 }
 

@@ -821,17 +821,29 @@ def init_qwen3_next_params(cfg: Qwen3NextConfig, seed: int = 0,
     return params
 
 
+def _host_np(t) -> np.ndarray:
+    """torch tensor or numpy array -> float32 numpy (host)."""
+    if hasattr(t, "detach"):
+        return t.detach().to("cpu").float().numpy()
+    return np.asarray(t, np.float32)
+
+
 def convert_hf_qwen3_next(state_dict: dict, cfg: Qwen3NextConfig,
-                          dtype: str = "float32") -> dict:
+                          dtype: str = "float32",
+                          consume: bool = False) -> dict:
     """HF Qwen3NextForCausalLM state_dict -> stacked-groups pytree.
     Weight-name spec: modeling_qwen3_next.py modules (linear_attn.*,
-    self_attn.*, mlp.{gate,experts,shared_expert,shared_expert_gate})."""
-    import torch  # noqa: F401  (state_dict values are torch tensors)
-
+    self_attn.*, mlp.{gate,experts,shared_expert,shared_expert_gate}).
+    consume=True pops each host tensor as it converts (the 80B path:
+    peak host RAM ~ one tree, not two)."""
     dt = jnp.dtype(dtype)
 
+    def raw(name):
+        return _host_np(state_dict.pop(name) if consume
+                        else state_dict[name])
+
     def get(name, transpose=False, to_f32=False):
-        w = state_dict[name].detach().to("cpu").float().numpy()
+        w = raw(name)
         if transpose:
             w = w.T
         return jnp.asarray(w, jnp.float32 if to_f32 else dt)
@@ -843,14 +855,11 @@ def convert_hf_qwen3_next(state_dict: dict, cfg: Qwen3NextConfig,
     def mlp_tree(i):
         pre = f"model.layers.{i}.mlp"
         if E > 0:
-            gate = np.stack([state_dict[f"{pre}.experts.{e}.gate_proj.weight"]
-                             .detach().cpu().float().numpy().T
+            gate = np.stack([raw(f"{pre}.experts.{e}.gate_proj.weight").T
                              for e in range(E)])
-            up = np.stack([state_dict[f"{pre}.experts.{e}.up_proj.weight"]
-                           .detach().cpu().float().numpy().T
+            up = np.stack([raw(f"{pre}.experts.{e}.up_proj.weight").T
                            for e in range(E)])
-            down = np.stack([state_dict[f"{pre}.experts.{e}.down_proj.weight"]
-                             .detach().cpu().float().numpy().T
+            down = np.stack([raw(f"{pre}.experts.{e}.down_proj.weight").T
                              for e in range(E)])
             return {
                 "router": {"kernel": get(f"{pre}.gate.weight", transpose=True)},
@@ -876,8 +885,7 @@ def convert_hf_qwen3_next(state_dict: dict, cfg: Qwen3NextConfig,
             "qkvz": {"kernel": get(f"{pre}.linear_attn.in_proj_qkvz.weight", True)},
             "ba": {"kernel": get(f"{pre}.linear_attn.in_proj_ba.weight", True)},
             "conv": jnp.asarray(
-                state_dict[f"{pre}.linear_attn.conv1d.weight"]
-                .detach().cpu().float().numpy()[:, 0, :], dt),
+                raw(f"{pre}.linear_attn.conv1d.weight")[:, 0, :], dt),
             "dt_bias": get(f"{pre}.linear_attn.dt_bias", to_f32=True),
             "A_log": get(f"{pre}.linear_attn.A_log", to_f32=True),
             "norm": get(f"{pre}.linear_attn.norm.weight"),
@@ -913,4 +921,37 @@ def convert_hf_qwen3_next(state_dict: dict, cfg: Qwen3NextConfig,
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"kernel": get("lm_head.weight", transpose=True)}
+    return params
+
+
+def load_qwen3_next_checkpoint(path, cfg: Qwen3NextConfig,
+                               dtype: str | None = None,
+                               quantize: str | None = None,
+                               bits: int = 8) -> dict:
+    """Load a HF Qwen3-Next checkpoint directory (safetensors shards).
+    quantize="int8" quantizes ON LOAD with host tensors consumed as each
+    leaf converts — the judge-scale memory discipline
+    (loader.load_hf_checkpoint's contract, applied to this family).
+    MTP ("mtp.*") and other extra heads are ignored, matching HF's
+    _keys_to_ignore_on_load_unexpected."""
+    from pathlib import Path
+
+    from safetensors import safe_open
+
+    path = Path(path)
+    shards = sorted(path.glob("*.safetensors"))
+    if not shards:
+        raise FileNotFoundError(f"no safetensors in {path}")
+    state: dict = {}
+    for shard in shards:
+        with safe_open(shard, framework="np") as f:
+            for k in f.keys():
+                if k.startswith("mtp."):
+                    continue
+                state[k] = f.get_tensor(k)
+    params = convert_hf_qwen3_next(state, cfg, dtype or cfg.dtype,
+                                   consume=quantize is not None)
+    if quantize is not None:
+        assert quantize == "int8", quantize
+        params = quantize_qwen3_next_params(params, bits=bits, consume=True)
     return params

@@ -50,5 +50,9 @@ run eval_warmcache2 3600 env VR2_VIDEO_CACHE=/tmp/vr2cache python scripts/profil
 # 7. ViT remat-segment sweep (depth-32 backward workaround evidence)
 run remat_segment   2400 python scripts/profile_vit_remat_segment.py
 
+# 8. Qwen3-Next hybrid judge (r4 late): chunked delta rule + recurrent
+#    decode compile/run on the chip, int8 1/6-depth 80B-A3B slice
+run qwen3_next      2400 python scripts/profile_qwen3_next.py
+
 echo "=== done; logs in $OUT ==="
 grep -H . "$OUT"/*.log | grep -iE "json|tok/s|ms/step|samples/s|rollouts" | tail -30

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -645,6 +646,31 @@ class NextGenResult(NamedTuple):
     lengths: np.ndarray      # [B] tokens up to and including the first EOS
 
 
+# Module-level jits with hashable statics (frozen cfg / SamplingParams /
+# Mesh): repeated engine calls at the same shapes hit the executable cache
+# instead of re-tracing (a per-call lambda was recompiling every
+# ChatEngine.chat_batch — measured 5.8 s/call vs ms on the tiny config).
+@partial(jax.jit, static_argnames=("cfg", "max_len", "chunk_size", "mesh"))
+def _prefill_jit(params, cfg, ids, lens, max_len, chunk_size, mesh):
+    return prefill(params, cfg, ids, lens, max_len, chunk_size, mesh=mesh)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sp", "mesh"))
+def _decode_scan_jit(params, cfg, cache, first, key, sp, mesh):
+    from ..engine.sampling import sample_token
+
+    def step(carry, _):
+        cache, tok, key = carry
+        logits, cache = decode_step(params, cfg, tok, cache, mesh=mesh)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits, sub, sp).astype(jnp.int32)
+        return (cache, nxt, key), nxt
+
+    (cache, _, _), rest = jax.lax.scan(step, (cache, first, key),
+                                       length=sp.max_new_tokens - 1)
+    return rest
+
+
 def generate_packed(params: dict, cfg: Qwen3NextConfig,
                     input_ids: np.ndarray, lengths: np.ndarray,
                     sp, seed: int = 0, mesh=None,
@@ -660,32 +686,13 @@ def generate_packed(params: dict, cfg: Qwen3NextConfig,
     mnt = sp.max_new_tokens
     ids = jnp.asarray(input_ids)
     lens = jnp.asarray(lengths, jnp.int32)
-    logits, cache = jax.jit(
-        lambda p, i, l: prefill(p, cfg, i, l, S + mnt, chunk_size,
-                                mesh=mesh))(params, ids, lens)
+    logits, cache = _prefill_jit(params, cfg, ids, lens, S + mnt,
+                                 chunk_size, mesh)
     key = jax.random.PRNGKey(seed)
-
-    def pick(logits, key):
-        return sample_token(logits, key, sp).astype(jnp.int32)
-
-    def step(carry, _):
-        cache, tok, key = carry
-        logits, cache = decode_step(params, cfg, tok, cache, mesh=mesh)
-        key, sub = jax.random.split(key)
-        nxt = pick(logits, sub)
-        return (cache, nxt, key), nxt
-
     key, sub = jax.random.split(key)
-    first = pick(logits, sub)
-
-    @jax.jit
-    def run(cache, first, key):
-        (cache, _, _), rest = jax.lax.scan(step, (cache, first, key),
-                                           length=mnt - 1)
-        return rest
-
-    rest = run(cache, first, key) if mnt > 1 \
-        else jnp.zeros((0, B), jnp.int32)
+    first = sample_token(logits, sub, sp).astype(jnp.int32)
+    rest = (_decode_scan_jit(params, cfg, cache, first, key, sp, mesh)
+            if mnt > 1 else jnp.zeros((0, B), jnp.int32))
     seqs = np.asarray(jnp.concatenate([first[None], rest], 0).T)
     out_len = np.full((B,), mnt, np.int64)
     for eos in sp.eos_token_ids:

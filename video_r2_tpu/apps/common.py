@@ -25,7 +25,9 @@ def build_model(app: AppConfig):
         # a typo ('in8', 'int_4') would otherwise silently load int8
         raise ValueError(
             f"run.weight_quant must be '', 'int8', or 'int4' (got {wq!r})")
-    is_next = type(cfg).__name__ == "Qwen3NextConfig"
+    from ..models.qwen3_next import is_qwen3_next_config
+
+    is_next = is_qwen3_next_config(cfg)
     if app.run.checkpoint:
         if is_next:
             from ..models.qwen3_next import load_qwen3_next_checkpoint

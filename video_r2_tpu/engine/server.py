@@ -61,13 +61,16 @@ class ChatEngine:
         # uses) dispatch batch generate to that model's engine entry.
         # Loud guards, not silent degradation (VERDICT r3): the features
         # below ride the homogeneous-KV engines only.
-        self._next = type(cfg).__name__ == "Qwen3NextConfig"
+        from ..models.qwen3_next import is_qwen3_next_config
+
+        self._next = is_qwen3_next_config(cfg)
         if self._next:
+            # attn_impl is NOT guarded: apps resolve "auto" -> "flash" on a
+            # TPU backend before this ctor runs, and the Qwen3-Next path
+            # never consults it (its attention is its own XLA graph)
             unsupported = [n for n, v in (
                 ("continuous", continuous), ("spec_decode", spec_decode),
                 ("kv_quant", kv_quant), ("act_quant", act_quant)) if v]
-            if attn_impl not in ("xla", "auto"):
-                unsupported.append(f"attn_impl={attn_impl!r}")
             if unsupported:
                 raise ValueError(
                     "Qwen3-Next serving is batch-mode XLA only (for now): "

@@ -121,6 +121,12 @@ def qwen3_next_80b_a3b() -> Qwen3NextConfig:
     return Qwen3NextConfig()
 
 
+def is_qwen3_next_config(cfg) -> bool:
+    """THE model-family dispatch predicate (apps/common.build_model,
+    engine/server.ChatEngine) — one place, isinstance-based."""
+    return isinstance(cfg, Qwen3NextConfig)
+
+
 # --------------------------------------------------------------------- norms
 
 
@@ -222,11 +228,10 @@ def chunk_gated_delta_rule(q: jax.Array, k: jax.Array, v: jax.Array,
 
     state0 = (jnp.zeros((B, H, dk, dv), jnp.float32)
               if initial_state is None else initial_state.astype(jnp.float32))
-    strict = jnp.tril(jnp.ones((c, c), dtype=bool))                # incl. diag
 
     def body(state, xs):
         q_i, k_i, v_i, kcd_i, g_i, dec_i = xs                      # [B,H,c,*]
-        attn = jnp.where(strict,
+        attn = jnp.where(tril,   # incl. diagonal (dec_i is already masked)
                          jnp.einsum("bhik,bhjk->bhij", q_i, k_i) * dec_i, 0.0)
         v_new = v_i - kcd_i @ state
         out_i = (q_i * jnp.exp(g_i)[..., None]) @ state + attn @ v_new
@@ -408,9 +413,11 @@ def _apply_partial_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
 
 
 def _gated_attn_qkv(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
-                    positions: jax.Array):
+                    rope: tuple[jax.Array, jax.Array]):
     """Projections + per-head-dim zero-centered qk norm + partial RoPE +
-    the sigmoid output gate stream. Returns q, k, v, gate."""
+    the sigmoid output gate stream. Returns q, k, v, gate. `rope` is the
+    (cos, sin) pair — computed ONCE per forward by the caller (it is
+    loop-invariant and XLA does not hoist it out of the group scan)."""
     B, S, _ = h.shape
     nh, kh, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
@@ -420,7 +427,7 @@ def _gated_attn_qkv(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
     v = linear(p["v"], h).reshape(B, S, kh, hd)
     q = rms_norm_zc(p["q_norm"], q, cfg.rms_norm_eps)
     k = rms_norm_zc(p["k_norm"], k, cfg.rms_norm_eps)
-    cos, sin = _rope_cos_sin(cfg, positions)
+    cos, sin = rope
     rot = cfg.rotary_dim
     q = _apply_partial_rope(q, cos, sin, rot)
     k = _apply_partial_rope(k, cos, sin, rot)
@@ -443,9 +450,9 @@ def _attn_core(cfg: Qwen3NextConfig, q: jax.Array, k: jax.Array,
 
 
 def _full_attn_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
-                       positions: jax.Array, want_state: bool):
+                       rope: tuple, want_state: bool):
     B, S, _ = h.shape
-    q, k, v, gate = _gated_attn_qkv(cfg, p, h, positions)
+    q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope)
     mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None]
     out = _attn_core(cfg, q, k, v, mask)
     out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
@@ -455,10 +462,10 @@ def _full_attn_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
 
 def _full_attn_decode(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
                       k_cache: jax.Array, v_cache: jax.Array,
-                      cur_len: jax.Array):
+                      cur_len: jax.Array, rope: tuple):
     """h [B, 1, H]; k/v_cache [B, Smax, kh, hd]; cur_len [B] = the position
     this token writes (and the number of valid cached keys before it)."""
-    q, k, v, gate = _gated_attn_qkv(cfg, p, h, cur_len[:, None])
+    q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope)
     k_cache = jax.vmap(
         lambda c, kk, n: jax.lax.dynamic_update_slice(c, kk, (n, 0, 0)))(
             k_cache, k, cur_len)
@@ -523,10 +530,10 @@ def _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size, want_state,
     return h, st
 
 
-def _full_sublayer(cfg, h, fp, positions, want_state, mesh=None):
+def _full_sublayer(cfg, h, fp, rope, want_state, mesh=None):
     res = h
     hn = rms_norm_zc(fp["in_norm"], h, cfg.rms_norm_eps)
-    attn_out, st = _full_attn_prefill(cfg, fp, hn, positions, want_state)
+    attn_out, st = _full_attn_prefill(cfg, fp, hn, rope, want_state)
     h = res + attn_out
     res = h
     hn = rms_norm_zc(fp["post_norm"], h, cfg.rms_norm_eps)
@@ -542,13 +549,14 @@ def _run_prefill(params: dict, cfg: Qwen3NextConfig, h: jax.Array,
     if lengths is not None:
         valid = (jnp.arange(S)[None] < lengths[:, None]).astype(jnp.float32)
     positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    rope = _rope_cos_sin(cfg, positions)   # loop-invariant: computed once
 
     def group_body(h, gp):
         def lin_body(h, lp):
             return _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size,
                                  want_cache, mesh=mesh)
         h, lin_states = jax.lax.scan(lin_body, h, gp["lin"])
-        h, full_state = _full_sublayer(cfg, h, gp["full"], positions,
+        h, full_state = _full_sublayer(cfg, h, gp["full"], rope,
                                        want_cache, mesh=mesh)
         return h, (lin_states, full_state)
 
@@ -604,6 +612,7 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
                 ) -> tuple[jax.Array, Qwen3NextCache]:
     """One decode step. token [B] int32 -> (logits [B, V], new cache)."""
     h = params["embed"]["weight"][token][:, None]                  # [B,1,H]
+    rope = _rope_cos_sin(cfg, cache.length[:, None])  # once, not per group
 
     def group_body(h, xs):
         gp, conv_g, rec_g, k_g, v_g = xs
@@ -625,7 +634,7 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
         res = h
         hn = rms_norm_zc(gp["full"]["in_norm"], h, cfg.rms_norm_eps)
         out, (k_g, v_g) = _full_attn_decode(cfg, gp["full"], hn, k_g, v_g,
-                                            cache.length)
+                                            cache.length, rope)
         h = res + out
         res = h
         hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)

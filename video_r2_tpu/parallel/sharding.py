@@ -62,13 +62,13 @@ _TEXT_RULES: list[tuple[tuple[str, ...], P]] = [
     # head count (GSPMD stays correct otherwise, just reshards around the
     # per-head reshape). conv/dt_bias/A_log/ba outputs are small and feed
     # head-interleaved gathers — replicated.
-    (("qkvz", "kernel"), P("fsdp", "tp")),
-    (("ba", "kernel"), P("fsdp", None)),
-    (("out", "kernel"), P("tp", "fsdp")),
-    (("q", "kernel"), P("fsdp", "tp")),
-    (("k", "kernel"), P("fsdp", "tp")),
-    (("v", "kernel"), P("fsdp", "tp")),
-    (("o", "kernel"), P("tp", "fsdp")),
+    (("lin", "qkvz", "kernel"), P("fsdp", "tp")),
+    (("lin", "ba", "kernel"), P("fsdp", None)),
+    (("lin", "out", "kernel"), P("tp", "fsdp")),
+    (("full", "q", "kernel"), P("fsdp", "tp")),
+    (("full", "k", "kernel"), P("fsdp", "tp")),
+    (("full", "v", "kernel"), P("fsdp", "tp")),
+    (("full", "o", "kernel"), P("tp", "fsdp")),
     (("shared", "gate", "kernel"), P("fsdp", "tp")),
     (("shared", "up", "kernel"), P("fsdp", "tp")),
     (("shared", "down", "kernel"), P("tp", "fsdp")),

@@ -87,6 +87,18 @@ def main():
           f"({B*T/t_gen:.0f} tok/s, first-call {t_warm:.1f}s) "
           f"-> {res.sequences.shape}")
 
+    # speculative greedy (judge bursts echo prompt text): repetitive
+    # prompt = high acceptance ceiling; random prompt = floor
+    from video_r2_tpu.models.qwen3_next import generate_spec
+    rep_ids = np.tile(ids[:, :8], (1, S // 8))[:, :S]
+    for name, pids in (("rep", rep_ids), ("rnd", ids)):
+        _ = generate_spec(params, cfg, pids, lens, sp, spec_k=8)
+        t0 = time.perf_counter()
+        res_s = generate_spec(params, cfg, pids, lens, sp, spec_k=8)
+        t_s = time.perf_counter() - t0
+        print(f"spec k=8 ({name}): {t_s*1e3:.1f} ms "
+              f"({B*T/t_s:.0f} tok/s, {t_gen/t_s:.2f}x plain)")
+
     # single decode-step cost (amortized inside one jit via scan of 8)
     _, cache = jax.jit(lambda p, i, l: prefill(p, cfg, i, l, S + T))(
         params, jnp.asarray(ids), jnp.asarray(lens))

@@ -247,7 +247,35 @@ def test_next_chat_engine_judge(hf_next):
     with _pytest.raises(ValueError, match="batch-mode"):
         ChatEngine(params, cfg, ByteTokenizer(), continuous=True)
     with _pytest.raises(ValueError, match="batch-mode"):
-        ChatEngine(params, cfg, ByteTokenizer(), spec_decode=4)
+        ChatEngine(params, cfg, ByteTokenizer(), kv_quant="int8")
+
+
+def test_next_spec_decode_token_exact(hf_next, rng):
+    """Greedy speculative decode == plain greedy, token for token, for
+    BOTH a self-repetitive prompt (high n-gram acceptance) and a random
+    prompt (near-zero acceptance) — correctness must be
+    acceptance-agnostic. Also pins the EOS cut."""
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import generate_packed, generate_spec
+
+    _, cfg, params = hf_next
+    S, T = 16, 10
+    rep = np.tile(rng.integers(2, 127, 4), 8)[:S]     # abcd abcd ...
+    rnd = rng.integers(2, 127, S)
+    ids = np.stack([rep, rnd])
+    lengths = np.array([S, S - 5], np.int32)
+    ids[1, S - 5:] = 0
+    for eos_ids in ((), tuple(int(t) for t in np.unique(rnd[:3]))):
+        sp = SamplingParams(max_new_tokens=T, eos_token_ids=eos_ids,
+                            pad_token_id=0)
+        plain = generate_packed(params, cfg, ids, lengths, sp)
+        for k in (3, 8):
+            spec = generate_spec(params, cfg, ids, lengths, sp, spec_k=k)
+            np.testing.assert_array_equal(spec.lengths, plain.lengths)
+            for b in range(2):
+                n = plain.lengths[b]
+                np.testing.assert_array_equal(spec.sequences[b, :n],
+                                              plain.sequences[b, :n])
 
 
 def test_next_checkpoint_load(hf_next, rng, tmp_path):

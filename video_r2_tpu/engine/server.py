@@ -69,7 +69,7 @@ class ChatEngine:
             # TPU backend before this ctor runs, and the Qwen3-Next path
             # never consults it (its attention is its own XLA graph)
             unsupported = [n for n, v in (
-                ("continuous", continuous), ("spec_decode", spec_decode),
+                ("continuous", continuous),
                 ("kv_quant", kv_quant), ("act_quant", act_quant)) if v]
             if unsupported:
                 raise ValueError(
@@ -289,8 +289,15 @@ class ChatEngine:
     def _batch_generate(self, packed, sp):
         """Non-continuous generate dispatch (callers hold the lock)."""
         if self._next:
-            from ..models.qwen3_next import generate_packed
+            from ..models.qwen3_next import generate_packed, generate_spec
 
+            if self.spec_decode and not sp.do_sample:
+                # greedy judge bursts speculate (token-exact n-gram
+                # prompt lookup); sampled requests take the plain path
+                return generate_spec(self.params, self.cfg,
+                                     packed.input_ids, packed.lengths, sp,
+                                     spec_k=self.spec_decode,
+                                     seed=self._seed, mesh=self.mesh)
             return generate_packed(self.params, self.cfg, packed.input_ids,
                                    packed.lengths, sp, seed=self._seed,
                                    mesh=self.mesh)

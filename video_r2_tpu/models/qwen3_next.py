@@ -729,6 +729,259 @@ def generate(params: dict, cfg: Qwen3NextConfig, input_ids: np.ndarray,
                            mesh=mesh, chunk_size=chunk_size).sequences
 
 
+# ------------------------------------------------- speculative decoding
+
+
+def _deltanet_window(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
+                     conv_state: jax.Array, state: jax.Array):
+    """W-token DeltaNet VERIFY step from a frozen state (no commit).
+    h [B, W, H]; conv_state [B, K-1, conv_dim]; state [B, nv, dk, dv].
+    Returns (out [B, W, H], saved streams for the later commit). The saved
+    streams (post-conv k/v + g/beta + the raw conv window) are all the
+    commit needs — re-running the delta-rule state update from them costs
+    no weight reads, which is what keeps speculative rounds ~one forward
+    despite the recurrent state being un-rollback-able."""
+    B, W, _ = h.shape
+    K = cfg.linear_conv_kernel_dim
+    qkvz = linear(p["qkvz"], h)
+    ba = linear(p["ba"], h)
+    q, k, v, z, b, a = _split_qkvz_ba(cfg, qkvz, ba)
+    mixed = jnp.concatenate([q.reshape(B, W, -1), k.reshape(B, W, -1),
+                             v.reshape(B, W, -1)], -1)
+    window = jnp.concatenate([conv_state, mixed], 1)   # [B, K-1+W, D]
+    w = p["conv"].astype(window.dtype)
+    conv_out = jax.nn.silu(
+        sum(window[:, j:j + W, :] * w[:, j] for j in range(K)))
+    kd = cfg.linear_key_dim
+    nk, nv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    q = conv_out[..., :kd].reshape(B, W, nk, cfg.linear_key_head_dim)
+    k = conv_out[..., kd:2 * kd].reshape(B, W, nk, cfg.linear_key_head_dim)
+    v = conv_out[..., 2 * kd:].reshape(B, W, nv, cfg.linear_value_head_dim)
+    g, beta = _deltanet_gb(p, b, a)
+    r = nv // nk
+    if r > 1:
+        q = jnp.repeat(q, r, axis=2)
+        k = jnp.repeat(k, r, axis=2)
+    out, _ = chunk_gated_delta_rule(q, k, v, g, beta, chunk_size=W,
+                                    initial_state=state)
+    out = rms_norm_gated(p["norm"], out, z, cfg.rms_norm_eps)
+    out = linear(p["out"], out.reshape(B, W, -1))
+    saved = {"window": window, "k": k, "v": v, "g": g, "beta": beta}
+    return out, saved
+
+
+def _full_attn_window(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
+                      k_cache: jax.Array, v_cache: jax.Array,
+                      cur: jax.Array, rope: tuple):
+    """W-token attention verify step: write the whole window's KV at each
+    row's frontier (entries beyond the eventual acceptance stay stale and
+    masked — the engines' standard trick), causal-within-window mask."""
+    q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope)
+    k_cache = jax.vmap(
+        lambda c, kk, n: jax.lax.dynamic_update_slice(c, kk, (n, 0, 0)))(
+            k_cache, k, cur)
+    v_cache = jax.vmap(
+        lambda c, vv, n: jax.lax.dynamic_update_slice(c, vv, (n, 0, 0)))(
+            v_cache, v, cur)
+    Smax = k_cache.shape[1]
+    W = h.shape[1]
+    mask = (jnp.arange(Smax)[None, None, :]
+            <= cur[:, None, None] + jnp.arange(W)[None, :, None])
+    out = _attn_core(cfg, q, k_cache, v_cache, mask)
+    out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+    return linear(p["o"], out), (k_cache, v_cache)
+
+
+def _extend_forward(params: dict, cfg: Qwen3NextConfig, tokens: jax.Array,
+                    cache: Qwen3NextCache, mesh=None):
+    """Forward a [B, W] window at each row's frontier WITHOUT committing
+    the recurrent state. Returns (logits [B, W, V], saved DeltaNet streams
+    stacked [G, 3, ...], (k, v) caches with the window written)."""
+    B, W = tokens.shape
+    h = params["embed"]["weight"][tokens]
+    rope = _rope_cos_sin(
+        cfg, cache.length[:, None] + jnp.arange(W)[None, :])
+
+    def group_body(h, xs):
+        gp, conv_g, rec_g, k_g, v_g = xs
+
+        def lin_body(h, xs2):
+            lp, conv_s, rec_s = xs2
+            res = h
+            hn = rms_norm_zc(lp["in_norm"], h, cfg.rms_norm_eps)
+            out, saved = _deltanet_window(cfg, lp, hn, conv_s, rec_s)
+            h = res + out
+            res = h
+            hn = rms_norm_zc(lp["post_norm"], h, cfg.rms_norm_eps)
+            h = res + _next_mlp(cfg, lp, hn, is_decode=True, mesh=mesh)
+            return h, saved
+
+        h, lin_saved = jax.lax.scan(lin_body, h,
+                                    (gp["lin"], conv_g, rec_g))
+        res = h
+        hn = rms_norm_zc(gp["full"]["in_norm"], h, cfg.rms_norm_eps)
+        out, (k_g, v_g) = _full_attn_window(cfg, gp["full"], hn, k_g, v_g,
+                                            cache.length, rope)
+        h = res + out
+        res = h
+        hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)
+        h = res + _next_mlp(cfg, gp["full"], hn, is_decode=True, mesh=mesh)
+        return h, (lin_saved, k_g, v_g)
+
+    h, (saved, k_new, v_new) = jax.lax.scan(
+        group_body, h, (params["groups"], cache.conv, cache.rec,
+                        cache.k, cache.v))
+    h = rms_norm_zc(params["final_norm"], h, cfg.rms_norm_eps)
+    logits = _lm_head(params, cfg, h)
+    return logits, saved, (k_new, v_new)
+
+
+def _commit_layer(conv_s, rec_s, window, k, v, g, beta, n_adv, K):
+    """Advance ONE DeltaNet layer's state through the first n_adv[b] window
+    tokens (pause masking: the rest neither decay nor write). Pure state
+    math over the saved streams — no projections, no weight reads."""
+    B, W = g.shape[:2]
+    valid = (jnp.arange(W)[None, :] < n_adv[:, None]).astype(jnp.float32)
+    g = g.astype(jnp.float32) * valid[..., None]
+    beta = beta.astype(jnp.float32) * valid[..., None]
+
+    def body(s, xs):
+        k_t, v_t, g_t, b_t = xs
+        _, s = recurrent_gated_delta_step(k_t, k_t, v_t, g_t, b_t, s)
+        return s, ()
+
+    xs = (k.transpose(1, 0, 2, 3), v.transpose(1, 0, 2, 3),
+          g.transpose(1, 0, 2), beta.transpose(1, 0, 2))
+    rec_s, _ = jax.lax.scan(body, rec_s, xs)
+    conv_s = jax.vmap(
+        lambda row, n: jax.lax.dynamic_slice(
+            row, (n, 0), (K - 1, row.shape[-1])))(window, n_adv)
+    return conv_s, rec_s
+
+
+def _commit(cfg: Qwen3NextConfig, cache: Qwen3NextCache, saved: dict,
+            kv_new: tuple, n_adv: jax.Array) -> Qwen3NextCache:
+    commit = jax.vmap(jax.vmap(
+        _commit_layer,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+    conv, rec = commit(cache.conv, cache.rec, saved["window"], saved["k"],
+                       saved["v"], saved["g"], saved["beta"], n_adv,
+                       cfg.linear_conv_kernel_dim)
+    return Qwen3NextCache(conv=conv, rec=rec, k=kv_new[0], v=kv_new[1],
+                          length=cache.length + n_adv)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sp", "spec_k", "mesh"))
+def _spec_loop(params, cfg, cache, first_logits, hist0, lengths, sp,
+               spec_k, mesh):
+    """Greedy n-gram speculative decode for the hybrid judge (the
+    temp-0 TAC/VAS burst workload; prompt-lookup drafting as in
+    engine/spec_decode.py). Token-exact vs plain greedy: a draft commits
+    only when it equals the model's own argmax at its position, and the
+    recurrent state advances exactly through the emitted prefix."""
+    B, V = first_logits.shape
+    T = sp.max_new_tokens
+    K = spec_k
+    W = K + 1
+    S_in = hist0.shape[1] - T - W
+    b_idx = jnp.arange(B)
+    eos = (jnp.asarray(sp.eos_token_ids, jnp.int32)
+           if sp.eos_token_ids else None)
+
+    def is_eos(tok):
+        if eos is None:
+            return jnp.zeros_like(tok, dtype=bool)
+        return jnp.any(tok[..., None] == eos, axis=-1)
+
+    Lh = hist0.shape[1]
+
+    def draft(hist, tok0, gen_len):
+        prev_pos = jnp.where(gen_len > 0, S_in + gen_len - 1, lengths - 1)
+        prev = hist[b_idx, prev_pos]
+        m = (hist[:, :-1] == prev[:, None]) & (hist[:, 1:] == tok0[:, None])
+        p = jnp.arange(Lh - 1)[None, :]
+        in_prompt = p + 2 + K <= lengths[:, None]
+        in_gen = (p >= S_in) & (p + 2 + K <= S_in + gen_len[:, None])
+        m = m & (in_prompt | in_gen)
+        has = jnp.any(m, axis=1)
+        last = (Lh - 2) - jnp.argmax(m[:, ::-1], axis=1)
+        src = last[:, None] + 2 + jnp.arange(K)[None, :]
+        drafts = hist[b_idx[:, None], src]
+        return jnp.where(has[:, None], drafts, tok0[:, None])
+
+    def cond(carry):
+        gen_len, done, it = carry[3], carry[4], carry[6]
+        return (it < T) & jnp.any(~done & (gen_len < T))
+
+    def body(carry):
+        logits, cache, hist, gen_len, done, out, it = carry
+        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        drafts = draft(hist, tok0, gen_len)
+        chunk = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, W]
+        logits_w, saved, kv_new = _extend_forward(params, cfg, chunk,
+                                                  cache, mesh=mesh)
+        greedy = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)
+        match = (drafts == greedy[:, :K]).astype(jnp.int32)
+        a = jnp.cumprod(match, axis=1).sum(axis=1)
+        n_commit = 1 + a
+        n_emit = jnp.minimum(n_commit, T - gen_len)
+        emit_i = jnp.arange(W)[None, :]
+        emit_mask = (emit_i < n_emit[:, None]) & ~done[:, None]
+        eos_emitted = jnp.any(is_eos(chunk) & emit_mask, axis=1)
+        first_eos = jnp.argmax(is_eos(chunk) & emit_mask, axis=1)
+        n_emit = jnp.where(eos_emitted, first_eos + 1, n_emit)
+        n_emit = jnp.where(done, 0, n_emit)
+        emit_mask = emit_i < n_emit[:, None]
+        # state/KV frontier advances exactly through the emitted prefix
+        cache = _commit(cfg, cache, saved, kv_new, n_emit)
+        idxs = gen_len[:, None] + emit_i
+        out = out.at[b_idx[:, None], idxs].set(
+            jnp.where(emit_mask, chunk, out[b_idx[:, None], idxs]))
+        hidx = S_in + idxs
+        hist = hist.at[b_idx[:, None], hidx].set(
+            jnp.where(emit_mask, chunk, hist[b_idx[:, None], hidx]))
+        new_gen = gen_len + n_emit
+        new_done = done | eos_emitted | (new_gen >= T)
+        sel = jnp.clip(n_emit - 1, 0, K)
+        advanced = n_emit > 0
+        new_logits = jnp.where(advanced[:, None], logits_w[b_idx, sel],
+                               logits)
+        return (new_logits, cache, hist, new_gen, new_done, out, it + 1)
+
+    out0 = jnp.full((B, T + W), sp.pad_token_id, jnp.int32)
+    carry = (first_logits, cache, hist0, jnp.zeros(B, jnp.int32),
+             jnp.zeros(B, bool), out0, jnp.zeros((), jnp.int32))
+    (_, _, _, gen_len, _, out, iters) = jax.lax.while_loop(cond, body,
+                                                           carry)
+    return out[:, :T], gen_len, iters
+
+
+def generate_spec(params: dict, cfg: Qwen3NextConfig,
+                  input_ids: np.ndarray, lengths: np.ndarray, sp,
+                  spec_k: int = 8, seed: int = 0, mesh=None,
+                  chunk_size: int = 64) -> NextGenResult:
+    """Greedy speculative generation (token-exact vs generate_packed at
+    temperature 0). Sampled requests must use generate_packed."""
+    if sp.do_sample:
+        raise ValueError("Qwen3-Next speculative decoding is greedy-only; "
+                         "use generate_packed for sampled requests")
+    B, S = input_ids.shape
+    T = sp.max_new_tokens
+    W = spec_k + 1
+    ids = jnp.asarray(input_ids)
+    lens = jnp.asarray(lengths, jnp.int32)
+    logits, cache = _prefill_jit(params, cfg, ids, lens, S + T + W,
+                                 chunk_size, mesh)
+    hist0 = jnp.zeros((B, S + T + W), jnp.int32).at[:, :S].set(
+        ids.astype(jnp.int32))
+    out, gen_len, _ = _spec_loop(params, cfg, cache, logits, hist0, lens,
+                                 sp, spec_k, mesh)
+    seqs = np.asarray(out)
+    return NextGenResult(sequences=seqs,
+                         lengths=np.asarray(gen_len, np.int64))
+
+
 # Qwen3-Next module names to quantize on top of models/quant.py's defaults
 # (the bare q/k/v/o of the gated-attention role, the DeltaNet projections,
 # and the shared expert; experts ride MOE_SUFFIXES). Routing/conv/dt/A_log

@@ -278,6 +278,56 @@ def test_next_spec_decode_token_exact(hf_next, rng):
                                               plain.sequences[b, :n])
 
 
+def test_next_spec_sampled_near_zero_temp(hf_next, rng):
+    """Sampled spec at temperature ~0 collapses to greedy (acceptance
+    probabilities hit {0,1} and categorical becomes argmax)."""
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import generate_packed, generate_spec
+
+    _, cfg, params = hf_next
+    S, T = 16, 8
+    ids = np.tile(rng.integers(2, 127, 4), 8)[None, :S].repeat(2, axis=0)
+    lengths = np.array([S, S], np.int32)
+    greedy = generate_packed(params, cfg, ids, lengths,
+                             SamplingParams(max_new_tokens=T))
+    sampled = generate_spec(params, cfg, ids, lengths,
+                            SamplingParams(do_sample=True, temperature=1e-6,
+                                           max_new_tokens=T), spec_k=4)
+    np.testing.assert_array_equal(sampled.sequences, greedy.sequences)
+
+
+def test_next_spec_sampled_matches_plain_distribution(hf_next, rng):
+    """Rejection-sampling spec samples the SAME distribution as the plain
+    loop: per-position marginals over many parallel rows agree within the
+    plain-vs-plain noise floor (the repo's standard TV-distance check)."""
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import generate_packed, generate_spec
+
+    _, cfg, params = hf_next
+    B, T = 512, 3
+    row = np.tile(rng.integers(2, 127, 5), 4)[:18]
+    ids = np.tile(row[None, :], (B, 1))
+    lens = np.full((B,), 18, np.int32)
+    sp = SamplingParams(do_sample=True, temperature=0.8, top_k=8,
+                        max_new_tokens=T)
+    plain = generate_packed(params, cfg, ids, lens, sp, seed=11).sequences
+    plain2 = generate_packed(params, cfg, ids, lens, sp, seed=77).sequences
+    spec = generate_spec(params, cfg, ids, lens, sp, seed=23,
+                         spec_k=3).sequences
+
+    def tv(a, b, t):
+        vals = np.union1d(a[:, t], b[:, t])
+        pa = np.array([(a[:, t] == v).mean() for v in vals])
+        pb = np.array([(b[:, t] == v).mean() for v in vals])
+        return 0.5 * np.abs(pa - pb).sum()
+
+    for t in range(T):
+        floor = tv(plain, plain2, t)
+        dev = tv(spec, plain, t)
+        assert dev < floor + 0.08, (t, dev, floor)
+    assert len(np.unique(plain[:, 0])) >= 3
+
+
 def test_next_checkpoint_load(hf_next, rng, tmp_path):
     """save_pretrained safetensors dir -> load_qwen3_next_checkpoint
     (consume + quantize-on-load paths) == direct state-dict conversion."""

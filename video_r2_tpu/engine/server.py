@@ -291,9 +291,10 @@ class ChatEngine:
         if self._next:
             from ..models.qwen3_next import generate_packed, generate_spec
 
-            if self.spec_decode and not sp.do_sample:
-                # greedy judge bursts speculate (token-exact n-gram
-                # prompt lookup); sampled requests take the plain path
+            if self.spec_decode:
+                # judge bursts speculate: greedy token-exact by argmax
+                # equality, sampled by rejection-sampling verification
+                # (exact target distribution)
                 return generate_spec(self.params, self.cfg,
                                      packed.input_ids, packed.lengths, sp,
                                      spec_k=self.spec_decode,

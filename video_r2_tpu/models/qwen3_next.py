@@ -874,12 +874,15 @@ def _commit(cfg: Qwen3NextConfig, cache: Qwen3NextCache, saved: dict,
 
 @partial(jax.jit, static_argnames=("cfg", "sp", "spec_k", "mesh"))
 def _spec_loop(params, cfg, cache, first_logits, hist0, lengths, sp,
-               spec_k, mesh):
-    """Greedy n-gram speculative decode for the hybrid judge (the
-    temp-0 TAC/VAS burst workload; prompt-lookup drafting as in
-    engine/spec_decode.py). Token-exact vs plain greedy: a draft commits
-    only when it equals the model's own argmax at its position, and the
-    recurrent state advances exactly through the emitted prefix."""
+               spec_k, mesh, rng=None):
+    """n-gram speculative decode for the hybrid judge (prompt-lookup
+    drafting as in engine/spec_decode.py). GREEDY (the temp-0 TAC burst
+    workload): a draft commits only when it equals the model's own argmax
+    — token-exact vs plain greedy. SAMPLED (the VAS judge runs temp 0.7):
+    rejection-sampling verification under the request's filtered target
+    distribution — exact distribution, residual after a rejected draft.
+    Either way the recurrent state advances exactly through the emitted
+    prefix (commit replays the saved streams with pause masks)."""
     B, V = first_logits.shape
     T = sp.max_new_tokens
     K = spec_k
@@ -915,14 +918,37 @@ def _spec_loop(params, cfg, cache, first_logits, hist0, lengths, sp,
         return (it < T) & jnp.any(~done & (gen_len < T))
 
     def body(carry):
-        logits, cache, hist, gen_len, done, out, it = carry
-        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits, cache, hist, gen_len, done, out, it, rng_k, rej_tok = carry
+        if sp.do_sample:
+            from ..engine.spec_decode import _filtered
+
+            rng_k, k_tok, k_acc = jax.random.split(rng_k, 3)
+            l0 = _filtered(logits, sp)
+            # residual after a rejected draft: p with that token's mass
+            # removed (mask AFTER filtering — the filters define p)
+            l0 = jnp.where(
+                (jnp.arange(V)[None, :] == rej_tok[:, None])
+                & (rej_tok[:, None] >= 0), -jnp.inf, l0)
+            tok0 = jax.random.categorical(k_tok, l0, -1).astype(jnp.int32)
+        else:
+            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         drafts = draft(hist, tok0, gen_len)
         chunk = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, W]
         logits_w, saved, kv_new = _extend_forward(params, cfg, chunk,
                                                   cache, mesh=mesh)
-        greedy = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)
-        match = (drafts == greedy[:, :K]).astype(jnp.int32)
+        if sp.do_sample:
+            from ..engine.spec_decode import _filtered
+
+            # accept draft i with prob p_i(d_i) under the FILTERED target
+            # (deterministic n-gram proposal — Leviathan/Chen specialized)
+            pf = _filtered(logits_w[:, :K], sp)
+            ld = (jnp.take_along_axis(pf, drafts[..., None], axis=-1)[..., 0]
+                  - jax.scipy.special.logsumexp(pf, axis=-1))
+            u = jax.random.uniform(k_acc, (B, K))
+            match = (jnp.log(u) < ld).astype(jnp.int32)
+        else:
+            greedy = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)
+            match = (drafts == greedy[:, :K]).astype(jnp.int32)
         a = jnp.cumprod(match, axis=1).sum(axis=1)
         n_commit = 1 + a
         n_emit = jnp.minimum(n_commit, T - gen_len)
@@ -947,13 +973,24 @@ def _spec_loop(params, cfg, cache, first_logits, hist0, lengths, sp,
         advanced = n_emit > 0
         new_logits = jnp.where(advanced[:, None], logits_w[b_idx, sel],
                                logits)
-        return (new_logits, cache, hist, new_gen, new_done, out, it + 1)
+        if sp.do_sample:
+            # a rejection at draft index `a` feeds the next tok0's residual
+            # (only when the full commit was emitted — EOS/budget
+            # truncation invalidates the frontier)
+            rejected = advanced & (a < K) & (n_emit == n_commit)
+            new_rej = jnp.where(
+                rejected, drafts[b_idx, jnp.minimum(a, K - 1)], -1)
+            rej_tok = jnp.where(advanced, new_rej, rej_tok)
+        return (new_logits, cache, hist, new_gen, new_done, out, it + 1,
+                rng_k, rej_tok)
 
     out0 = jnp.full((B, T + W), sp.pad_token_id, jnp.int32)
+    rng0 = rng if rng is not None else jax.random.PRNGKey(0)
     carry = (first_logits, cache, hist0, jnp.zeros(B, jnp.int32),
-             jnp.zeros(B, bool), out0, jnp.zeros((), jnp.int32))
-    (_, _, _, gen_len, _, out, iters) = jax.lax.while_loop(cond, body,
-                                                           carry)
+             jnp.zeros(B, bool), out0, jnp.zeros((), jnp.int32), rng0,
+             jnp.full((B,), -1, jnp.int32))
+    (_, _, _, gen_len, _, out, iters, _, _) = jax.lax.while_loop(
+        cond, body, carry)
     return out[:, :T], gen_len, iters
 
 
@@ -961,11 +998,8 @@ def generate_spec(params: dict, cfg: Qwen3NextConfig,
                   input_ids: np.ndarray, lengths: np.ndarray, sp,
                   spec_k: int = 8, seed: int = 0, mesh=None,
                   chunk_size: int = 64) -> NextGenResult:
-    """Greedy speculative generation (token-exact vs generate_packed at
-    temperature 0). Sampled requests must use generate_packed."""
-    if sp.do_sample:
-        raise ValueError("Qwen3-Next speculative decoding is greedy-only; "
-                         "use generate_packed for sampled requests")
+    """Speculative generation: token-exact vs generate_packed for greedy;
+    exact-distribution (rejection-sampling verification) for sampled."""
     B, S = input_ids.shape
     T = sp.max_new_tokens
     W = spec_k + 1
@@ -976,7 +1010,8 @@ def generate_spec(params: dict, cfg: Qwen3NextConfig,
     hist0 = jnp.zeros((B, S + T + W), jnp.int32).at[:, :S].set(
         ids.astype(jnp.int32))
     out, gen_len, _ = _spec_loop(params, cfg, cache, logits, hist0, lens,
-                                 sp, spec_k, mesh)
+                                 sp, spec_k, mesh,
+                                 rng=jax.random.PRNGKey(seed))
     seqs = np.asarray(out)
     return NextGenResult(sequences=seqs,
                          lengths=np.asarray(gen_len, np.int64))

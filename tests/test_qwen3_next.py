@@ -278,6 +278,32 @@ def test_next_spec_decode_token_exact(hf_next, rng):
                                               plain.sequences[b, :n])
 
 
+def test_next_flash_prefill_parity(hf_next, rng):
+    """attn_impl="flash" (the 32k-context judge prefill path — dense
+    scores OOM there) matches the XLA dense path at valid positions, and
+    greedy generate is token-exact across impls."""
+    from video_r2_tpu.models.qwen3_next import generate_packed
+    from video_r2_tpu.engine.sampling import SamplingParams
+
+    _, cfg, params = hf_next
+    fcfg = cfg.replace(attn_impl="flash")
+    S = 24
+    lengths = np.array([24, 15], np.int32)
+    ids = rng.integers(2, 127, (2, S))
+    ids[1, 15:] = 0
+    xla = np.asarray(forward(params, cfg, jnp.asarray(ids),
+                             lengths=jnp.asarray(lengths)))
+    fl = np.asarray(forward(params, fcfg, jnp.asarray(ids),
+                            lengths=jnp.asarray(lengths)))
+    for b, n in enumerate(lengths):   # pad rows differ by design (masked)
+        np.testing.assert_allclose(fl[b, :n], xla[b, :n],
+                                   rtol=2e-4, atol=2e-4)
+    sp = SamplingParams(max_new_tokens=6)
+    a = generate_packed(params, cfg, ids, lengths, sp)
+    b = generate_packed(params, fcfg, ids, lengths, sp)
+    np.testing.assert_array_equal(a.sequences, b.sequences)
+
+
 def test_next_spec_sampled_near_zero_temp(hf_next, rng):
     """Sampled spec at temperature ~0 collapses to greedy (acceptance
     probabilities hit {0,1} and categorical becomes argmax)."""

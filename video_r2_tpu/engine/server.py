@@ -69,11 +69,14 @@ class ChatEngine:
             # TPU backend before this ctor runs, and the Qwen3-Next path
             # never consults it (its attention is its own XLA graph)
             unsupported = [n for n, v in (
-                ("continuous", continuous),
+                ("engine_kind=paged", continuous and engine_kind == "paged"),
+                ("continuous+mesh", continuous and mesh is not None),
+                ("continuous+spec_decode", continuous and spec_decode),
                 ("kv_quant", kv_quant), ("act_quant", act_quant)) if v]
             if unsupported:
                 raise ValueError(
-                    "Qwen3-Next serving is batch-mode XLA only (for now): "
+                    "Qwen3-Next serving supports batch mode (incl. mesh + "
+                    "spec) and single-device slot-continuous mode: "
                     f"unsupported option(s) {unsupported}")
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
@@ -122,23 +125,32 @@ class ChatEngine:
 
             from .continuous import ContinuousEngine, PagedContinuousEngine
 
-            # engine_kind="paged": serve over the paged KV pool (no
-            # per-slot max-length reservation — the vLLM serving core)
-            eng_cls = (PagedContinuousEngine if engine_kind == "paged"
-                       else ContinuousEngine)
-            kw = ({"page_size": page_size, "kv_quant": kv_quant}
-                  if engine_kind == "paged" else {})
-            kw["spec_decode"] = self.spec_decode
-            kw["decode_window"] = decode_window
-            kw["prefill_chunk_tokens"] = prefill_chunk_tokens
-            # sharded serving (TP/EP judge): the engine shards params and
-            # its KV cache/page pool itself
-            kw["mesh"] = mesh
-            self._cont = eng_cls(
-                params, cfg, num_slots=num_slots, max_len=max_len,
-                sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),
-                                  pad_token_id=cfg.pad_token_id),
-                attn_impl=attn_impl, **kw)
+            if self._next:
+                from .next_continuous import Qwen3NextContinuousEngine
+
+                self._cont = Qwen3NextContinuousEngine(
+                    params, cfg, num_slots=num_slots, max_len=max_len,
+                    sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),
+                                      pad_token_id=cfg.pad_token_id))
+                self._cont.decode_window = max(decode_window, 1)
+            else:
+                # engine_kind="paged": serve over the paged KV pool (no
+                # per-slot max-length reservation — the vLLM serving core)
+                eng_cls = (PagedContinuousEngine if engine_kind == "paged"
+                           else ContinuousEngine)
+                kw = ({"page_size": page_size, "kv_quant": kv_quant}
+                      if engine_kind == "paged" else {})
+                kw["spec_decode"] = self.spec_decode
+                kw["decode_window"] = decode_window
+                kw["prefill_chunk_tokens"] = prefill_chunk_tokens
+                # sharded serving (TP/EP judge): the engine shards params
+                # and its KV cache/page pool itself
+                kw["mesh"] = mesh
+                self._cont = eng_cls(
+                    params, cfg, num_slots=num_slots, max_len=max_len,
+                    sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),
+                                      pad_token_id=cfg.pad_token_id),
+                    attn_impl=attn_impl, **kw)
             self._queue = queue_mod.Queue()
             self._stop = threading.Event()
             self._thread = threading.Thread(

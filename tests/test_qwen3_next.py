@@ -439,6 +439,65 @@ def test_next_chat_engine_continuous(hf_next):
         eng.shutdown()
 
 
+def test_next_prefix_reuse_parity(hf_next, rng):
+    """Shared-prefix burst generation (prefix prefilled once, suffixes
+    continued from its state) == whole-prompt generation, token for token,
+    greedy AND sampled (same seed, same rng consumption); second burst
+    hits the store."""
+    from video_r2_tpu.engine.chat import pack_prompts
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import (NextPrefixStore,
+                                                generate_packed)
+
+    _, cfg, params = hf_next
+    prefix = rng.integers(2, 127, 64).tolist()
+    suffixes = [rng.integers(2, 127, n).tolist() for n in (7, 12, 3)]
+    full = [prefix + s for s in suffixes]
+    store = NextPrefixStore(min_prefix=64, bucket=64)
+    assert store.split(full) == 64
+    for sp in (SamplingParams(max_new_tokens=6),
+               SamplingParams(do_sample=True, temperature=0.8, top_k=8,
+                              max_new_tokens=6)):
+        packed = pack_prompts(full, pad_id=0)
+        ref = generate_packed(params, cfg, packed.input_ids, packed.lengths,
+                              sp, seed=5)
+        got = store.generate(params, cfg, full, sp, seed=5)
+        np.testing.assert_array_equal(got.sequences, ref.sequences)
+        np.testing.assert_array_equal(got.lengths, ref.lengths)
+    assert store.misses == 1 and store.hits == 1
+    # no usable common prefix -> exact fallback to the packed path
+    mixed = [rng.integers(2, 127, 20).tolist() for _ in range(2)]
+    packed = pack_prompts(mixed, pad_id=0)
+    sp = SamplingParams(max_new_tokens=4)
+    ref = generate_packed(params, cfg, packed.input_ids, packed.lengths,
+                          sp, seed=1)
+    got = store.generate(params, cfg, mixed, sp, seed=1)
+    np.testing.assert_array_equal(got.sequences, ref.sequences)
+
+
+def test_next_chat_engine_prefix_cache(hf_next):
+    """ChatEngine judge bursts with a shared system prompt produce the
+    same text with the prefix store on and off, and the store reports
+    hits on repeat bursts."""
+    from video_r2_tpu.engine.chat import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine
+
+    _, cfg, params = hf_next
+    cfg = cfg.replace(eos_token_id=1, pad_token_id=0)
+    tok = ByteTokenizer(specials={"<|im_start|>": 2, "<|im_end|>": 1,
+                                  "<|endoftext|>": 0})
+    system = "You are a strict video-QA judge. " * 4   # long shared prefix
+    msgs = [[{"role": "system", "content": system},
+             {"role": "user", "content": f"rate answer {i}"}]
+            for i in range(3)]
+    on = ChatEngine(params, cfg, tok, max_new_tokens=5)
+    off = ChatEngine(params, cfg, tok, max_new_tokens=5,
+                     prefix_cache=False)
+    assert on.chat_batch(msgs) == off.chat_batch(msgs)
+    on.chat_batch(msgs)
+    assert on.stats()["prefix_cache_hits"] >= 1
+
+
 def test_next_moe_kernel_flags(hf_next, rng):
     """The ragged-decode / GMM-prefill kernel flags reproduce the einsum
     MoE path (interpret mode on CPU) — the judge preset runs with them ON."""

@@ -55,7 +55,7 @@ class ChatEngine:
                  max_len: int = 4096, mesh=None, engine_kind: str = "slots",
                  page_size: int = 128, kv_quant: str | None = None,
                  spec_decode: int = 0, decode_window: int = 1,
-                 prefill_chunk_tokens: int = 0):
+                 prefill_chunk_tokens: int = 0, prefix_cache: bool = True):
         # Qwen3-Next judge configs (models/qwen3_next.py — the hybrid
         # DeltaNet architecture the reference's actual judge checkpoint
         # uses) dispatch batch generate to that model's engine entry.
@@ -112,6 +112,15 @@ class ChatEngine:
         self._lock = threading.Lock()
         self._seed = 0
         self._queue = None
+        # Qwen3-Next judge bursts share one system+rubric prefix: cache its
+        # hybrid state across calls (O(1)-size for 3/4 of the layers) and
+        # prefill only the per-sample suffixes. Exact; spec path excluded
+        # (its n-gram history wants the full prompt).
+        self._prefix_store = None
+        if self._next and prefix_cache and not continuous:
+            from ..models.qwen3_next import NextPrefixStore
+
+            self._prefix_store = NextPrefixStore()
         if engine_kind != "slots" and not continuous:
             raise ValueError(
                 f"engine_kind={engine_kind!r} requires continuous=True "
@@ -357,6 +366,17 @@ class ChatEngine:
                                                 skip_special_tokens=True),
                                 stops)
                     for b, _ in boxes]
+        if (self._prefix_store is not None and len(ids_list) > 1
+                and not self.spec_decode):
+            with self._lock:
+                self._seed += 1
+                res = self._prefix_store.generate(
+                    self.params, self.cfg, ids_list, sp, seed=self._seed,
+                    mesh=self.mesh)
+            return [_apply_stop(self.tok.decode(
+                res.sequences[i][: res.lengths[i]],
+                skip_special_tokens=True), stops)
+                for i in range(len(ids_list))]
         packed = pack_prompts(ids_list, pad_id=self.cfg.pad_token_id)
         with self._lock:
             self._seed += 1
@@ -373,6 +393,9 @@ class ChatEngine:
              "spec_decode": self.spec_decode,
              "kv_quant": self.kv_quant,
              "mesh": dict(self.mesh.shape) if self.mesh is not None else None}
+        if self._prefix_store is not None:
+            s.update(prefix_cache_hits=self._prefix_store.hits,
+                     prefix_cache_misses=self._prefix_store.misses)
         if self._queue is not None:
             eng = self._cont
             s.update(active_requests=eng.num_active,

@@ -296,27 +296,6 @@ def _split_qkvz_ba(cfg: Qwen3NextConfig, qkvz: jax.Array, ba: jax.Array):
     return q, k, v, z, b, a
 
 
-def _causal_conv(x: jax.Array, w: jax.Array) -> jax.Array:
-    """Depthwise causal conv + SiLU. x [B, S, D], w [D, K]. K is tiny (4):
-    a shift-and-add sum fuses into the surrounding elementwise graph instead
-    of lowering a conv op."""
-    S = x.shape[1]
-    K = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0)))
-    y = sum(xp[:, j:j + S, :] * w[:, j] for j in range(K))
-    return jax.nn.silu(y)
-
-
-def _conv_tail(x: jax.Array, lengths: jax.Array, K: int) -> jax.Array:
-    """Last K-1 VALID pre-activation conv inputs per row (the decode conv
-    state). x [B, S, D] right-padded, lengths [B]. Rows shorter than K-1
-    zero-fill on the left."""
-    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0)))
-    return jax.vmap(
-        lambda row, n: jax.lax.dynamic_slice(
-            row, (n, 0), (K - 1, row.shape[-1])))(xp, lengths)
-
-
 def _deltanet_gb(p: dict, b: jax.Array, a: jax.Array):
     """beta = sigmoid(b); g = -exp(A_log) * softplus(a + dt_bias), float32
     (HF computes A in float regardless of model dtype)."""
@@ -328,16 +307,25 @@ def _deltanet_gb(p: dict, b: jax.Array, a: jax.Array):
 
 def _deltanet_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
                       valid: jax.Array | None, lengths: jax.Array | None,
-                      chunk_size: int, want_state: bool):
-    """Gated DeltaNet over a full (right-padded) sequence.
+                      chunk_size: int, want_state: bool, init=None):
+    """Gated DeltaNet over a (right-padded) sequence. init = (conv_tail
+    [B, K-1, conv_dim], rec_state [B, nv, dk, dv]) continues from a cached
+    prefix (prefill_continue); None starts fresh (a zero conv tail is
+    exactly the left zero-padding of a fresh causal conv).
     Returns (out [B, S, H], (conv_tail, state) or None)."""
     B, S, _ = h.shape
+    K = cfg.linear_conv_kernel_dim
     qkvz = linear(p["qkvz"], h)
     ba = linear(p["ba"], h)
     q, k, v, z, b, a = _split_qkvz_ba(cfg, qkvz, ba)
     mixed = jnp.concatenate([q.reshape(B, S, -1), k.reshape(B, S, -1),
                              v.reshape(B, S, -1)], -1)
-    conv_out = _causal_conv(mixed, p["conv"])
+    conv_tail_in = (init[0] if init is not None
+                    else jnp.zeros((B, K - 1, mixed.shape[-1]), mixed.dtype))
+    window = jnp.concatenate([conv_tail_in, mixed], 1)   # [B, K-1+S, D]
+    w = p["conv"].astype(window.dtype)
+    conv_out = jax.nn.silu(
+        sum(window[:, j:j + S, :] * w[:, j] for j in range(K)))
     kd, vd = cfg.linear_key_dim, cfg.linear_value_dim
     nk, nv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
     q = conv_out[..., :kd].reshape(B, S, nk, cfg.linear_key_head_dim)
@@ -352,15 +340,18 @@ def _deltanet_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
     if r > 1:
         q = jnp.repeat(q, r, axis=2)
         k = jnp.repeat(k, r, axis=2)
-    out, state = chunk_gated_delta_rule(q, k, v, g, beta,
-                                        chunk_size=chunk_size)
+    out, state = chunk_gated_delta_rule(
+        q, k, v, g, beta, chunk_size=chunk_size,
+        initial_state=init[1] if init is not None else None)
     out = rms_norm_gated(p["norm"], out, z, cfg.rms_norm_eps)
     out = linear(p["out"], out.reshape(B, S, -1))
     new_cache = None
     if want_state:
         tail_len = lengths if lengths is not None \
             else jnp.full((B,), S, jnp.int32)
-        conv_tail = _conv_tail(mixed, tail_len, cfg.linear_conv_kernel_dim)
+        conv_tail = jax.vmap(
+            lambda row, n: jax.lax.dynamic_slice(
+                row, (n, 0), (K - 1, row.shape[-1])))(window, tail_len)
         new_cache = (conv_tail, state)
     return out, new_cache
 
@@ -710,23 +701,14 @@ def _decode_scan_jit(params, cfg, cache, first, key, sp, mesh):
     return rest
 
 
-def generate_packed(params: dict, cfg: Qwen3NextConfig,
-                    input_ids: np.ndarray, lengths: np.ndarray,
-                    sp, seed: int = 0, mesh=None,
-                    chunk_size: int = 64) -> NextGenResult:
-    """Engine entry: right-padded prompts + engine SamplingParams (greedy /
-    temperature / top-k / top-p — HF filter order via engine.sampling).
-    The EOS cut is applied post-hoc on the host (the whole budget runs in
-    one compiled scan; rows are truncated at their first EOS), so greedy
-    output is token-exact vs per-row early-stopped decoding."""
+def _decode_tail(params, cfg, logits, cache, sp, seed, mesh
+                 ) -> NextGenResult:
+    """Sample the first token from prefill logits, run the compiled decode
+    scan for the remaining budget, apply the host-side EOS cut."""
     from ..engine.sampling import sample_token
 
-    B, S = input_ids.shape
+    B = logits.shape[0]
     mnt = sp.max_new_tokens
-    ids = jnp.asarray(input_ids)
-    lens = jnp.asarray(lengths, jnp.int32)
-    logits, cache = _prefill_jit(params, cfg, ids, lens, S + mnt,
-                                 chunk_size, mesh)
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
     first = sample_token(logits, sub, sp).astype(jnp.int32)
@@ -740,6 +722,23 @@ def generate_packed(params: dict, cfg: Qwen3NextConfig,
         out_len = np.where(has, np.minimum(out_len, hit.argmax(1) + 1),
                            out_len)
     return NextGenResult(sequences=seqs, lengths=out_len)
+
+
+def generate_packed(params: dict, cfg: Qwen3NextConfig,
+                    input_ids: np.ndarray, lengths: np.ndarray,
+                    sp, seed: int = 0, mesh=None,
+                    chunk_size: int = 64) -> NextGenResult:
+    """Engine entry: right-padded prompts + engine SamplingParams (greedy /
+    temperature / top-k / top-p — HF filter order via engine.sampling).
+    The EOS cut is applied post-hoc on the host (the whole budget runs in
+    one compiled scan; rows are truncated at their first EOS), so greedy
+    output is token-exact vs per-row early-stopped decoding."""
+    B, S = input_ids.shape
+    ids = jnp.asarray(input_ids)
+    lens = jnp.asarray(lengths, jnp.int32)
+    logits, cache = _prefill_jit(params, cfg, ids, lens,
+                                 S + sp.max_new_tokens, chunk_size, mesh)
+    return _decode_tail(params, cfg, logits, cache, sp, seed, mesh)
 
 
 def generate(params: dict, cfg: Qwen3NextConfig, input_ids: np.ndarray,
@@ -757,6 +756,196 @@ def generate(params: dict, cfg: Qwen3NextConfig, input_ids: np.ndarray,
                         max_new_tokens=max_new_tokens)
     return generate_packed(params, cfg, input_ids, lengths, sp, seed=seed,
                            mesh=mesh, chunk_size=chunk_size).sequences
+
+
+# ----------------------------------------------- prefix reuse / continue
+
+
+def _full_attn_continue(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
+                        k_cache: jax.Array, v_cache: jax.Array, P: int,
+                        suffix_lengths: jax.Array, rope: tuple, mesh=None):
+    """Suffix prefill attention: write the suffix's KV at static offset P,
+    attend cached prefix + causal suffix."""
+    B, S, _ = h.shape
+    q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, P, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, P, 0, 0))
+    kv_len = P + S
+    k_win, v_win = k_cache[:, :kv_len], v_cache[:, :kv_len]
+    if _use_flash(cfg, S, mesh):
+        from ..ops.flash import flash_attention
+
+        out = flash_attention(
+            q, k_win, v_win, kv_lengths=P + suffix_lengths, causal=True,
+            q_offset=P, mesh=mesh,
+            interpret=jax.default_backend() != "tpu").reshape(B, S, -1)
+    else:
+        mask = (jnp.arange(kv_len)[None, None, :]
+                <= (P + jnp.arange(S))[None, :, None])     # [1, S, kv_len]
+        out = _attn_core(cfg, q, k_win, v_win, mask)
+    out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+    return linear(p["o"], out), (k_cache, v_cache)
+
+
+def prefill_continue(params: dict, cfg: Qwen3NextConfig,
+                     input_ids: jax.Array, suffix_lengths: jax.Array,
+                     cache: Qwen3NextCache, prefix_len: int,
+                     chunk_size: int = 64, mesh=None
+                     ) -> tuple[jax.Array, Qwen3NextCache]:
+    """Prefill a right-padded SUFFIX batch on top of a cached prefix state
+    (all rows share the same prefix_len — the judge-burst shape: one
+    system+rubric prefix, many question suffixes). cache.k/v must be sized
+    >= prefix_len + S (+ decode budget). Returns (last-valid logits [B, V],
+    cache with length = prefix_len + suffix_lengths)."""
+    B, S = input_ids.shape
+    P = prefix_len
+    h = params["embed"]["weight"][input_ids]
+    valid = (jnp.arange(S)[None] < suffix_lengths[:, None]).astype(
+        jnp.float32)
+    positions = jnp.broadcast_to(P + jnp.arange(S)[None], (B, S))
+    rope = _rope_cos_sin(cfg, positions)
+
+    def group_body(h, xs):
+        gp, conv_g, rec_g, k_g, v_g = xs
+
+        def lin_body(h, xs2):
+            lp, conv_s, rec_s = xs2
+            res = h
+            hn = rms_norm_zc(lp["in_norm"], h, cfg.rms_norm_eps)
+            out, st = _deltanet_prefill(cfg, lp, hn, valid, suffix_lengths,
+                                        chunk_size, want_state=True,
+                                        init=(conv_s, rec_s))
+            h = res + out
+            res = h
+            hn = rms_norm_zc(lp["post_norm"], h, cfg.rms_norm_eps)
+            h = res + _next_mlp(cfg, lp, hn, is_decode=False, mesh=mesh)
+            return h, st
+
+        h, lin_states = jax.lax.scan(lin_body, h,
+                                     (gp["lin"], conv_g, rec_g))
+        res = h
+        hn = rms_norm_zc(gp["full"]["in_norm"], h, cfg.rms_norm_eps)
+        out, (k_g, v_g) = _full_attn_continue(cfg, gp["full"], hn, k_g,
+                                              v_g, P, suffix_lengths, rope,
+                                              mesh=mesh)
+        h = res + out
+        res = h
+        hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)
+        h = res + _next_mlp(cfg, gp["full"], hn, is_decode=False, mesh=mesh)
+        return h, (lin_states, k_g, v_g)
+
+    h, ((conv, rec), k, v) = jax.lax.scan(
+        group_body, h, (params["groups"], cache.conv, cache.rec,
+                        cache.k, cache.v))
+    h = rms_norm_zc(params["final_norm"], h, cfg.rms_norm_eps)
+    last = h[jnp.arange(B), suffix_lengths - 1]
+    return _lm_head(params, cfg, last), Qwen3NextCache(
+        conv=conv, rec=rec, k=k, v=v, length=P + suffix_lengths)
+
+
+def broadcast_prefix_cache(cache: Qwen3NextCache, B: int) -> Qwen3NextCache:
+    """Tile a B=1 prefix cache across a batch (materialized — decode
+    scatters per row)."""
+    return Qwen3NextCache(
+        conv=jnp.repeat(cache.conv, B, axis=2),
+        rec=jnp.repeat(cache.rec, B, axis=2),
+        k=jnp.repeat(cache.k, B, axis=1),
+        v=jnp.repeat(cache.v, B, axis=1),
+        length=jnp.repeat(cache.length, B, axis=0))
+
+
+@partial(jax.jit, static_argnames=("cfg", "prefix_len", "max_len",
+                                   "chunk_size", "mesh"))
+def _continue_jit(params, cfg, ids, suffix_lengths, cache, prefix_len,
+                  max_len, chunk_size, mesh):
+    S = ids.shape[1]
+    pad = max_len - cache.k.shape[2]
+    if pad > 0:
+        pw = ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
+        cache = cache._replace(k=jnp.pad(cache.k, pw),
+                               v=jnp.pad(cache.v, pw))
+    assert cache.k.shape[2] >= prefix_len + S
+    return prefill_continue(params, cfg, ids, suffix_lengths, cache,
+                            prefix_len, chunk_size, mesh=mesh)
+
+
+class NextPrefixStore:
+    """Cross-call shared-prefix cache for judge bursts (TAC/VAS bursts
+    repeat one system+rubric prefix with per-sample suffixes). The hybrid
+    architecture makes an entry cheap: 3/4 of the layers store an O(1)
+    state, only 1/4 store prefix KV. Exact — the continued computation is
+    bit-identical to a full prefill (pinned by tests)."""
+
+    def __init__(self, max_entries: int = 8, min_prefix: int = 64,
+                 bucket: int = 64):
+        self.max_entries = max_entries
+        self.min_prefix = min_prefix
+        self.bucket = bucket
+        self._store: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def split(self, token_lists: list) -> int:
+        """Longest common prefix across the burst, bucketed down; 0 = no
+        usable prefix."""
+        if len(token_lists) < 1 or not all(token_lists):
+            return 0
+        first = token_lists[0]
+        lcp = min(len(t) for t in token_lists)
+        for t in token_lists[1:]:
+            i = 0
+            while i < lcp and t[i] == first[i]:
+                i += 1
+            lcp = i
+        # keep at least one suffix token per row (the last-logit gather
+        # needs a non-empty suffix)
+        lcp = min(lcp, min(len(t) for t in token_lists) - 1)
+        P = (lcp // self.bucket) * self.bucket
+        return P if P >= self.min_prefix else 0
+
+    def prefix_cache(self, params, cfg, prefix: tuple, mesh=None,
+                     chunk_size: int = 64) -> Qwen3NextCache:
+        key = (id(params), prefix)
+        hit = self._store.pop(key, None)
+        if hit is not None:
+            self._store[key] = hit       # LRU refresh
+            self.hits += 1
+            return hit
+        self.misses += 1
+        P = len(prefix)
+        ids = jnp.asarray(np.asarray(prefix, np.int32)[None])
+        _, cache = _prefill_jit(params, cfg, ids,
+                                jnp.full((1,), P, jnp.int32), P,
+                                chunk_size, mesh)
+        self._store[key] = cache
+        while len(self._store) > self.max_entries:
+            self._store.pop(next(iter(self._store)))
+        return cache
+
+    def generate(self, params, cfg, token_lists: list, sp, seed: int = 0,
+                 mesh=None, chunk_size: int = 64) -> NextGenResult:
+        """Burst generation with shared-prefix reuse; falls back to the
+        plain packed path when no usable common prefix exists."""
+        from ..engine.chat import pack_prompts
+
+        P = self.split(token_lists)
+        if not P:
+            packed = pack_prompts(token_lists, pad_id=cfg.pad_token_id)
+            return generate_packed(params, cfg, packed.input_ids,
+                                   packed.lengths, sp, seed=seed,
+                                   mesh=mesh, chunk_size=chunk_size)
+        prefix = tuple(token_lists[0][:P])
+        suffixes = [t[P:] for t in token_lists]
+        packed = pack_prompts(suffixes, pad_id=cfg.pad_token_id)
+        B, S = packed.input_ids.shape
+        cache1 = self.prefix_cache(params, cfg, prefix, mesh=mesh,
+                                   chunk_size=chunk_size)
+        cache = broadcast_prefix_cache(cache1, B)
+        logits, cache = _continue_jit(
+            params, cfg, jnp.asarray(packed.input_ids),
+            jnp.asarray(packed.lengths, jnp.int32), cache, P,
+            P + S + sp.max_new_tokens, chunk_size, mesh)
+        return _decode_tail(params, cfg, logits, cache, sp, seed, mesh)
 
 
 # ------------------------------------------------- speculative decoding

@@ -465,6 +465,13 @@ def test_next_prefix_reuse_parity(hf_next, rng):
         np.testing.assert_array_equal(got.sequences, ref.sequences)
         np.testing.assert_array_equal(got.lengths, ref.lengths)
     assert store.misses == 1 and store.hits == 1
+    # spec + prefix compose: greedy token-exact vs the whole-prompt path
+    sp = SamplingParams(max_new_tokens=6)
+    packed = pack_prompts(full, pad_id=0)
+    ref = generate_packed(params, cfg, packed.input_ids, packed.lengths,
+                          sp, seed=5)
+    got = store.generate(params, cfg, full, sp, seed=5, spec_k=4)
+    np.testing.assert_array_equal(got.sequences, ref.sequences)
     # no usable common prefix -> exact fallback to the packed path
     mixed = [rng.integers(2, 127, 20).tolist() for _ in range(2)]
     packed = pack_prompts(mixed, pad_id=0)

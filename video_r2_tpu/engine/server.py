@@ -114,8 +114,8 @@ class ChatEngine:
         self._queue = None
         # Qwen3-Next judge bursts share one system+rubric prefix: cache its
         # hybrid state across calls (O(1)-size for 3/4 of the layers) and
-        # prefill only the per-sample suffixes. Exact; spec path excluded
-        # (its n-gram history wants the full prompt).
+        # prefill only the per-sample suffixes. Exact; composes with
+        # speculative decoding (the n-gram history spans the full prompt).
         self._prefix_store = None
         if self._next and prefix_cache and not continuous:
             from ..models.qwen3_next import NextPrefixStore
@@ -366,13 +366,12 @@ class ChatEngine:
                                                 skip_special_tokens=True),
                                 stops)
                     for b, _ in boxes]
-        if (self._prefix_store is not None and len(ids_list) > 1
-                and not self.spec_decode):
+        if self._prefix_store is not None and len(ids_list) > 1:
             with self._lock:
                 self._seed += 1
                 res = self._prefix_store.generate(
                     self.params, self.cfg, ids_list, sp, seed=self._seed,
-                    mesh=self.mesh)
+                    mesh=self.mesh, spec_k=self.spec_decode)
             return [_apply_stop(self.tok.decode(
                 res.sequences[i][: res.lengths[i]],
                 skip_special_tokens=True), stops)

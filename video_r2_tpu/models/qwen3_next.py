@@ -923,14 +923,22 @@ class NextPrefixStore:
         return cache
 
     def generate(self, params, cfg, token_lists: list, sp, seed: int = 0,
-                 mesh=None, chunk_size: int = 64) -> NextGenResult:
+                 mesh=None, chunk_size: int = 64,
+                 spec_k: int = 0) -> NextGenResult:
         """Burst generation with shared-prefix reuse; falls back to the
-        plain packed path when no usable common prefix exists."""
+        plain packed path when no usable common prefix exists. spec_k > 0
+        composes with speculative decoding (the n-gram history covers the
+        FULL prompt — prefix included — so rubric echoes still draft)."""
         from ..engine.chat import pack_prompts
 
         P = self.split(token_lists)
         if not P:
             packed = pack_prompts(token_lists, pad_id=cfg.pad_token_id)
+            if spec_k:
+                return generate_spec(params, cfg, packed.input_ids,
+                                     packed.lengths, sp, spec_k=spec_k,
+                                     seed=seed, mesh=mesh,
+                                     chunk_size=chunk_size)
             return generate_packed(params, cfg, packed.input_ids,
                                    packed.lengths, sp, seed=seed,
                                    mesh=mesh, chunk_size=chunk_size)
@@ -938,13 +946,26 @@ class NextPrefixStore:
         suffixes = [t[P:] for t in token_lists]
         packed = pack_prompts(suffixes, pad_id=cfg.pad_token_id)
         B, S = packed.input_ids.shape
+        T = sp.max_new_tokens
+        W = spec_k + 1 if spec_k else 0
         cache1 = self.prefix_cache(params, cfg, prefix, mesh=mesh,
                                    chunk_size=chunk_size)
         cache = broadcast_prefix_cache(cache1, B)
         logits, cache = _continue_jit(
             params, cfg, jnp.asarray(packed.input_ids),
             jnp.asarray(packed.lengths, jnp.int32), cache, P,
-            P + S + sp.max_new_tokens, chunk_size, mesh)
+            P + S + T + W, chunk_size, mesh)
+        if spec_k:
+            full_lens = P + np.asarray(packed.lengths, np.int64)
+            hist0 = np.zeros((B, P + S + T + W), np.int32)
+            hist0[:, :P] = np.asarray(prefix, np.int32)[None]
+            hist0[:, P:P + S] = packed.input_ids
+            out, gen_len, _ = _spec_loop(
+                params, cfg, cache, logits, jnp.asarray(hist0),
+                jnp.asarray(full_lens, jnp.int32), sp, spec_k, mesh,
+                rng=jax.random.PRNGKey(seed))
+            return NextGenResult(sequences=np.asarray(out),
+                                 lengths=np.asarray(gen_len, np.int64))
         return _decode_tail(params, cfg, logits, cache, sp, seed, mesh)
 
 

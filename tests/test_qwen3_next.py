@@ -244,9 +244,10 @@ def test_next_chat_engine_judge(hf_next):
     judge = EngineJudge(eng, max_tokens=6)
     outs = judge.chat_many([("sys", "judge this"), ("sys", "and this")])
     assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
-    with _pytest.raises(ValueError, match="batch-mode"):
-        ChatEngine(params, cfg, ByteTokenizer(), continuous=True)
-    with _pytest.raises(ValueError, match="batch-mode"):
+    with _pytest.raises(ValueError, match="paged"):
+        ChatEngine(params, cfg, ByteTokenizer(), continuous=True,
+                   engine_kind="paged")
+    with _pytest.raises(ValueError, match="kv_quant"):
         ChatEngine(params, cfg, ByteTokenizer(), kv_quant="int8")
 
 
@@ -503,6 +504,100 @@ def test_next_chat_engine_prefix_cache(hf_next):
     assert on.chat_batch(msgs) == off.chat_batch(msgs)
     on.chat_batch(msgs)
     assert on.stats()["prefix_cache_hits"] >= 1
+
+
+def test_next_golden_gradients(hf_next, rng):
+    """jax.grad through the whole hybrid stack (chunked delta rule, conv,
+    gated norms, MoE + shared expert) matches HF torch autograd — the
+    trainability anchor."""
+    import torch
+
+    from video_r2_tpu.models.qwen3_next import next_loss
+
+    model, cfg, params = hf_next
+    B, S = 2, 15
+    ids = rng.integers(2, 127, (B, S))
+    labels = ids.copy()
+    labels[:, :3] = -100   # ignore a prefix (masked-token path)
+
+    tids = torch.from_numpy(ids)
+    tl = torch.from_numpy(labels.astype(np.int64))
+    out = model(input_ids=tids)
+    logits = out.logits[:, :-1].reshape(-1, 128).float()
+    tgt = tl[:, 1:].reshape(-1)
+    tloss = torch.nn.functional.cross_entropy(logits, tgt,
+                                              ignore_index=-100)
+    model.zero_grad()
+    tloss.backward()
+
+    # our loss predicts labels at the SAME position (the caller shifts)
+    shifted = np.full_like(labels, -100)
+    shifted[:, :-1] = labels[:, 1:]
+    loss, grads = jax.value_and_grad(next_loss)(
+        params, cfg, jnp.asarray(ids), jnp.asarray(shifted))
+    np.testing.assert_allclose(float(loss), float(tloss), rtol=2e-4)
+
+    sd_grads = {k: v.grad for k, v in model.named_parameters()
+                if v.grad is not None}
+
+    def t(name, transpose=False):
+        g = sd_grads[name].numpy()
+        return g.T if transpose else g
+
+    # spot-check leaves across every module family (layer 0 = groups.lin
+    # sublayer 0; layer 3 = groups.full group 0)
+    checks = [
+        (grads["groups"]["lin"]["qkvz"]["kernel"][0, 0],
+         t("model.layers.0.linear_attn.in_proj_qkvz.weight", True)),
+        (grads["groups"]["lin"]["A_log"][0, 0],
+         t("model.layers.0.linear_attn.A_log")),
+        (grads["groups"]["lin"]["dt_bias"][0, 0],
+         t("model.layers.0.linear_attn.dt_bias")),
+        (grads["groups"]["lin"]["conv"][0, 0],
+         t("model.layers.0.linear_attn.conv1d.weight")[:, 0, :]),
+        (grads["groups"]["full"]["q"]["kernel"][0],
+         t("model.layers.3.self_attn.q_proj.weight", True)),
+        (grads["groups"]["full"]["q_norm"][0],
+         t("model.layers.3.self_attn.q_norm.weight")),
+        (grads["groups"]["lin"]["router"]["kernel"][0, 0],
+         t("model.layers.0.mlp.gate.weight", True)),
+        (grads["groups"]["lin"]["experts"]["gate"]["kernel"][0, 0, 2],
+         t("model.layers.0.mlp.experts.2.gate_proj.weight", True)),
+        (grads["groups"]["lin"]["shared_gate"]["kernel"][0, 0],
+         t("model.layers.0.mlp.shared_expert_gate.weight", True)),
+        (grads["final_norm"], t("model.norm.weight")),
+        (grads["lm_head"]["kernel"], t("lm_head.weight", True)),
+    ]
+    for ours, ref in checks:
+        np.testing.assert_allclose(np.asarray(ours), ref,
+                                   rtol=5e-3, atol=2e-5)
+
+
+def test_next_lora_sft_step(hf_next, rng):
+    """LoRA SFT over the hybrid judge: adapters-only training step runs
+    and overfits a tiny batch (loss strictly decreases)."""
+    import optax
+
+    from video_r2_tpu.models.qwen3_next import (NEXT_LORA_TARGETS,
+                                                make_next_lora_sft_step)
+    from video_r2_tpu.train.lora import LoRAConfig, LoRATrainState, init_lora
+
+    _, cfg, params = hf_next
+    lcfg = LoRAConfig(r=4, alpha=8, targets=NEXT_LORA_TARGETS)
+    lora = init_lora(params, lcfg, seed=0)
+    assert "a" in lora["groups"]["lin"]["qkvz"]["kernel"]
+    opt = optax.adam(5e-3)
+    step = make_next_lora_sft_step(params, cfg, lcfg, opt, donate=False)
+    state = LoRATrainState(lora, opt.init(lora), 0)
+    ids = rng.integers(2, 127, (2, 12))
+    labels = np.full_like(ids, -100)
+    labels[:, :-1] = ids[:, 1:]
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels)}
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
 
 
 def test_next_moe_kernel_flags(hf_next, rng):

@@ -218,9 +218,13 @@ def chunk_gated_delta_rule(q: jax.Array, k: jax.Array, v: jax.Array,
     bc = b32.reshape(B, nc, c, H).transpose(0, 3, 1, 2)
 
     gcs = jnp.cumsum(gc, axis=-1)                                  # within-chunk
-    # decay[i, j] = exp(g_i - g_j) for j <= i
+    # decay[i, j] = exp(g_i - g_j) for j <= i. Mask the EXPONENT, not the
+    # exp: at masked (upper) positions g_i - g_j >= 0 can overflow to inf,
+    # and where(mask, inf, 0)'s VJP is 0 * inf = NaN — the whole backward
+    # would be poisoned (found by the HF golden-gradient test).
     tril = jnp.tril(jnp.ones((c, c), dtype=bool))
-    decay = jnp.where(tril, jnp.exp(gcs[..., :, None] - gcs[..., None, :]), 0.0)
+    diff = jnp.where(tril, gcs[..., :, None] - gcs[..., None, :], 0.0)
+    decay = jnp.where(tril, jnp.exp(diff), 0.0)
     k_beta = kc * bc[..., None]
     v_beta = vc * bc[..., None]
     m = -jnp.where(jnp.tril(jnp.ones((c, c), dtype=bool), -1),
@@ -756,6 +760,64 @@ def generate(params: dict, cfg: Qwen3NextConfig, input_ids: np.ndarray,
                         max_new_tokens=max_new_tokens)
     return generate_packed(params, cfg, input_ids, lengths, sp, seed=seed,
                            mesh=mesh, chunk_size=chunk_size).sequences
+
+
+# ---------------------------------------------------------------- training
+
+
+def next_loss(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
+              labels: jax.Array, lengths: jax.Array | None = None,
+              chunk_size: int = 64) -> jax.Array:
+    """Causal-LM loss (mean CE over labels != -100, ops/fused_ce — no
+    [N, V] materialization). Differentiable end to end: the chunked delta
+    rule, conv, gated norms, and MoE are pure jax ops (autodiff through
+    the scans); grads match HF torch autograd (tests/test_qwen3_next.py).
+    The reference never fine-tunes its judge — this is the beyond-parity
+    path for training hybrid-architecture models on TPU."""
+    from ..ops.fused_ce import fused_linear_cross_entropy
+
+    h = params["embed"]["weight"][input_ids]
+    h, _ = _run_prefill(params, cfg, h, lengths, chunk_size,
+                        want_cache=False)
+    w = (params["embed"]["weight"].T if cfg.tie_word_embeddings
+         else params["lm_head"]["kernel"])
+    return fused_linear_cross_entropy(h.reshape(-1, h.shape[-1]), w,
+                                      labels.reshape(-1))
+
+
+# LoRA targets for this family (train/lora.py is path-generic; stacked
+# [G]/[G,3] kernels get stacked adapters). Routers stay full-precision.
+NEXT_LORA_TARGETS = (
+    ("qkvz", "kernel"), ("out", "kernel"),
+    ("q", "kernel"), ("k", "kernel"), ("v", "kernel"), ("o", "kernel"),
+    ("shared", "gate", "kernel"), ("shared", "up", "kernel"),
+    ("shared", "down", "kernel"),
+)
+
+
+def make_next_lora_sft_step(base_params, cfg: Qwen3NextConfig, lora_cfg,
+                            optimizer, donate: bool = True):
+    """SFT step training ONLY adapters over a (possibly int8) Qwen3-Next
+    base — the QLoRA structure, same contract as train/lora.py's
+    make_lora_sft_step. batch = {input_ids, labels[, lengths]}."""
+    import optax
+
+    from ..train.lora import LoRATrainState, attach_lora
+
+    def loss_fn(lora, batch):
+        eff = attach_lora(base_params, lora, lora_cfg)
+        return next_loss(eff, cfg, batch["input_ids"], batch["labels"],
+                         batch.get("lengths"))
+
+    def step_fn(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.lora, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        return LoRATrainState(lora, opt_state, state.step + 1), {
+            "loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 # ----------------------------------------------- prefix reuse / continue

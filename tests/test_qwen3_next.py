@@ -600,6 +600,80 @@ def test_next_lora_sft_step(hf_next, rng):
     assert losses[-1] < losses[0]
 
 
+def test_next_sharded_loss_and_grads(hf_next, rng):
+    """next_loss and its gradients under an ep x tp x fsdp mesh == single
+    device (GSPMD from the param annotations; training-side certification
+    of the sharding rules)."""
+    from video_r2_tpu.models.qwen3_next import next_loss
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    _, cfg, params = hf_next
+    ids = rng.integers(2, 127, (2, 12))
+    labels = np.full_like(ids, -100)
+    labels[:, :-1] = ids[:, 1:]
+    args = (jnp.asarray(ids), jnp.asarray(labels))
+    loss1, g1 = jax.value_and_grad(next_loss, argnums=0)(params, cfg, *args)
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    sparams = shard_params(params, mesh)
+    loss2, g2 = jax.jit(
+        jax.value_and_grad(next_loss, argnums=0),
+        static_argnums=(1,))(sparams, cfg, *args)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_next_int4_quantized(hf_next, rng):
+    """bits=4 weight-only (group-128 packed nibbles where K permits,
+    int8 elsewhere): finite logits, generate runs."""
+    from video_r2_tpu.models.qwen3_next import quantize_qwen3_next_params
+
+    _, cfg, params = hf_next
+    q = quantize_qwen3_next_params(params, bits=4)
+    # tiny dims (H=32 < 256) can't group-128: falls back to int8 everywhere
+    assert "kernel_q" in q["groups"]["lin"]["qkvz"]
+    ids = rng.integers(2, 127, (1, 9))
+    out = np.asarray(forward(q, cfg, jnp.asarray(ids)))
+    assert np.isfinite(out).all()
+
+
+def test_next_http_server_smoke(hf_next):
+    """OpenAI server end-to-end over a Qwen3-Next engine: POST
+    /v1/chat/completions (batch mode) + GET /metrics shows the prefix
+    store counters."""
+    import json
+    import urllib.request
+
+    from video_r2_tpu.engine.chat import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine, serve
+
+    _, cfg, params = hf_next
+    cfg = cfg.replace(eos_token_id=1, pad_token_id=0)
+    eng = ChatEngine(params, cfg, ByteTokenizer(specials={
+        "<|im_start|>": 2, "<|im_end|>": 1, "<|endoftext|>": 0}),
+        max_new_tokens=4)
+    srv = serve(eng, port=0, background=True)
+    port = srv.server_address[1]
+    try:
+        body = json.dumps({
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "temperature": 0}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["message"]["role"] == "assistant"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            metrics = json.loads(r.read())
+        assert "prefix_cache_hits" in metrics
+    finally:
+        srv.shutdown()
+
+
 def test_next_moe_kernel_flags(hf_next, rng):
     """The ragged-decode / GMM-prefill kernel flags reproduce the einsum
     MoE path (interpret mode on CPU) — the judge preset runs with them ON."""

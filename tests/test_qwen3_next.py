@@ -674,6 +674,68 @@ def test_next_http_server_smoke(hf_next):
         srv.shutdown()
 
 
+def test_next_qlora_int8_base_with_kernel_flags(hf_next, rng):
+    """QLoRA over an int8 base with the judge preset's kernel flags ON:
+    next_loss must force the einsum MoE path (the int8 GMM/ragged kernels
+    have no VJP — this exact combination crashed before the fix)."""
+    import optax
+
+    from video_r2_tpu.models.qwen3_next import (
+        NEXT_LORA_TARGETS, make_next_lora_sft_step,
+        quantize_qwen3_next_params)
+    from video_r2_tpu.train.lora import (LoRAConfig, LoRATrainState,
+                                         init_lora_for_quantized)
+
+    _, cfg, params = hf_next
+    cfg = cfg.replace(moe_gmm_prefill=True, moe_ragged_decode=True)
+    qbase = quantize_qwen3_next_params(params)
+    lcfg = LoRAConfig(r=4, alpha=8, targets=NEXT_LORA_TARGETS)
+    lora = init_lora_for_quantized(qbase, lcfg, seed=0)
+    opt = optax.adam(5e-3)
+    step = make_next_lora_sft_step(qbase, cfg, lcfg, opt, donate=False)
+    state = LoRATrainState(lora, opt.init(lora), 0)
+    ids = rng.integers(2, 127, (2, 10))
+    labels = np.full_like(ids, -100)
+    labels[:, :-1] = ids[:, 1:]
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels)}
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_next_continuous_cancel_and_budget_clamp(hf_next, rng):
+    """request_cancel is lock-free (callable from step()'s tok_cb without
+    deadlock) and over-budget requests clamp to the slot's room instead
+    of streaming garbage from a frozen frontier."""
+    from video_r2_tpu.engine.next_continuous import Qwen3NextContinuousEngine
+    from video_r2_tpu.engine.sampling import SamplingParams
+
+    _, cfg, params = hf_next
+    sp = SamplingParams(max_new_tokens=8, eos_token_ids=(), pad_token_id=0)
+    eng = Qwen3NextContinuousEngine(params, cfg, num_slots=2, max_len=32,
+                                    sp=sp, prompt_buckets=(16,))
+    # budget clamp: 100-token request into a 32-slot engine
+    prompt = rng.integers(2, 127, 10).tolist()
+    got = {}
+    rid = eng.submit(prompt, 100, done_cb=lambda r, t: got.update({r: t}))
+    while eng.num_active:
+        eng.step()
+    # prompt truncates to room=8 first, then the budget clamps to the
+    # remaining strip: prompt + generation always fit the slot
+    assert len(got[rid]) <= 32 - 8 - 1
+    # cancel from inside the step's tok_cb (the stop-watcher call path)
+    seen = []
+
+    def tok_cb(r, t):
+        seen.append(t)
+        eng.request_cancel(r)     # would deadlock if cancel took the lock
+
+    rid2 = eng.submit(prompt, 8, done_cb=lambda r, t: got.update({r: t}),
+                      tok_cb=tok_cb)
+    while eng.num_active:
+        eng.step()
+    assert len(got[rid2]) == 1    # cancelled after the first token
+
+
 def test_next_moe_kernel_flags(hf_next, rng):
     """The ragged-decode / GMM-prefill kernel flags reproduce the einsum
     MoE path (interpret mode on CPU) — the judge preset runs with them ON."""

@@ -136,6 +136,12 @@ class Qwen3NextContinuousEngine:
         self._lock = threading.Lock()
         self.decode_window = 1
         self.spec_stats: dict = {}   # /metrics parity (no spec here yet)
+        # lock-FREE cancellation (GIL-atomic set): ChatEngine's stop
+        # watcher calls request_cancel from inside step()'s tok_cb, i.e.
+        # while step() holds self._lock — a locked cancel would deadlock
+        # the run loop (the transformer engine learned this first,
+        # continuous.py request_cancel)
+        self._cancelled: set[int] = set()
 
     @property
     def num_active(self) -> int:
@@ -155,6 +161,11 @@ class Qwen3NextContinuousEngine:
             if ids.shape[0] > room:
                 ids = ids[-room:]   # keep recent context (TRL truncation)
             true_len = int(ids.shape[0])
+            # clamp the budget to the slot's real room: without this, an
+            # over-budget request hits the idle-slot frontier clamp and
+            # streams garbage from the frozen position instead of ending
+            max_new_tokens = max(
+                min(max_new_tokens, self.max_len - true_len - 1), 1)
             bucket = next((b for b in self.prompt_buckets if b >= true_len),
                           self.max_len)
             padded = np.full((1, bucket), self.cfg.pad_token_id, np.int32)
@@ -175,10 +186,8 @@ class Qwen3NextContinuousEngine:
             return rid
 
     def request_cancel(self, rid: int) -> None:
-        with self._lock:
-            for r in self.slot_req:
-                if r is not None and r.rid == rid:
-                    r.budget = 0   # finishes (and calls back) next step
+        # no lock: called from tok_cb inside step()'s locked region
+        self._cancelled.add(rid)
 
     def step(self, steps: int = 1) -> list[tuple[int, list[int]]]:
         """Advance all slots `steps` tokens; return finished (rid, toks)."""
@@ -198,6 +207,9 @@ class Qwen3NextContinuousEngine:
                 for i, req in enumerate(self.slot_req):
                     if req is None:
                         continue
+                    if req.rid in self._cancelled:
+                        self._cancelled.discard(req.rid)
+                        req.budget = 0
                     if req.budget > 0:
                         t = int(tok_h[i])
                         req.toks.append(t)

@@ -72,6 +72,8 @@ class ChatEngine:
                 ("engine_kind=paged", continuous and engine_kind == "paged"),
                 ("continuous+mesh", continuous and mesh is not None),
                 ("continuous+spec_decode", continuous and spec_decode),
+                ("continuous+prefill_chunk_tokens",
+                 continuous and prefill_chunk_tokens),
                 ("kv_quant", kv_quant), ("act_quant", act_quant)) if v]
             if unsupported:
                 raise ValueError(

@@ -776,11 +776,25 @@ def next_loss(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
     path for training hybrid-architecture models on TPU."""
     from ..ops.fused_ce import fused_linear_cross_entropy
 
+    # training forces the einsum MoE path like train/sft.py and
+    # train/grpo.py do: the int8/W8A8 GMM and ragged kernels have no VJP
+    # (only the float single-device GMM differentiates), so a QLoRA step
+    # over an int8 base would crash under the judge preset's kernel flags
+    if cfg.moe_gmm_prefill or cfg.moe_ragged_decode:
+        cfg = cfg.replace(moe_gmm_prefill=False, moe_ragged_decode=False)
     h = params["embed"]["weight"][input_ids]
     h, _ = _run_prefill(params, cfg, h, lengths, chunk_size,
                         want_cache=False)
-    w = (params["embed"]["weight"].T if cfg.tie_word_embeddings
-         else params["lm_head"]["kernel"])
+    if cfg.tie_word_embeddings:
+        w = params["embed"]["weight"].T
+    elif "kernel_q" in params["lm_head"]:
+        # int8 base (QLoRA): the fused CE wants a float [H, V] — one
+        # dequant per step, fused into the CE chunks by XLA
+        from .quant import dequantize_kernel
+
+        w = dequantize_kernel(params["lm_head"], dtype=h.dtype)
+    else:
+        w = params["lm_head"]["kernel"]
     return fused_linear_cross_entropy(h.reshape(-1, h.shape[-1]), w,
                                       labels.reshape(-1))
 

@@ -736,6 +736,40 @@ def test_next_continuous_cancel_and_budget_clamp(hf_next, rng):
     assert len(got[rid2]) == 1    # cancelled after the first token
 
 
+def test_next_tar_reward_pipeline(hf_next):
+    """The TAR reward (GRPO's judge-gated temporal reward) runs end to end
+    against the NATIVE Qwen3-Next judge: reward -> EngineJudge batching ->
+    ChatEngine batch generate -> hybrid model. Tiny random weights emit
+    junk, so only the plumbing contract is asserted (scores in [0, 1],
+    junk-JSON extraction degrades to 0 instead of raising) — the scoring
+    semantics are pinned by the StaticJudge tests."""
+    from video_r2_tpu.engine.chat import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine
+    from video_r2_tpu.rewards.embedding import HashingEmbedder
+    from video_r2_tpu.rewards.judge import EngineJudge
+    from video_r2_tpu.rewards.temporal import (
+        temporal_grounding_sentence_embedding_consistency_reward)
+
+    _, cfg, params = hf_next
+    cfg = cfg.replace(eos_token_id=1, pad_token_id=0)
+    eng = ChatEngine(params, cfg, ByteTokenizer(specials={
+        "<|im_start|>": 2, "<|im_end|>": 1, "<|endoftext|>": 0}),
+        max_new_tokens=8)
+    judge = EngineJudge(eng, max_tokens=8)
+    comps = [[{"role": "assistant", "content":
+               "<think>at 5s a car passes</think><answer>A</answer>"}]] * 2
+    answers = [[{"role": "assistant", "content": "A"}]] * 2
+    tg = [{"00:05": "a car passes"}] * 2
+    prompts = [[{"role": "system", "content": "s"},
+                {"role": "user", "content": [
+                    {"type": "video", "video": "x"},
+                    {"type": "text", "text": "what passes?"}]}]] * 2
+    r = temporal_grounding_sentence_embedding_consistency_reward(
+        comps, answers, tg, prompts=prompts, judge=judge,
+        embedder=HashingEmbedder())
+    assert len(r) == 2 and all(0.0 <= x <= 1.0 for x in r)
+
+
 def test_next_moe_kernel_flags(hf_next, rng):
     """The ragged-decode / GMM-prefill kernel flags reproduce the einsum
     MoE path (interpret mode on CPU) — the judge preset runs with them ON."""

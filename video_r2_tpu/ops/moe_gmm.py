@@ -211,16 +211,19 @@ def _bwd_dx_kernel(ids_ref, valid_ref, x_ref, dy_ref, wg_ref, wu_ref,
 
 
 def _bwd_dw_kernel(ids_ref, valid_ref, x_ref, dy_ref, wg_ref, wu_ref,
-                   wd_ref, dwg_ref, dwu_ref, dwd_ref,
-                   accg_ref, accu_ref, accd_ref, *, n_blocks: int):
-    """Per-expert weight grads. Grid (i, a) — a INNER, so the sorted
+                   wd_ref, dwg_ref, dwu_ref, accg_ref, accu_ref,
+                   *, n_blocks: int):
+    """dWg/dWu per expert. Grid (i, a) — a INNER, so the sorted
     layout's expert runs revisit each (e, i) output block consecutively:
     accumulate the run in VMEM scratch and flush on the run's last block
     (the standard k-loop revisiting pattern, applied along a). Experts
     with no blocks are never visited — their output blocks stay
     UNINITIALIZED and the caller masks them to zero (aliasing zero-filled
     inputs instead would donate one CSE'd zeros buffer to several
-    outputs, an ill-defined must-alias on the compiled path)."""
+    outputs, an ill-defined must-alias on the compiled path). dWd lives
+    in its own kernel (_bwd_dwd_kernel): one fused kernel's working set
+    (5 double-buffered ins + 3 double-buffered outs + 3 f32 accumulators)
+    exceeds the 16 MB VMEM at the f32 judge block shape (H=2048, bi=128)."""
     a = pl.program_id(1)
     e = ids_ref[a]
     prev_e = ids_ref[jnp.maximum(a - 1, 0)]
@@ -232,13 +235,12 @@ def _bwd_dw_kernel(ids_ref, valid_ref, x_ref, dy_ref, wg_ref, wu_ref,
     def _():
         accg_ref[...] = jnp.zeros_like(accg_ref)
         accu_ref[...] = jnp.zeros_like(accu_ref)
-        accd_ref[...] = jnp.zeros_like(accd_ref)
 
     @pl.when(valid_ref[a] != 0)
     def _():
         x = x_ref[0].astype(jnp.float32)
         dy = dy_ref[0].astype(jnp.float32)
-        h, dg, du = _silu_terms(x, wg_ref[0], wu_ref[0], dy, wd_ref[0])
+        _, dg, du = _silu_terms(x, wg_ref[0], wu_ref[0], dy, wd_ref[0])
         # x [bm, H]^T @ dg [bm, bi]: contract bm (dim 0 with dim 0)
         accg_ref[...] += jax.lax.dot_general(
             x, dg, (((0,), (0,)), ((), ())),
@@ -246,14 +248,43 @@ def _bwd_dw_kernel(ids_ref, valid_ref, x_ref, dy_ref, wg_ref, wu_ref,
         accu_ref[...] += jax.lax.dot_general(
             x, du, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    @pl.when(last)
+    def _():
+        dwg_ref[0] = accg_ref[...].astype(dwg_ref.dtype)
+        dwu_ref[0] = accu_ref[...].astype(dwu_ref.dtype)
+
+
+def _bwd_dwd_kernel(ids_ref, valid_ref, x_ref, dy_ref, wg_ref, wu_ref,
+                    dwd_ref, accd_ref, *, n_blocks: int):
+    """dWd per expert: h^T @ dY with h = silu(x@Wg) * (x@Wu) recomputed
+    per (i, a) step. Same run-flush pattern as _bwd_dw_kernel; needs no
+    Wd block, which is what lets the pair of kernels fit VMEM."""
+    a = pl.program_id(1)
+    e = ids_ref[a]
+    prev_e = ids_ref[jnp.maximum(a - 1, 0)]
+    nxt_e = ids_ref[jnp.minimum(a + 1, n_blocks - 1)]
+    first = jnp.logical_or(a == 0, e != prev_e)
+    last = jnp.logical_or(a == n_blocks - 1, e != nxt_e)
+
+    @pl.when(first)
+    def _():
+        accd_ref[...] = jnp.zeros_like(accd_ref)
+
+    @pl.when(valid_ref[a] != 0)
+    def _():
+        x = x_ref[0].astype(jnp.float32)
+        dy = dy_ref[0].astype(jnp.float32)
+        g = jnp.dot(x, wg_ref[0], preferred_element_type=jnp.float32)
+        u = jnp.dot(x, wu_ref[0], preferred_element_type=jnp.float32)
+        h = jax.nn.sigmoid(g) * g * u
+        # h [bm, bi]^T @ dy [bm, H]: contract bm (dim 0 with dim 0)
         accd_ref[...] += jax.lax.dot_general(
             h, dy, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(last)
     def _():
-        dwg_ref[0] = accg_ref[...].astype(dwg_ref.dtype)
-        dwu_ref[0] = accu_ref[...].astype(dwu_ref.dtype)
         dwd_ref[0] = accd_ref[...].astype(dwd_ref.dtype)
 
 
@@ -277,23 +308,43 @@ def _gmm_diff_fwd(xt, topv, topi, weights, block_rows, interpret):
     return out, (xt, topv, topi, weights)
 
 
+def _bwd_tiles(block_rows: int, H: int, I: int, xbytes: int,
+               wbytes: int) -> tuple[int, int]:
+    """(bm, bi) for the backward kernels. Mosaic requires the LAST block
+    dim be a multiple of 128 or equal to the full array dim (interpret
+    mode never checks this — the r4 on-chip smoke caught a 64-wide tile
+    here), so bi is the smallest lane-aligned divisor of I, or I itself
+    for tiny shapes. bm then shrinks until the tightest kernel's VMEM
+    estimate (the dWg/dWu kernel: 5 double-buffered in blocks, 2
+    double-buffered outs, 2 f32 accumulators) fits under ~14 MB of the
+    16 MB ceiling; bm is free here because the backward derives its own
+    sorted layout from the residual (topi) rather than reusing the
+    forward's."""
+    bi = 128 if I % 128 == 0 else I
+
+    def dw_bytes(bm: int) -> int:
+        ins = 2 * (2 * bm * H * xbytes + 3 * H * bi * wbytes)
+        outs = 2 * 2 * H * bi * wbytes
+        acc = 2 * H * bi * 4
+        return ins + outs + acc
+
+    bm = block_rows
+    while bm > 8 and dw_bytes(bm) > 14 * 2 ** 20:
+        bm = max(8, (bm // 2) & ~7)
+    return bm, bi
+
+
 def _gmm_diff_bwd(block_rows, interpret, res, dy):
     xt, topv, topi, (wg, wu, wd) = res
     T, H = xt.shape
     k = topi.shape[-1]
     Tk = T * k
-    bm = block_rows
     E, _, I = wg.shape
+    bm, bi = _bwd_tiles(block_rows, H, I, xt.dtype.itemsize,
+                        wg.dtype.itemsize)
+    n_i = I // bi
     dst, blk_expert, blk_valid, R_pad = sorted_expert_layout(topi, E, bm)
     n_blocks = R_pad // bm
-    # backward tiles cap at 64 (not the forward's 512): the dW kernel
-    # holds 3 weight blocks + 3 output blocks + 3 f32 scratch accumulators
-    # per grid step, all Mosaic-double-buffered — a 512-wide tile at the
-    # judge shape (H=2048) blows the 16 MB VMEM ceiling (CLAUDE.md)
-    cap = min(64, I)
-    bi = next((d for d in range(cap, 0, -1) if I % d == 0 and d % 128 == 0),
-              0) or next(d for d in range(cap, 0, -1) if I % d == 0)
-    n_i = I // bi
 
     tok_of_flat = jnp.arange(Tk) // k
     x_sorted = jnp.zeros((R_pad, H), xt.dtype).at[dst].set(xt[tok_of_flat])
@@ -335,26 +386,37 @@ def _gmm_diff_bwd(block_rows, interpret, res, dy):
             .astype(xt.dtype))
 
     # dW: grid (i, a) — a inner so each (e, i) output block's visits are
-    # one consecutive run; index_maps swap accordingly
+    # one consecutive run; index_maps swap accordingly. Two kernels
+    # (dWg/dWu, then dWd) — see _bwd_dw_kernel's docstring for why.
     xw_spec = pl.BlockSpec((1, bm, H), lambda i, a, ids, v: (a, 0, 0))
     gw_spec = pl.BlockSpec((1, H, bi), lambda i, a, ids, v: (ids[a], 0, i))
     dw_spec = pl.BlockSpec((1, bi, H), lambda i, a, ids, v: (ids[a], i, 0))
-    dwg, dwu, dwd = pl.pallas_call(
+    dwg, dwu = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, n_blocks=n_blocks),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_i, n_blocks),
             in_specs=[xw_spec, xw_spec, gw_spec, gw_spec, dw_spec],
-            out_specs=[gw_spec, gw_spec, dw_spec],
+            out_specs=[gw_spec, gw_spec],
             scratch_shapes=[pltpu.VMEM((H, bi), jnp.float32),
-                            pltpu.VMEM((H, bi), jnp.float32),
-                            pltpu.VMEM((bi, H), jnp.float32)],
+                            pltpu.VMEM((H, bi), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((E, H, I), jnp.float32),
-                   jax.ShapeDtypeStruct((E, H, I), jnp.float32),
-                   jax.ShapeDtypeStruct((E, I, H), jnp.float32)],
+                   jax.ShapeDtypeStruct((E, H, I), jnp.float32)],
         interpret=interpret,
     )(ids32, v32, xs, dYs, wg, wu, wd)
+    dwd = pl.pallas_call(
+        functools.partial(_bwd_dwd_kernel, n_blocks=n_blocks),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i, n_blocks),
+            in_specs=[xw_spec, xw_spec, gw_spec, gw_spec],
+            out_specs=dw_spec,
+            scratch_shapes=[pltpu.VMEM((bi, H), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((E, I, H), jnp.float32),
+        interpret=interpret,
+    )(ids32, v32, xs, dYs, wg, wu)
     # experts with zero routed tokens were never visited: their output
     # blocks are uninitialized HBM (could be NaN bits) — mask, don't trust
     # .add, not .set: a slack block clamped to id E-1 with v=0 must not

@@ -139,6 +139,30 @@ def _ffn_kernel_qq(ids_ref, valid_ref, xq_ref, ax_ref, wg_ref, sg_ref,
         o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _fit_block_i(cap: int, C: int, H: int, I: int, xbytes: int,
+                 wbytes: int, obytes: int) -> int:
+    """Intermediate tile for the grouped FFN kernels: the largest
+    lane-aligned (x128) divisor of I <= cap whose working set — Mosaic
+    double-buffers every in/out block across grid steps — fits under
+    ~14 MB of the 16 MB scoped-VMEM ceiling. I=768 (the A3B judge preset)
+    picks 384 for int8 decode but 128 for the f32 training recompute,
+    where 384 tiles overflowed on chip (r4 smoke: 18.5M > 16M). Falls back
+    to the largest plain divisor for tiny I (bi == I is a full-dim block,
+    which Mosaic always accepts)."""
+    lim = min(cap, I)
+    aligned = [d for d in range(lim, 0, -1) if I % d == 0 and d % 128 == 0]
+    if not aligned:
+        return next(d for d in range(lim, 0, -1) if I % d == 0)
+
+    def vmem(bi: int) -> int:
+        ins = 2 * (C * H * xbytes + 3 * H * bi * wbytes)
+        outs = 2 * C * H * obytes
+        return ins + outs + C * H * 4
+
+    return next((bi for bi in aligned if vmem(bi) <= 14 * 2 ** 20),
+                aligned[-1])
+
+
 @functools.partial(jax.jit, static_argnames=("block_i", "interpret"))
 def ragged_expert_ffn(
     x_slots: jax.Array,        # [A, C, H] dispatched tokens (zero-padded)
@@ -167,12 +191,9 @@ def ragged_expert_ffn(
     wu = up["kernel_q"] if quant else up["kernel"]
     wd = down["kernel_q"] if quant else down["kernel"]
     E, _, I = wg.shape
-    # largest divisor of I <= block_i, preferring lane-aligned (x128)
-    # tiles: I=768 (the A3B judge preset, models/config.py qwen3_moe_30b
-    # _a3b) picks 384, not an AssertionError on 768 % 512
-    cap = min(block_i, I)
-    bi = next((d for d in range(cap, 0, -1) if I % d == 0 and d % 128 == 0),
-              0) or next(d for d in range(cap, 0, -1) if I % d == 0)
+    obytes = 4 if (quant and x_scales is not None) else x_slots.dtype.itemsize
+    bi = _fit_block_i(block_i, C, H, I, x_slots.dtype.itemsize,
+                      wg.dtype.itemsize, obytes)
     n_i = I // bi
     if blk_valid is None:
         blk_valid = jnp.ones((A,), jnp.int32)

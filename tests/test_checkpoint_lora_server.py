@@ -148,6 +148,37 @@ def test_lora_init_apply_train(cfg_params, rng):
         np.asarray(params["model"]["layers"]["attn"]["q"]["kernel"]))
 
 
+def test_lora_step_does_not_bake_base(cfg_params, rng):
+    """VERDICT r4 #3 regression: the jitted LoRA step must take the base
+    params as an ARGUMENT, not a closure. A closed-over base is baked into
+    the executable as constants (8.85 GB captured + 603 s compile on chip
+    for the 7B model, re-embedded per compiled batch bucket). Baked params
+    show up as weight-sized dense literals in the lowered IR."""
+    import re
+
+    cfg, params = cfg_params
+    lcfg = LoRAConfig(r=4, alpha=8)
+    lora = init_lora(params, lcfg)
+    opt = make_optimizer(OptimConfig(learning_rate=5e-3, total_steps=10), lora)
+    step = make_lora_sft_step(params, cfg, SFTConfig(ce_chunk_size=32),
+                              lcfg, opt, donate=False)
+    state = LoRATrainState(lora, opt.init(lora), jnp.zeros((), jnp.int32))
+    batch = _batch(rng)
+    text = step.jitted.lower(state, step.base_params, batch).as_text()
+    max_leaf = max(x.size for x in jax.tree_util.tree_leaves(params))
+    baked = []
+    for line in text.splitlines():
+        if "constant" not in line or "dense" not in line:
+            continue
+        m = re.search(r"tensor<((?:[0-9]+x)*[0-9]+)x?[a-z]", line)
+        if m is None:
+            continue
+        n = int(np.prod([int(d) for d in m.group(1).split("x")]))
+        if n >= max_leaf:
+            baked.append((n, line[:120]))
+    assert not baked, f"weight-sized constants baked into LoRA step: {baked[:3]}"
+
+
 def test_openai_server_end_to_end(cfg_params):
     import urllib.request
 

@@ -172,23 +172,34 @@ class LoRATrainState(NamedTuple):
 
 def make_lora_sft_step(base_params, model_cfg, sft_cfg, lora_cfg: LoRAConfig,
                        optimizer, video_layout=None, donate: bool = True):
-    """SFT step where ONLY adapter weights train (base params closed over).
+    """SFT step where ONLY adapter weights train. The base params flow into
+    the jitted step as an ARGUMENT (not a closure): closing over a 7B base
+    bakes ~9 GB of constants into every compiled variant (603 s compile on
+    chip, re-embedded per batch bucket — VERDICT r4 #3). As an argument the
+    buffers are shared across variants and never re-shipped.
     Uses the attach form — y = base(x) + (x@A)@B — so the base can be int8
     (QLoRA) and W + AB is never materialized."""
     from .sft import sft_loss
 
-    def loss_fn(lora, batch):
-        eff = attach_lora(base_params, lora, lora_cfg)
+    def loss_fn(lora, base, batch):
+        eff = attach_lora(base, lora, lora_cfg)
         return sft_loss(eff, model_cfg, batch, sft_cfg, video_layout)
 
-    def step_fn(state: LoRATrainState, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.lora, batch)
+    def step_fn(state: LoRATrainState, base, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.lora, base, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
         lora = optax.apply_updates(state.lora, updates)
         return LoRATrainState(lora, opt_state, state.step + 1), {
             "loss": loss, "grad_norm": optax.global_norm(grads)}
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step(state: LoRATrainState, batch):
+        return jitted(state, base_params, batch)
+
+    step.jitted = jitted  # exposed so tests can lower + assert no baked base
+    step.base_params = base_params
+    return step
 
 
 def make_lora_grpo_step(base_params, model_cfg, grpo_cfg, lora_cfg: LoRAConfig,
@@ -199,20 +210,27 @@ def make_lora_grpo_step(base_params, model_cfg, grpo_cfg, lora_cfg: LoRAConfig,
     copy exists at all. Works over dense or int8 (QLoRA) bases."""
     from .grpo import grpo_loss
 
-    def loss_fn(lora, batch):
-        eff = attach_lora(base_params, lora, lora_cfg)
+    def loss_fn(lora, base, batch):
+        eff = attach_lora(base, lora, lora_cfg)
         return grpo_loss(eff, model_cfg, grpo_cfg, batch, video_layout)
 
-    def step_fn(state: LoRATrainState, batch):
+    def step_fn(state: LoRATrainState, base, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.lora, batch)
+            state.lora, base, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
         lora = optax.apply_updates(state.lora, updates)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
         return LoRATrainState(lora, opt_state, state.step + 1), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step(state: LoRATrainState, batch):
+        return jitted(state, base_params, batch)
+
+    step.jitted = jitted  # exposed so tests can lower + assert no baked base
+    step.base_params = base_params
+    return step
 
 
 def lora_param_count(lora: dict) -> int:

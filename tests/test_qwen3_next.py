@@ -413,6 +413,117 @@ def test_next_continuous_engine_parity(hf_next, rng):
     assert done_rid in (r0, r1)
 
 
+def _drive_next_continuous(params, cfg, prompts, sp, T, mesh=None,
+                           spec_decode=0, steps=1):
+    """Admit prompts[0:2], run to first finish, admit prompts[2] mid-stream
+    (the continuous-batching acid test), drain. Returns (ordered outputs,
+    spec_stats)."""
+    from video_r2_tpu.engine.next_continuous import Qwen3NextContinuousEngine
+
+    eng = Qwen3NextContinuousEngine(params, cfg, num_slots=2, max_len=64,
+                                    sp=sp, prompt_buckets=(16, 32),
+                                    mesh=mesh, spec_decode=spec_decode)
+    r0 = eng.submit(prompts[0], T)
+    r1 = eng.submit(prompts[1], T)
+    done = {}
+    mid = False
+    while eng.num_active or not mid:
+        for rid, toks in eng.step(steps):
+            done[rid] = toks
+        if not mid and len(done) >= 1:
+            r2 = eng.submit(prompts[2], T)
+            assert r2 is not None
+            mid = True
+    return [done[r] for r in (r0, r1, r2)], eng.spec_stats
+
+
+def test_next_continuous_mesh_parity(hf_next, rng):
+    """The actual judge deployment shape (reference serve_qwen3.sh:11-17:
+    Qwen3-Next continuous batching at TP=4): slot-continuous serving under
+    an ep x tp x fsdp mesh == single-device batch generate, token for
+    token, including a mid-stream admission. The hybrid cache lives in the
+    judge-scale layout (KV strips + DeltaNet value heads on "tp",
+    parallel/sharding.next_cache_shardings)."""
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import generate_packed
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    _, cfg, params = hf_next
+    T = 6
+    prompts = [rng.integers(2, 127, n).tolist() for n in (9, 14, 5)]
+    sp = SamplingParams(max_new_tokens=T, eos_token_ids=(), pad_token_id=0)
+    refs = [generate_packed(params, cfg, np.asarray(p, np.int32)[None],
+                            np.array([len(p)], np.int32), sp
+                            ).sequences[0].tolist() for p in prompts]
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    outs, _ = _drive_next_continuous(params, cfg, prompts, sp, T, mesh=mesh)
+    assert outs == refs
+
+
+def test_next_continuous_spec_parity(hf_next, rng):
+    """Speculative decoding in the Next slot engine (per-slot n-gram
+    drafting + the recurrent-state-aware verify/commit split): token-exact
+    vs plain batch greedy, single-device AND under the mesh, with real
+    draft acceptance on repetitive prompts and a mid-stream admission."""
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import generate_packed
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    _, cfg, params = hf_next
+    T = 8
+    base = rng.integers(2, 127, 6).tolist()
+    prompts = [base * 3, rng.integers(2, 127, 14).tolist(), base * 2]
+    sp = SamplingParams(max_new_tokens=T, eos_token_ids=(), pad_token_id=0)
+    refs = [generate_packed(params, cfg, np.asarray(p, np.int32)[None],
+                            np.array([len(p)], np.int32), sp
+                            ).sequences[0].tolist() for p in prompts]
+    outs, stats = _drive_next_continuous(params, cfg, prompts, sp, T,
+                                         spec_decode=4)
+    assert outs == refs
+    # drafting must actually accept on the repetitive prompts, or spec is
+    # just a slower plain loop
+    assert stats["spec_tokens"] > stats["spec_rounds"], stats
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    outs_m, stats_m = _drive_next_continuous(params, cfg, prompts, sp, T,
+                                             mesh=mesh, spec_decode=4)
+    assert outs_m == refs
+    assert stats_m["spec_tokens"] > stats_m["spec_rounds"], stats_m
+
+
+def test_next_continuous_spec_mixed_pool(hf_next, rng):
+    """A greedy slot and a temp~0 sampled slot speculate TOGETHER in one
+    pool; both match the plain greedy reference (sampled acceptance
+    probabilities collapse to {0,1} at temp 1e-6). Multi-round dispatch
+    (steps=2) exercises the in-jit round scan."""
+    from video_r2_tpu.engine.next_continuous import Qwen3NextContinuousEngine
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import generate_packed
+
+    _, cfg, params = hf_next
+    T = 8
+    base = rng.integers(2, 127, 5).tolist()
+    prompts = [base * 3, base * 2]
+    greedy_sp = SamplingParams(max_new_tokens=T, eos_token_ids=(),
+                               pad_token_id=0)
+    sampled_sp = SamplingParams(do_sample=True, temperature=1e-6,
+                                max_new_tokens=T, eos_token_ids=(),
+                                pad_token_id=0)
+    refs = [generate_packed(params, cfg, np.asarray(p, np.int32)[None],
+                            np.array([len(p)], np.int32), greedy_sp
+                            ).sequences[0].tolist() for p in prompts]
+    eng = Qwen3NextContinuousEngine(params, cfg, num_slots=2, max_len=64,
+                                    sp=greedy_sp, prompt_buckets=(16, 32),
+                                    spec_decode=4)
+    r0 = eng.submit(prompts[0], T, sp=greedy_sp)
+    r1 = eng.submit(prompts[1], T, sp=sampled_sp)
+    done = {}
+    while eng.num_active:
+        for rid, toks in eng.step(2):
+            done[rid] = toks
+    assert done[r0] == refs[0]
+    assert done[r1] == refs[1]
+
+
 def test_next_chat_engine_continuous(hf_next):
     """ChatEngine(continuous=True) serves Qwen3-Next through the shared
     run loop (concurrent chats, per-request sampling, EOS handling)."""
@@ -436,6 +547,44 @@ def test_next_chat_engine_continuous(hf_next):
         # determinism across the concurrent pool: same prompt -> same text
         again = eng.chat(msgs[0], temperature=0.0, max_tokens=5)
         assert again == outs[0]
+    finally:
+        eng.shutdown()
+
+
+def test_next_chat_engine_continuous_mesh(hf_next):
+    """ChatEngine(continuous=True, mesh=...) hosts the Qwen3-Next slot
+    engine sharded — the reference's judge deployment (vLLM continuous
+    batching at TP, serve_qwen3.sh) behind the same OpenAI surface — with
+    spec decode on, and stats exposing the mesh + spec counters."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from video_r2_tpu.engine.chat import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    _, cfg, params = hf_next
+    cfg = cfg.replace(eos_token_id=1, pad_token_id=0)
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    ref_eng = ChatEngine(params, cfg, ByteTokenizer(specials={
+        "<|im_start|>": 2, "<|im_end|>": 1, "<|endoftext|>": 0}),
+        max_new_tokens=5, prefix_cache=False)
+    eng = ChatEngine(params, cfg, ByteTokenizer(specials={
+        "<|im_start|>": 2, "<|im_end|>": 1, "<|endoftext|>": 0}),
+        max_new_tokens=5, continuous=True, num_slots=2, max_len=64,
+        mesh=mesh, spec_decode=3)
+    try:
+        msgs = [[{"role": "user", "content": f"judge {i}"}]
+                for i in range(3)]
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            outs = list(ex.map(
+                lambda m: eng.chat(m, temperature=0.0, max_tokens=5), msgs))
+        # sharded continuous == single-device batch, text for text
+        for m, o in zip(msgs, outs):
+            assert o == ref_eng.chat(m, temperature=0.0, max_tokens=5)
+        s = eng.stats()
+        assert {k: v for k, v in s["mesh"].items() if v > 1} == {
+            "ep": 2, "tp": 2, "fsdp": 2}
+        assert s["spec_stats"]["spec_dispatches"] > 0
     finally:
         eng.shutdown()
 

@@ -37,6 +37,8 @@ import numpy as np
 from ..models.qwen3_next import (
     Qwen3NextCache,
     Qwen3NextConfig,
+    _commit,
+    _extend_forward,
     decode_step,
     prefill,
 )
@@ -65,8 +67,16 @@ def _admit_jit(params, cfg, cache, slot, ids, true_len, bucket, mesh):
     k = cache.k.at[:, slot, :bucket].set(pc.k[:, 0])
     v = cache.v.at[:, slot, :bucket].set(pc.v[:, 0])
     length = cache.length.at[slot].set(true_len)
-    return logits[0], Qwen3NextCache(conv=conv, rec=rec, k=k, v=v,
-                                     length=length)
+    cache = Qwen3NextCache(conv=conv, rec=rec, k=k, v=v, length=length)
+    if mesh is not None:
+        from ..parallel.sharding import pin_next_cache
+
+        # keep the persistent cache in ONE layout across admit/decode jits
+        # (kv-heads + DeltaNet value heads on "tp") or GSPMD re-lays-out
+        # the buffers around every scatter
+        cache = pin_next_cache(cache, mesh, cfg.num_key_value_heads,
+                               cfg.linear_num_value_heads)
+    return logits[0], cache
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
@@ -81,14 +91,78 @@ def _step_jit(params, cache, last_logits, rng, temp, top_p, top_k,
     # true_len + budget < max_len)
     cache = cache._replace(
         length=jnp.minimum(cache.length, cache.k.shape[2] - 2))
+    if mesh is not None:
+        from ..parallel.sharding import pin_next_cache
+
+        cache = pin_next_cache(cache, mesh, cfg.num_key_value_heads,
+                               cfg.linear_num_value_heads)
     return tok, logits, cache, rng
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec_k", "rounds", "greedy_only",
+                                   "mesh"),
+         donate_argnums=(2, 3))
+def _spec_step_jit(params, cfg, cache, hist, last_logits, rej_tok, active,
+                   samp, pad_id, rng, spec_k, rounds, greedy_only, mesh):
+    """`rounds` speculative verify rounds for all slots in ONE dispatch.
+    Reuses the transformer slot engine's per-slot drafting/acceptance
+    (continuous._spec_tok0/_spec_draft/_spec_accept — greedy slots accept
+    by argmax equality, token-exact; sampled by per-slot rejection
+    sampling) around the hybrid model's verify/commit split
+    (models/qwen3_next._extend_forward saves the post-conv DeltaNet
+    streams; _commit replays ONLY the state math through the accepted
+    prefix with pause masks — the recurrent state can't roll back, this
+    keeps a round ~one forward). The slot frontier is cache.length itself:
+    hist rows are [prompt | generated] contiguous, exactly _spec_draft's
+    contract. Inactive slots commit 0 tokens (no state advance — unlike
+    the plain step there is no garbage decode to clamp); a finished slot
+    the host hasn't freed yet keeps committing, so its frontier clamps at
+    Smax - W below the strip+window allocation."""
+    from .continuous import (
+        _spec_accept,
+        _spec_draft,
+        _spec_hist_update,
+        _spec_tok0,
+    )
+
+    K = spec_k
+    W = K + 1
+    Smax = cache.k.shape[2]
+
+    def round_body(carry, key):
+        logits, cache, hist, rej = carry
+        k_tok, k_acc = jax.random.split(key)
+        tok0 = _spec_tok0(logits, k_tok, samp, active, pad_id, rej,
+                          greedy_only)
+        chunk, drafts = _spec_draft(hist, tok0, cache.length, K, False)
+        logits_w, saved, kv_new = _extend_forward(params, cfg, chunk,
+                                                  cache, mesh=mesh)
+        n_commit, new_logits, rej = _spec_accept(
+            logits_w.astype(jnp.float32), drafts, logits, active, K, samp,
+            k_acc, greedy_only)
+        hist = _spec_hist_update(hist, chunk, cache.length, n_commit)
+        cache = _commit(cfg, cache, saved, kv_new, n_commit)
+        cache = cache._replace(length=jnp.minimum(cache.length, Smax - W))
+        if mesh is not None:
+            from ..parallel.sharding import pin_next_cache
+
+            cache = pin_next_cache(cache, mesh, cfg.num_key_value_heads,
+                                   cfg.linear_num_value_heads)
+        return (new_logits, cache, hist, rej), (chunk, n_commit)
+
+    rng, sub = jax.random.split(rng)
+    keys = jax.random.split(sub, rounds)
+    (last_logits, cache, hist, rej_tok), (chunks, commits) = jax.lax.scan(
+        round_body, (last_logits, cache, hist, rej_tok), keys)
+    return chunks, commits, last_logits, cache, hist, rej_tok, rng
 
 
 class Qwen3NextContinuousEngine:
     def __init__(self, params, cfg: Qwen3NextConfig, num_slots: int = 8,
                  max_len: int = 4096, sp: SamplingParams | None = None,
                  mesh=None, prompt_buckets=(128, 256, 512, 1024, 2048),
-                 seed: int = 0, attn_impl: str | None = None, **_):
+                 seed: int = 0, attn_impl: str | None = None,
+                 spec_decode: int = 0, **_):
         if mesh is not None:
             from ..parallel.sharding import shard_params
 
@@ -102,6 +176,10 @@ class Qwen3NextContinuousEngine:
                                        pad_token_id=cfg.pad_token_id)
         self.prompt_buckets = tuple(b for b in sorted(prompt_buckets)
                                     if b <= max_len) or (max_len,)
+        self.spec_decode = spec_decode
+        # spec verify windows write W tokens at the frontier BEFORE
+        # acceptance — the KV strips (and hist rows) carry W slack
+        W = spec_decode + 1 if spec_decode else 0
         G = cfg.num_groups
         P1 = cfg.full_attention_interval - 1
         K = cfg.linear_conv_kernel_dim
@@ -111,21 +189,36 @@ class Qwen3NextContinuousEngine:
             rec=jnp.zeros((G, P1, N, cfg.linear_num_value_heads,
                            cfg.linear_key_head_dim,
                            cfg.linear_value_head_dim), jnp.float32),
-            k=jnp.zeros((G, N, max_len, cfg.num_key_value_heads,
+            k=jnp.zeros((G, N, max_len + W, cfg.num_key_value_heads,
                          cfg.head_dim), dt),
-            v=jnp.zeros((G, N, max_len, cfg.num_key_value_heads,
+            v=jnp.zeros((G, N, max_len + W, cfg.num_key_value_heads,
                          cfg.head_dim), dt),
             length=jnp.zeros((N,), jnp.int32))
         self.last_logits = jnp.zeros((N, cfg.vocab_size), jnp.float32)
+        self.hist = (jnp.full((N, max_len + W), self.sp.pad_token_id,
+                              jnp.int32) if spec_decode else None)
+        self._spec_rej = (jnp.full((N,), -1, jnp.int32) if spec_decode
+                          else None)
+        self.spec_stats = {"spec_dispatches": 0, "spec_rounds": 0,
+                           "spec_tokens": 0, "plain_dispatches": 0}
         if mesh is not None:
-            from ..parallel.sharding import replicated
+            from ..parallel.sharding import next_cache_shardings, replicated
 
             # persistent device state must live on the mesh or every jit
-            # raises "incompatible devices" (CLAUDE.md r4)
+            # raises "incompatible devices" (CLAUDE.md r4). The cache takes
+            # the judge-scale layout (KV strips + DeltaNet value heads on
+            # "tp"); _admit_jit/_step_jit pin their outputs to the same
+            # layout so it never bounces.
+            sh = next_cache_shardings(mesh, cfg.num_key_value_heads,
+                                      cfg.linear_num_value_heads)
+            self.cache = Qwen3NextCache(**{
+                n: jax.device_put(getattr(self.cache, n), sh[n])
+                for n in self.cache._fields})
             rep = replicated(mesh)
-            self.cache = Qwen3NextCache(*(jax.device_put(c, rep)
-                                          for c in self.cache))
             self.last_logits = jax.device_put(self.last_logits, rep)
+            if spec_decode:
+                self.hist = jax.device_put(self.hist, rep)
+                self._spec_rej = jax.device_put(self._spec_rej, rep)
         self.rng = jax.random.PRNGKey(seed)
         self.slot_req: list[Optional[_Req]] = [None] * N
         self.slot_temp = np.full((N,), 1.0, np.float32)
@@ -135,7 +228,6 @@ class Qwen3NextContinuousEngine:
         self._next_rid = 0
         self._lock = threading.Lock()
         self.decode_window = 1
-        self.spec_stats: dict = {}   # /metrics parity (no spec here yet)
         # lock-FREE cancellation (GIL-atomic set): ChatEngine's stop
         # watcher calls request_cancel from inside step()'s tok_cb, i.e.
         # while step() holds self._lock — a locked cancel would deadlock
@@ -174,6 +266,15 @@ class Qwen3NextContinuousEngine:
                 self.params, self.cfg, self.cache, jnp.int32(slot),
                 jnp.asarray(padded), jnp.int32(true_len), bucket, self.mesh)
             self.last_logits = self.last_logits.at[slot].set(logits)
+            if self.hist is not None:
+                # reset the drafting history row: [prompt | pad...] — every
+                # admission must do this or drafting reads the previous
+                # occupant's tokens (acceptance collapses; tokens stay exact)
+                row = np.full((self.hist.shape[1],), self.sp.pad_token_id,
+                              np.int32)
+                row[:true_len] = ids
+                self.hist = self.hist.at[slot].set(jnp.asarray(row))
+                self._spec_rej = self._spec_rej.at[slot].set(-1)
             rsp = sp or self.sp
             self.slot_temp[slot] = max(rsp.temperature, 1e-6)
             self.slot_top_p[slot] = rsp.top_p
@@ -192,6 +293,8 @@ class Qwen3NextContinuousEngine:
     def step(self, steps: int = 1) -> list[tuple[int, list[int]]]:
         """Advance all slots `steps` tokens; return finished (rid, toks)."""
         finished: list[tuple[int, list[int]]] = []
+        if self.spec_decode:
+            return self._step_spec(max(steps, 1))
         for _ in range(max(steps, 1)):
             if not self.num_active:
                 break
@@ -212,6 +315,60 @@ class Qwen3NextContinuousEngine:
                         req.budget = 0
                     if req.budget > 0:
                         t = int(tok_h[i])
+                        req.toks.append(t)
+                        req.budget -= 1
+                        if req.tok_cb:
+                            req.tok_cb(req.rid, t)
+                        if t in req.eos:
+                            req.budget = 0
+                    if req.budget <= 0:
+                        finished.append((req.rid, req.toks))
+                        if req.done_cb:
+                            req.done_cb(req.rid, req.toks)
+                        self.slot_req[i] = None
+        return finished
+
+    def _step_spec(self, rounds: int) -> list[tuple[int, list[int]]]:
+        """One dispatch of `rounds` speculative verify rounds for all
+        slots: each round emits 1 + accepted tokens per slot (a dispatch
+        advances every slot by at least `rounds` tokens, up to
+        rounds*(K+1)). Same host-side emission/EOS/budget/cancel
+        bookkeeping as the plain loop; tokens past a slot's EOS or budget
+        inside the window are discarded (the slot frees; the device-side
+        over-advance is confined to its own rows and overwritten at the
+        next admission)."""
+        if not self.num_active:
+            return []
+        finished: list[tuple[int, list[int]]] = []
+        with self._lock:
+            active = np.asarray([r is not None for r in self.slot_req])
+            greedy_only = not bool(self.slot_do_sample[active].any())
+            samp = (jnp.asarray(self.slot_temp),
+                    jnp.asarray(self.slot_top_p),
+                    jnp.asarray(self.slot_top_k),
+                    jnp.asarray(self.slot_do_sample))
+            (chunks, commits, self.last_logits, self.cache, self.hist,
+             self._spec_rej, self.rng) = _spec_step_jit(
+                self.params, self.cfg, self.cache, self.hist,
+                self.last_logits, self._spec_rej, jnp.asarray(active),
+                samp, self.sp.pad_token_id, self.rng, self.spec_decode,
+                rounds, greedy_only, self.mesh)
+            chunks = np.asarray(chunks)     # [R, N, W]
+            commits = np.asarray(commits)   # [R, N]
+            self.spec_stats["spec_dispatches"] += 1
+            self.spec_stats["spec_rounds"] += int(commits.shape[0])
+            self.spec_stats["spec_tokens"] += int(commits.sum())
+            for r in range(chunks.shape[0]):
+                for i, req in enumerate(self.slot_req):
+                    if req is None or not active[i]:
+                        continue
+                    if req.rid in self._cancelled:
+                        self._cancelled.discard(req.rid)
+                        req.budget = 0
+                    for j in range(int(commits[r, i])):
+                        if req.budget <= 0:
+                            break
+                        t = int(chunks[r, i, j])
                         req.toks.append(t)
                         req.budget -= 1
                         if req.tok_cb:

@@ -70,15 +70,13 @@ class ChatEngine:
             # never consults it (its attention is its own XLA graph)
             unsupported = [n for n, v in (
                 ("engine_kind=paged", continuous and engine_kind == "paged"),
-                ("continuous+mesh", continuous and mesh is not None),
-                ("continuous+spec_decode", continuous and spec_decode),
                 ("continuous+prefill_chunk_tokens",
                  continuous and prefill_chunk_tokens),
                 ("kv_quant", kv_quant), ("act_quant", act_quant)) if v]
             if unsupported:
                 raise ValueError(
-                    "Qwen3-Next serving supports batch mode (incl. mesh + "
-                    "spec) and single-device slot-continuous mode: "
+                    "Qwen3-Next serving supports batch mode and "
+                    "slot-continuous mode, both incl. mesh + spec_decode: "
                     f"unsupported option(s) {unsupported}")
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
@@ -139,10 +137,14 @@ class ChatEngine:
             if self._next:
                 from .next_continuous import Qwen3NextContinuousEngine
 
+                # mesh: the actual judge deployment — an 80B at TP=4
+                # (serve_qwen3.sh:13) served with continuous batching; the
+                # engine shards params + the hybrid cache itself
                 self._cont = Qwen3NextContinuousEngine(
                     params, cfg, num_slots=num_slots, max_len=max_len,
                     sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),
-                                      pad_token_id=cfg.pad_token_id))
+                                      pad_token_id=cfg.pad_token_id),
+                    mesh=mesh, spec_decode=self.spec_decode)
                 self._cont.decode_window = max(decode_window, 1)
             else:
                 # engine_kind="paged": serve over the paged KV pool (no

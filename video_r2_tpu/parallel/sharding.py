@@ -199,3 +199,34 @@ def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def next_cache_shardings(mesh: Mesh, kv_heads: int, nv_heads: int):
+    """Shardings for the Qwen3-Next hybrid cache's five fields (the judge
+    deployment: 80B at TP=4, reference serve_qwen3.sh:13). KV strips
+    [G, B, Smax, kh, hd] shard kv-heads over "tp" (same megatron layout as
+    the transformer engines, via kv_head_axis); the DeltaNet recurrent state
+    [G, P1, B, nv, dk, dv] (float32 — the big persistent buffer) shards its
+    value heads over "tp" when divisible; the conv tail [G, P1, B, K-1,
+    conv_dim] and per-slot lengths are small and stay replicated."""
+    kv_axis = kv_head_axis(mesh, kv_heads)
+    nv_axis = "tp" if nv_heads % dict(mesh.shape).get("tp", 1) == 0 else None
+    return {
+        "conv": NamedSharding(mesh, P()),
+        "rec": NamedSharding(mesh, P(None, None, None, nv_axis, None, None)),
+        "k": NamedSharding(mesh, P(None, None, None, kv_axis, None)),
+        "v": NamedSharding(mesh, P(None, None, None, kv_axis, None)),
+        "length": NamedSharding(mesh, P()),
+    }
+
+
+def pin_next_cache(cache, mesh: Mesh, kv_heads: int, nv_heads: int):
+    """with_sharding_constraint every hybrid-cache field to the layout above
+    inside a jit — persistent engine state must keep ONE layout across
+    admission/decode jits or GSPMD re-lays-out the multi-GB buffers each
+    step (the paged engine's _pin_pool lesson). Type-preserving over the
+    NamedTuple's fields (pin_kv_cache's QuantKVCache lesson)."""
+    sh = next_cache_shardings(mesh, kv_heads, nv_heads)
+    return type(cache)(**{
+        name: jax.lax.with_sharding_constraint(getattr(cache, name), sh[name])
+        for name in cache._fields})

@@ -28,4 +28,7 @@ python -m video_r2_tpu.apps.train_sft \
   --optim.vision_lr 2e-6 \
   --optim.warmup_ratio 0.03 \
   --optim.freeze_vision true \
-  --optim.freeze_merger true
+  --optim.freeze_merger true \
+  --run.use_lora "${USE_LORA:-true}" \
+  --lora.r 64 \
+  --lora.alpha 64

@@ -89,6 +89,78 @@ def test_train_sft_app_smoke(tmp_path, rng):
     assert (tmp_path / "checkpoint-2").exists()
 
 
+def test_train_sft_app_lora(tmp_path, rng):
+    """--run.use_lora reproduces the reference's SHIPPED SFT recipe (LoRA
+    r=64 a=64 over a frozen base, train_sft.sh:30-44): the CLI builds the
+    adapter state, trains ONLY adapters, checkpoints them, and exports
+    merged HF weights."""
+    import jax
+
+    from video_r2_tpu.apps.train_sft import main
+    from video_r2_tpu.train.lora import LoRATrainState
+
+    frames = rng.integers(0, 256, size=(6, 56, 56, 3), dtype=np.uint8)
+    records = [{
+        "video": [frames], "video_fps": 2.0,
+        "conversations": [
+            {"from": "human", "value": "<video>what?"},
+            {"from": "gpt", "value": "<answer>A</answer>"}],
+    }] * 2
+
+    import dataclasses
+
+    from video_r2_tpu.config import MODEL_PRESETS
+    from video_r2_tpu.models import init_params, tiny_test_config
+    from video_r2_tpu.train.checkpoint import export_hf_checkpoint
+
+    MODEL_PRESETS["tiny-test-qwen"] = lambda: tiny_test_config(
+        vocab_size=152064).replace(
+        image_token_id=151655, video_token_id=151656,
+        vision_start_token_id=151652, vision_end_token_id=151653,
+        eos_token_id=151645, pad_token_id=151643)
+    # a REAL (random) base checkpoint: over the zero-init fallback, x@A is
+    # identically 0 and B provably receives zero gradient — the test would
+    # pass vacuously
+    base_cfg = MODEL_PRESETS["tiny-test-qwen"]()
+    ckpt_dir = export_hf_checkpoint(
+        init_params(base_cfg, dtype="float32"), base_cfg,
+        tmp_path / "base_ckpt")
+
+    app = parse_config([
+        "--run.model_preset", "tiny-test",
+        "--run.checkpoint", str(ckpt_dir),
+        "--run.output_dir", str(tmp_path / "out"),
+        "--run.max_steps", "2", "--run.save_steps", "2",
+        "--run.log_steps", "1",
+        "--run.use_lora", "true",
+        "--lora.r", "4", "--lora.alpha", "8",
+        "--data.fps_max_frames", "4",
+    ])
+    assert app.run.use_lora and app.lora.r == 4 and app.lora.alpha == 8
+    app = dataclasses.replace(app, run=dataclasses.replace(
+        app.run, model_preset="tiny-test-qwen", dtype="float32"))
+
+    import video_r2_tpu.apps.train_sft as mod
+
+    orig = mod.SFTDataset
+    mod.SFTDataset = lambda path, tok, cfg, dcfg: orig(records, tok, cfg, dcfg)
+    try:
+        state = main(app=app, batch_size=2)
+    finally:
+        mod.SFTDataset = orig
+    assert isinstance(state, LoRATrainState)
+    assert int(state.step) == 2
+    # adapters actually trained: B starts at 0, must be nonzero after steps
+    b_norms = [float(np.abs(np.asarray(l["b"])).max())
+               for l in jax.tree.leaves(state.lora, is_leaf=lambda x:
+                                        isinstance(x, dict) and "b" in x)]
+    assert any(n > 0 for n in b_norms)
+    # vision excluded by default (freeze_vision parity)
+    assert "visual" not in state.lora or not state.lora["visual"]
+    assert (tmp_path / "out" / "checkpoint-2").exists()
+    assert (tmp_path / "out" / "merged_hf" / "model.safetensors").exists()
+
+
 def test_run_eval_app_smoke(tmp_path, rng):
     # via harness directly with engine model covered elsewhere; here we check
     # the CLI arg split path builds tasks correctly with a docs file

@@ -55,30 +55,58 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 1,
 
         params = shard_params(params, mesh)
         logger.info("GRPO sharded over mesh %s", dict(mesh.shape))
-    optimizer = make_optimizer(app.optim, params)
-    # loss forward: xla expresses the [prompt_pad | completion] gap as a
-    # bias; with sp>1 the sp path expresses it as sharded segment ids
-    loss_impl = "sp" if app.run.sp > 1 else "xla"
-    step = make_grpo_step(cfg, app.grpo, optimizer, attn_impl=loss_impl,
-                          mesh=mesh)
-    # ref policy must be a REAL copy (reference: fresh model copy,
-    # grpo_trainer.py:329-339): the train state aliases `params`' buffers,
-    # and the donated step deletes them — an aliased ref would die on cycle 2
-    ref_params = (jax.tree_util.tree_map(jnp.copy, params)
-                  if app.grpo.beta != 0 else None)
-    runner = GRPORunner(params, cfg, app.grpo, tok, reward_funcs,
-                        reward_names, step, ref_params=ref_params,
-                        judge=judge, embedder=embedder, attn_impl=impl,
-                        seed=app.run.seed, mesh=mesh)
+    use_lora = app.run.use_lora
+    if use_lora:
+        # LoRA-GRPO (the reference trains GRPO over the same PEFT setup,
+        # train_grpo.sh): adapters train, the base is frozen, and the
+        # reference policy is the base with adapters DISABLED — the PEFT
+        # disable_adapter trick (grpo_trainer.py:340-343), so no ref copy
+        # exists. The base isn't donated (it rides the jit as an argument),
+        # so aliasing it as ref_params is safe.
+        from ..train.lora import (LoRATrainState, attach_lora, init_lora,
+                                  lora_param_count, make_lora_grpo_step)
 
-    state = GRPOTrainState(params, optimizer.init(params),
-                           jnp.zeros((), jnp.int32))
+        lora = init_lora(params, app.lora, seed=app.run.seed)
+        optimizer = make_optimizer(app.optim, lora)
+        step = make_lora_grpo_step(params, cfg, app.grpo, app.lora,
+                                   optimizer, mesh=mesh)
+        base = step.base_params   # sharded under a mesh
+        ref_params = base if app.grpo.beta != 0 else None
+        runner = GRPORunner(
+            attach_lora(base, lora, app.lora), cfg, app.grpo, tok,
+            reward_funcs, reward_names, step, ref_params=ref_params,
+            judge=judge, embedder=embedder, attn_impl=impl,
+            seed=app.run.seed, mesh=mesh,
+            params_from_state=lambda s: attach_lora(base, s.lora, app.lora))
+        state = LoRATrainState(lora, optimizer.init(lora),
+                               jnp.zeros((), jnp.int32))
+        logger.info("LoRA-GRPO: r=%d alpha=%d (%d adapter params)",
+                    app.lora.r, app.lora.alpha, lora_param_count(lora))
+    else:
+        optimizer = make_optimizer(app.optim, params)
+        # loss forward: xla expresses the [prompt_pad | completion] gap as a
+        # bias; with sp>1 the sp path expresses it as sharded segment ids
+        loss_impl = "sp" if app.run.sp > 1 else "xla"
+        step = make_grpo_step(cfg, app.grpo, optimizer, attn_impl=loss_impl,
+                              mesh=mesh)
+        # ref policy must be a REAL copy (reference: fresh model copy,
+        # grpo_trainer.py:329-339): the train state aliases `params`'
+        # buffers, and the donated step deletes them — an aliased ref would
+        # die on cycle 2
+        ref_params = (jax.tree_util.tree_map(jnp.copy, params)
+                      if app.grpo.beta != 0 else None)
+        runner = GRPORunner(params, cfg, app.grpo, tok, reward_funcs,
+                            reward_names, step, ref_params=ref_params,
+                            judge=judge, embedder=embedder, attn_impl=impl,
+                            seed=app.run.seed, mesh=mesh)
+        state = GRPOTrainState(params, optimizer.init(params),
+                               jnp.zeros((), jnp.int32))
     start = 0
     if app.run.resume:
         resumed = resume_or_none(app.run.output_dir, state)
         if resumed is not None:
             state, start = resumed
-            runner.params = state.params
+            runner.params = runner.params_from_state(state)
 
     from ..utils.metrics_log import MetricsLogger
 
@@ -99,6 +127,14 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 1,
                             keep=app.run.save_total_limit)
     save_checkpoint(app.run.output_dir, state, app.run.max_steps,
                     keep=app.run.save_total_limit)
+    if use_lora:
+        from ..train.checkpoint import export_hf_checkpoint
+        from ..train.lora import merge_lora
+
+        merged = merge_lora(step.base_params, state.lora, app.lora)
+        out = export_hf_checkpoint(merged, cfg,
+                                   f"{app.run.output_dir}/merged_hf")
+        logger.info("exported merged HF weights to %s", out)
     return state
 
 

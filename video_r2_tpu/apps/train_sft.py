@@ -51,8 +51,26 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 4):
         import dataclasses
 
         optim_cfg = dataclasses.replace(optim_cfg, total_steps=app.run.max_steps)
-    optimizer = make_optimizer(optim_cfg, params)
-    state = init_train_state(params, optimizer, mesh=mesh)
+    use_lora = app.run.use_lora
+    if use_lora:
+        # the reference's SHIPPED SFT recipe is LoRA r=64 a=64 over a frozen
+        # base with vision/merger excluded (train_sft.sh:30-44): only
+        # adapter weights train; the base ships once as a jit argument
+        from ..train.lora import LoRATrainState, init_lora, lora_param_count
+
+        lora = init_lora(params, app.lora, seed=app.run.seed)
+        optimizer = make_optimizer(optim_cfg, lora)
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        state = LoRATrainState(lora, optimizer.init(lora),
+                               jnp.zeros((), jnp.int32))
+        logger.info("LoRA: r=%d alpha=%d (%d adapter params; base frozen)",
+                    app.lora.r, app.lora.alpha, lora_param_count(lora))
+    else:
+        optimizer = make_optimizer(optim_cfg, params)
+        state = init_train_state(params, optimizer, mesh=mesh)
 
     start_step = 0
     if app.run.resume:
@@ -79,10 +97,18 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 4):
                       batch.image_layout.s_pad if batch.image_layout else 0,
                       arrays["input_ids"].shape)
         if layout_key not in step_cache:
-            step_cache[layout_key] = make_sft_step(
-                cfg, sft_cfg, optimizer, mesh=mesh,
-                video_layout=batch.video_layout,
-                image_layout=batch.image_layout)
+            if use_lora:
+                from ..train.lora import make_lora_sft_step
+
+                step_cache[layout_key] = make_lora_sft_step(
+                    params, cfg, sft_cfg, app.lora, optimizer, mesh=mesh,
+                    video_layout=batch.video_layout,
+                    image_layout=batch.image_layout)
+            else:
+                step_cache[layout_key] = make_sft_step(
+                    cfg, sft_cfg, optimizer, mesh=mesh,
+                    video_layout=batch.video_layout,
+                    image_layout=batch.image_layout)
         step = step_cache[layout_key]
         if mesh is not None:
             arrays = step.shard_batch(arrays)
@@ -102,6 +128,17 @@ def main(argv=None, app: AppConfig | None = None, batch_size: int = 4):
 
     save_checkpoint(app.run.output_dir, state, app.run.max_steps,
                     keep=app.run.save_total_limit)
+    if use_lora:
+        # export MERGED weights in HF layout (the reference's
+        # merge_lora_weights.py step) so eval/serving consume a plain
+        # checkpoint; the adapter state itself lives in checkpoint-N/
+        from ..train.checkpoint import export_hf_checkpoint
+        from ..train.lora import merge_lora
+
+        merged = merge_lora(params, state.lora, app.lora)
+        out = export_hf_checkpoint(merged, cfg,
+                                   f"{app.run.output_dir}/merged_hf")
+        logger.info("exported merged HF weights to %s", out)
     return state
 
 

@@ -170,27 +170,19 @@ class LoRATrainState(NamedTuple):
     step: jax.Array
 
 
-def make_lora_sft_step(base_params, model_cfg, sft_cfg, lora_cfg: LoRAConfig,
-                       optimizer, video_layout=None, donate: bool = True):
-    """SFT step where ONLY adapter weights train. The base params flow into
+def _finalize_lora_step(step_fn, base_params, mesh, donate: bool):
+    """Shared tail of the LoRA step factories. The base params flow into
     the jitted step as an ARGUMENT (not a closure): closing over a 7B base
     bakes ~9 GB of constants into every compiled variant (603 s compile on
     chip, re-embedded per batch bucket — VERDICT r4 #3). As an argument the
-    buffers are shared across variants and never re-shipped.
-    Uses the attach form — y = base(x) + (x@A)@B — so the base can be int8
-    (QLoRA) and W + AB is never materialized."""
-    from .sft import sft_loss
+    buffers are shared across variants and never re-shipped. With a mesh
+    the base shards by the parallel/sharding rules (adapters are small and
+    stay replicated; GSPMD partitions the x@A@B matmuls from the base's
+    layout) and the step gains the standard .shard_batch."""
+    if mesh is not None:
+        from ..parallel.sharding import shard_params
 
-    def loss_fn(lora, base, batch):
-        eff = attach_lora(base, lora, lora_cfg)
-        return sft_loss(eff, model_cfg, batch, sft_cfg, video_layout)
-
-    def step_fn(state: LoRATrainState, base, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.lora, base, batch)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
-        lora = optax.apply_updates(state.lora, updates)
-        return LoRATrainState(lora, opt_state, state.step + 1), {
-            "loss": loss, "grad_norm": optax.global_norm(grads)}
+        base_params = shard_params(base_params, mesh)  # idempotent
 
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -199,11 +191,40 @@ def make_lora_sft_step(base_params, model_cfg, sft_cfg, lora_cfg: LoRAConfig,
 
     step.jitted = jitted  # exposed so tests can lower + assert no baked base
     step.base_params = base_params
+    if mesh is not None:
+        from .sft import make_batch_sharder
+
+        step.shard_batch = make_batch_sharder(mesh)
     return step
 
 
+def make_lora_sft_step(base_params, model_cfg, sft_cfg, lora_cfg: LoRAConfig,
+                       optimizer, video_layout=None, donate: bool = True,
+                       mesh=None, image_layout=None):
+    """SFT step where ONLY adapter weights train (the reference's shipped
+    recipe: LoRA r=64 a=64 over a frozen base, train_sft.sh:30-44).
+    Uses the attach form — y = base(x) + (x@A)@B — so the base can be int8
+    (QLoRA) and W + AB is never materialized."""
+    from .sft import sft_loss
+
+    def loss_fn(lora, base, batch):
+        eff = attach_lora(base, lora, lora_cfg)
+        return sft_loss(eff, model_cfg, batch, sft_cfg, video_layout,
+                        image_layout)
+
+    def step_fn(state: LoRATrainState, base, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.lora, base, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        return LoRATrainState(lora, opt_state, state.step + 1), {
+            "loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return _finalize_lora_step(step_fn, base_params, mesh, donate)
+
+
 def make_lora_grpo_step(base_params, model_cfg, grpo_cfg, lora_cfg: LoRAConfig,
-                        optimizer, video_layout=None, donate: bool = True):
+                        optimizer, video_layout=None, donate: bool = True,
+                        mesh=None):
     """GRPO step training ONLY adapters. The reference policy is the base
     params with adapters disabled — exactly the reference's PEFT
     disable_adapter trick (grpo_trainer.py:340-343), so no reference-model
@@ -223,14 +244,7 @@ def make_lora_grpo_step(base_params, model_cfg, grpo_cfg, lora_cfg: LoRAConfig,
         metrics["grad_norm"] = optax.global_norm(grads)
         return LoRATrainState(lora, opt_state, state.step + 1), metrics
 
-    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-
-    def step(state: LoRATrainState, batch):
-        return jitted(state, base_params, batch)
-
-    step.jitted = jitted  # exposed so tests can lower + assert no baked base
-    step.base_params = base_params
-    return step
+    return _finalize_lora_step(step_fn, base_params, mesh, donate)
 
 
 def lora_param_count(lora: dict) -> int:

@@ -159,8 +159,19 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
                        sp_impl=scfg.sp_impl)
     seq_axis = "sp" if sp > 1 else None
 
-    # sharded: params by rules; opt_state follows params' structure where
-    # leaves mirror param shapes (optax adamw mu/nu); batch over (dp, fsdp)
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted.shard_batch = make_batch_sharder(mesh, seq_axis)
+    return jitted
+
+
+def make_batch_sharder(mesh, seq_axis=None):
+    """Place a train batch on the mesh: batch dims over (dp, fsdp), the
+    sequence dim over `seq_axis` when sequence parallelism is on,
+    position_ids' [3, B, S] layout special-cased, and ragged vision patch
+    concats replicated (GSPMD partitions the ViT compute from the weight
+    shardings — the reference always trains the tower under ZeRO-3,
+    train_sft.py:124-129). Shared by the full-parameter and LoRA steps."""
+
     def shard_batch(batch):
         def sharding_for(k, v):
             if k == "position_ids":  # [3, B, S]: batch is dim 1
@@ -168,10 +179,6 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
                     mesh,
                     jax.sharding.PartitionSpec(None, ("dp", "fsdp"), seq_axis))
             if k in ("video_patches", "image_patches"):
-                # [N_patches, D] is not batch-led (ragged concat across the
-                # batch); replicate and let GSPMD partition the ViT compute
-                # from the weight shardings (the reference always trains the
-                # vision tower under ZeRO-3 — train_sft.py:124-129, zero3.json)
                 return replicated(mesh)
             nd = np.asarray(v).ndim
             if nd >= 2 and seq_axis is not None:  # [B, S, ...] token-led
@@ -183,9 +190,7 @@ def make_sft_step(cfg: ModelConfig, scfg: SFTConfig, optimizer, mesh=None,
         return {k: jax.device_put(v, sharding_for(k, v))
                 for k, v in batch.items()}
 
-    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-    jitted.shard_batch = shard_batch
-    return jitted
+    return shard_batch
 
 
 def init_train_state(params, optimizer, mesh=None) -> TrainState:

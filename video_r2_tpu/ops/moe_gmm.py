@@ -322,14 +322,29 @@ def _bwd_tiles(block_rows: int, H: int, I: int, xbytes: int,
     forward's."""
     bi = 128 if I % 128 == 0 else I
 
+    # VMEM estimates per kernel (every in/out block double-buffered).
+    # dY rows and ALL outputs/accumulators are f32 (out_shape f32) — pricing
+    # them at wbytes under-estimated 2x for bf16 weights, and modeling only
+    # the dWg/dWu kernel let a large explicit block_rows pass while the dX
+    # kernel's f32 out + f32 [bm, H] scratch overflowed (advisor r4). The
+    # shrink loop now takes the max over all three backward kernels.
+    def dx_bytes(bm: int) -> int:
+        ins = 2 * (bm * H * xbytes + bm * H * 4 + 3 * H * bi * wbytes)
+        return ins + 2 * bm * H * 4 + bm * H * 4
+
     def dw_bytes(bm: int) -> int:
-        ins = 2 * (2 * bm * H * xbytes + 3 * H * bi * wbytes)
-        outs = 2 * 2 * H * bi * wbytes
-        acc = 2 * H * bi * 4
-        return ins + outs + acc
+        ins = 2 * (bm * H * xbytes + bm * H * 4 + 3 * H * bi * wbytes)
+        return ins + 2 * 2 * H * bi * 4 + 2 * H * bi * 4
+
+    def dwd_bytes(bm: int) -> int:
+        ins = 2 * (bm * H * xbytes + bm * H * 4 + 2 * H * bi * wbytes)
+        return ins + 2 * bi * H * 4 + bi * H * 4
+
+    def worst(bm: int) -> int:
+        return max(dx_bytes(bm), dw_bytes(bm), dwd_bytes(bm))
 
     bm = block_rows
-    while bm > 8 and dw_bytes(bm) > 14 * 2 ** 20:
+    while bm > 8 and worst(bm) > 14 * 2 ** 20:
         bm = max(8, (bm // 2) & ~7)
     return bm, bi
 

@@ -72,8 +72,11 @@ def _ffn_kernel(ids_ref, valid_ref, x_ref, wg_ref, wu_ref, wd_ref, o_ref,
 
 def _ffn_kernel_q(ids_ref, valid_ref, x_ref, wg_ref, sg_ref, wu_ref, su_ref,
                   wd_ref, sd_ref, o_ref, acc_ref, *, n_i: int):
-    """int8 weight-only variant: per-output-channel scales ([E, I] for
-    gate/up, [E, H] for down) multiply the f32 dot outputs — the same
+    """int8 weight-only variant: per-output-channel scales (fed as
+    [E, 1, I] for gate/up, [E, 1, H] for down — Mosaic rejects a (1, N)
+    block of a 2-D [E, N] array because 1 neither divides 8 nor equals E;
+    a leading singleton makes the trailing block dims (1, N) match the
+    array, caught on chip r5) multiply the f32 dot outputs — the same
     factoring models/quant.py uses, done per tile in VMEM."""
     a = pl.program_id(0)
     i = pl.program_id(1)
@@ -87,14 +90,14 @@ def _ffn_kernel_q(ids_ref, valid_ref, x_ref, wg_ref, sg_ref, wu_ref, su_ref,
         x = x_ref[0]
         g = (jnp.dot(x, wg_ref[0].astype(x.dtype),
                      preferred_element_type=jnp.float32)
-             * sg_ref[0].astype(jnp.float32)[None, :])
+             * sg_ref[0, 0].astype(jnp.float32)[None, :])
         u = (jnp.dot(x, wu_ref[0].astype(x.dtype),
                      preferred_element_type=jnp.float32)
-             * su_ref[0].astype(jnp.float32)[None, :])
+             * su_ref[0, 0].astype(jnp.float32)[None, :])
         h = (jax.nn.silu(g) * u).astype(x.dtype)
         acc_ref[...] += (jnp.dot(h, wd_ref[0].astype(x.dtype),
                                  preferred_element_type=jnp.float32)
-                         * sd_ref[0].astype(jnp.float32)[None, :])
+                         * sd_ref[0, 0].astype(jnp.float32)[None, :])
 
     @pl.when(i == n_i - 1)
     def _():
@@ -119,20 +122,20 @@ def _ffn_kernel_qq(ids_ref, valid_ref, xq_ref, ax_ref, wg_ref, sg_ref,
     @pl.when(valid_ref[a] != 0)
     def _():
         xq = xq_ref[0]                                     # [C, H] int8
-        ax = ax_ref[0].astype(jnp.float32)                 # [C]
+        ax = ax_ref[0, 0].astype(jnp.float32)              # [C]
         g = (jnp.dot(xq, wg_ref[0], preferred_element_type=jnp.int32)
              .astype(jnp.float32) * ax[:, None]
-             * sg_ref[0].astype(jnp.float32)[None, :])
+             * sg_ref[0, 0].astype(jnp.float32)[None, :])
         u = (jnp.dot(xq, wu_ref[0], preferred_element_type=jnp.int32)
              .astype(jnp.float32) * ax[:, None]
-             * su_ref[0].astype(jnp.float32)[None, :])
+             * su_ref[0, 0].astype(jnp.float32)[None, :])
         h = jax.nn.silu(g) * u                             # [C, bi] f32
         ah = jnp.maximum(jnp.max(jnp.abs(h), axis=-1), 1e-6) / 127.0
         hq = jnp.clip(jnp.round(h / ah[:, None]), -127, 127).astype(jnp.int8)
         acc_ref[...] += (jnp.dot(hq, wd_ref[0],
                                  preferred_element_type=jnp.int32)
                          .astype(jnp.float32) * ah[:, None]
-                         * sd_ref[0].astype(jnp.float32)[None, :])
+                         * sd_ref[0, 0].astype(jnp.float32)[None, :])
 
     @pl.when(i == n_i - 1)
     def _():
@@ -204,10 +207,19 @@ def ragged_expert_ffn(
     out_spec = pl.BlockSpec((1, C, H), lambda a, i, ids, v: (a, 0, 0))
     scratch = [pltpu.VMEM((C, H), jnp.float32)]
 
+    # scale operands ride as 3-D [E, 1, N] with (1, 1, tile) blocks: Mosaic
+    # requires a block's last two dims divisible by (8, 128) OR equal to
+    # the array's — a (1, N) block of a 2-D [E, N] array violates that
+    # (caught on the real chip r5; interpret mode accepts it silently)
+    if quant:
+        sg3 = gate["scale"].reshape(E, 1, I)
+        su3 = up["scale"].reshape(E, 1, I)
+        sd3 = down["scale"].reshape(E, 1, H)
+        s_spec = pl.BlockSpec((1, 1, bi), lambda a, i, ids, v: (ids[a], 0, i))
+        sd_spec = pl.BlockSpec((1, 1, H), lambda a, i, ids, v: (ids[a], 0, 0))
+
     if quant and x_scales is not None:
-        s_spec = pl.BlockSpec((1, bi), lambda a, i, ids, v: (ids[a], i))
-        sd_spec = pl.BlockSpec((1, H), lambda a, i, ids, v: (ids[a], 0))
-        ax_spec = pl.BlockSpec((1, C), lambda a, i, ids, v: (a, 0))
+        ax_spec = pl.BlockSpec((1, 1, C), lambda a, i, ids, v: (a, 0, 0))
         kernel = functools.partial(_ffn_kernel_qq, n_i=n_i)
         return pl.pallas_call(
             kernel,
@@ -222,12 +234,10 @@ def ragged_expert_ffn(
             out_shape=jax.ShapeDtypeStruct((A, C, H), jnp.float32),
             interpret=interpret,
         )(active_ids.astype(jnp.int32), blk_valid.astype(jnp.int32),
-          x_slots, x_scales.astype(jnp.float32),
-          wg, gate["scale"], wu, up["scale"], wd, down["scale"])
+          x_slots, x_scales.astype(jnp.float32).reshape(A, 1, C),
+          wg, sg3, wu, su3, wd, sd3)
 
     if quant:
-        s_spec = pl.BlockSpec((1, bi), lambda a, i, ids, v: (ids[a], i))
-        sd_spec = pl.BlockSpec((1, H), lambda a, i, ids, v: (ids[a], 0))
         kernel = functools.partial(_ffn_kernel_q, n_i=n_i)
         # the [E, H] down scale multiplies each I-tile's partial sum before
         # accumulation — scaling is linear, so per-tile application equals
@@ -245,7 +255,7 @@ def ragged_expert_ffn(
             out_shape=jax.ShapeDtypeStruct((A, C, H), x_slots.dtype),
             interpret=interpret,
         )(active_ids.astype(jnp.int32), blk_valid.astype(jnp.int32), x_slots,
-          wg, gate["scale"], wu, up["scale"], wd, down["scale"])
+          wg, sg3, wu, su3, wd, sd3)
 
     kernel = functools.partial(_ffn_kernel, n_i=n_i)
     return pl.pallas_call(

@@ -56,6 +56,26 @@ def wait_for_backend(attempts: int = 5, probe_timeout: int = 150,
     sys.exit(1)
 
 
+V5E_BF16_PEAK_FLOPS = 197e12   # per chip; the int8 MXU peak is 2x this
+
+
+def decode_model_flops_per_token(cfg, kv_len_avg: float) -> float:
+    """Model FLOPs per decoded token: 2 x matmul weights touched per token
+    (attention + MLP projections + lm_head) plus the attention dots at the
+    average KV length. MFU below divides by the bf16 peak — the W8A8 path
+    runs the int8 MXU at 2x, so int8-MXU utilization is half the printed
+    number (the standard bf16-equivalent convention)."""
+    t = cfg.text
+    H, L, intr = t.hidden_size, t.num_hidden_layers, t.intermediate_size
+    hd = t.head_dim
+    nq, nkv = t.num_attention_heads, t.num_key_value_heads
+    per_layer = H * (nq * hd) + 2 * H * (nkv * hd) + (nq * hd) * H \
+        + 3 * H * intr
+    matmul = 2.0 * (L * per_layer + H * t.vocab_size)
+    attn = L * 4.0 * kv_len_avg * nq * hd
+    return matmul + attn
+
+
 def main():
     wait_for_backend()
     from video_r2_tpu.engine import SamplingParams, generate
@@ -86,11 +106,16 @@ def main():
     toks_per_sec = B * new_tokens / dt
 
     baseline = 800.0  # A100-class HF-generate aggregated decode tok/s (7B)
+    flops_tok = decode_model_flops_per_token(
+        cfg, prompt_len + new_tokens / 2.0)
+    tflops = toks_per_sec * flops_tok / 1e12
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_chip_qwen25vl7b_int8_w8a8_kv8_b{B}",
         "value": round(toks_per_sec, 1),
         "unit": "tokens/sec",
         "vs_baseline": round(toks_per_sec / baseline, 3),
+        "model_tflops_per_sec": round(tflops, 1),
+        "mfu_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 3),
     }))
 
 

@@ -357,11 +357,35 @@ def test_next_spec_sampled_matches_plain_distribution(hf_next, rng):
 
 def test_next_checkpoint_load(hf_next, rng, tmp_path):
     """save_pretrained safetensors dir -> load_qwen3_next_checkpoint
-    (consume + quantize-on-load paths) == direct state-dict conversion."""
+    (consume + quantize-on-load paths) == direct state-dict conversion.
+    MULTI-SHARD: the load streams tensors one at a time (LazyStateDict) —
+    the judge checkpoint is an 80B across many shards and must never
+    materialize as a full host state dict; an mtp.* extra head in a shard
+    is skipped like HF's _keys_to_ignore_on_load_unexpected."""
+    from safetensors.numpy import save_file
+
+    from video_r2_tpu.models.loader import LazyStateDict
     from video_r2_tpu.models.qwen3_next import load_qwen3_next_checkpoint
 
     model, cfg, params = hf_next
-    model.save_pretrained(tmp_path, safe_serialization=True)
+    model.save_pretrained(tmp_path, safe_serialization=True,
+                          max_shard_size="200KB")
+    shards = sorted(tmp_path.glob("*.safetensors"))
+    assert len(shards) > 1, "test must exercise the multi-shard path"
+    # an extra head the load must ignore
+    save_file({"mtp.head.weight": np.zeros((4, 4), np.float32)},
+              str(tmp_path / "zz-extra.safetensors"))
+
+    # the lazy view materializes on demand and forgets on pop — this is
+    # what bounds peak host RSS at ~one converted tree for the 80B
+    lazy = LazyStateDict(sorted(tmp_path.glob("*.safetensors")),
+                         skip_prefixes=("mtp.",))
+    assert all(not k.startswith("mtp.") for k in lazy.keys())
+    n0 = len(lazy)
+    first = next(iter(lazy.keys()))
+    t = lazy.pop(first)
+    assert isinstance(t, np.ndarray) and len(lazy) == n0 - 1
+
     loaded = load_qwen3_next_checkpoint(tmp_path, cfg, dtype="float32")
     for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -372,6 +396,25 @@ def test_next_checkpoint_load(hf_next, rng, tmp_path):
     out = generate(qloaded, cfg, ids, np.array([7], np.int32),
                    max_new_tokens=3)
     assert out.shape == (1, 3)
+
+
+def test_next_checkpoint_load_sharded(hf_next, rng, tmp_path):
+    """load_qwen3_next_checkpoint(mesh=...) == unsharded load, leaf for
+    leaf, with every leaf placed by the parallel/sharding rules (the 80B
+    judge loads straight into its TP=4 layout, serve_qwen3.sh:13)."""
+    from video_r2_tpu.models.qwen3_next import load_qwen3_next_checkpoint
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    model, cfg, params = hf_next
+    model.save_pretrained(tmp_path, safe_serialization=True,
+                          max_shard_size="200KB")
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    sharded = load_qwen3_next_checkpoint(tmp_path, cfg, dtype="float32",
+                                         mesh=mesh)
+    flat_s = jax.tree.leaves(sharded)
+    assert any(len(x.sharding.device_set) > 1 for x in flat_s)
+    for a, b in zip(flat_s, jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_next_continuous_engine_parity(hf_next, rng):

@@ -18,7 +18,10 @@ def setup_logging():
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
 
 
-def build_model(app: AppConfig):
+def build_model(app: AppConfig, mesh=None):
+    """mesh: checkpoint leaves stream straight into their rule shardings
+    (the 80B judge loads into its TP layout without ever materializing on
+    one device); downstream shard_params calls are idempotent no-ops."""
     cfg = app.model_config()
     wq = app.run.weight_quant
     if wq not in ("", None, "int8", "int4"):
@@ -35,12 +38,12 @@ def build_model(app: AppConfig):
             params = load_qwen3_next_checkpoint(
                 app.run.checkpoint, cfg,
                 quantize="int8" if wq else None,
-                bits=4 if wq == "int4" else 8)
+                bits=4 if wq == "int4" else 8, mesh=mesh)
         else:
             params = load_hf_checkpoint(
                 app.run.checkpoint, cfg,
                 quantize="int8" if wq else None,
-                bits=4 if wq == "int4" else 8)
+                bits=4 if wq == "int4" else 8, mesh=mesh)
         logger.info("loaded weights from %s%s", app.run.checkpoint,
                     f" ({wq} weight-only, quantized on load)" if wq else "")
     else:

@@ -68,11 +68,12 @@ def main(argv=None):
             rest.append(argv[i])
             i += 1
     app = parse_config(rest)
-    cfg, params = build_model(app)
-    tok = build_tokenizer(app)
     # --run.tp 4 serves tensor-parallel (the 80B-judge deployment shape,
-    # serve_qwen3.sh:13): params shard at engine construction
+    # serve_qwen3.sh:13): checkpoint leaves stream straight into their
+    # shardings at load; the engine's shard_params is then a no-op
     mesh = build_mesh(app)
+    cfg, params = build_model(app, mesh=mesh)
+    tok = build_tokenizer(app)
     engine = ChatEngine(params, cfg, tok, attn_impl=attn_impl(app), mesh=mesh,
                         continuous=continuous, engine_kind=engine_kind,
                         spec_decode=spec_decode, kv_quant=kv_quant,

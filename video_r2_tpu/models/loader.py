@@ -162,34 +162,85 @@ def convert_hf_state_dict(state: dict, cfg: ModelConfig,
     return params
 
 
+class LazyStateDict:
+    """Checkpoint tensors materialized ONE AT A TIME from safetensors
+    shards (mmap-backed handles stay open; get_tensor copies just the
+    requested tensor). Peak host RSS during conversion is ~the converted
+    tree + one tensor, NOT state-dict + tree: the eager loop this replaces
+    held every tensor of every shard before converting (VERDICT r4 #5 —
+    an 80B judge checkpoint is ~160 GB bf16). Duck-types the two dict ops
+    the converters use: [] (read) and pop (consume)."""
+
+    def __init__(self, shards, skip_prefixes: tuple = ()):
+        from safetensors import safe_open
+
+        self._handles = [safe_open(str(s), framework="np") for s in shards]
+        self._where = {k: h for h in self._handles for k in h.keys()
+                       if not any(k.startswith(p) for p in skip_prefixes)}
+
+    def __getitem__(self, k):
+        return self._where[k].get_tensor(k)
+
+    def pop(self, k):
+        return self._where.pop(k).get_tensor(k)
+
+    def __contains__(self, k):
+        return k in self._where
+
+    def keys(self):
+        return self._where.keys()
+
+    def __len__(self):
+        return len(self._where)
+
+
+def _host_convert_ctx(mesh):
+    """With a mesh, convert ONTO THE HOST CPU device so the full tree never
+    materializes on one accelerator; the caller then device_puts each leaf
+    to its NamedSharding (slices stream to their shards). Falls back to the
+    default device when no CPU backend exists."""
+    import contextlib
+
+    import jax
+
+    if mesh is None:
+        return contextlib.nullcontext()
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 def load_hf_checkpoint(path: str | Path, cfg: ModelConfig,
                        dtype: str | None = None,
-                       quantize: str | None = None, bits: int = 8) -> dict:
-    """Load a HF checkpoint directory (safetensors shards).
+                       quantize: str | None = None, bits: int = 8,
+                       mesh=None) -> dict:
+    """Load a HF checkpoint directory (safetensors shards), STREAMING:
+    each tensor materializes once, converts, and is freed (LazyStateDict)
+    — peak host RAM stays ~one converted tree, which is what makes a
+    judge-scale model loadable on a modest host before it serves
+    TP-sharded (scripts/serve_judge.sh).
 
-    quantize="int8" (or bits=4) quantizes ON LOAD with host tensors freed
-    as each leaf converts — peak host RAM stays ~one checkpoint copy
-    instead of checkpoint + full bf16 tree + quantized tree, which is what
-    makes a 30B-class judge loadable on a modest host before it serves
-    TP-sharded (scripts/serve_judge.sh)."""
-    from safetensors import safe_open
-
+    quantize="int8" (or bits=4) quantizes ON LOAD, consuming bf16 leaves
+    as they quantize. mesh: place every leaf with its parallel/sharding
+    rule (sharded load == unsharded load, slices go straight to their
+    shards)."""
     path = Path(path)
-    state = {}
     shards = sorted(path.glob("*.safetensors"))
     if not shards:
         raise FileNotFoundError(f"no safetensors in {path}")
-    for shard in shards:
-        with safe_open(shard, framework="np") as f:
-            for k in f.keys():
-                state[k] = f.get_tensor(k)
-    params = convert_hf_state_dict(state, cfg, dtype,
-                                   consume=quantize is not None)
-    if quantize is not None:
-        assert quantize == "int8", quantize
-        from .quant import quantize_params
+    state = LazyStateDict(shards)
+    with _host_convert_ctx(mesh):
+        params = convert_hf_state_dict(state, cfg, dtype, consume=True)
+        if quantize is not None:
+            assert quantize == "int8", quantize
+            from .quant import quantize_params
 
-        params = quantize_params(params, bits=bits, consume=True)
+            params = quantize_params(params, bits=bits, consume=True)
+    if mesh is not None:
+        from ..parallel.sharding import shard_params
+
+        params = shard_params(params, mesh)
     return params
 
 

@@ -105,13 +105,34 @@ def main():
         loss = float(m["loss"])
     dt = (time.perf_counter() - t0) / n
     toks = B * int(mask.sum() // B)
+    # Model-FLOPs accounting (VERDICT r4 #6). Decoder: 3x the per-token
+    # matmul+attention forward census (forward + remat recompute + dgrad;
+    # dW is skipped — the base is frozen, only the tiny LoRA factors get
+    # weight grads). ViT: forward ONLY — the tower is frozen AND unadapted,
+    # so no gradient flows through it and XLA prunes its backward (patches
+    # need no grad). MFU is against the v5e bf16 peak (bf16-equivalent
+    # convention; the int8-base matmuls run the integer MXU at 2x).
+    from bench import V5E_BF16_PEAK_FLOPS, decode_model_flops_per_token
+    f_dec = 3.0 * decode_model_flops_per_token(cfg, row_len / 2.0)
+    vit_params = sum(int(np.prod(x.shape))
+                     for x in jax.tree_util.tree_leaves(params["visual"])
+                     if hasattr(x, "ndim") and x.ndim >= 2)
+    f_vit = 2.0 * vit_params * (B * int(np.prod(grid)))
+    total_flops = f_dec * toks + f_vit
+    tflops = total_flops / dt / 1e12
+    mfu = tflops * 1e12 / V5E_BF16_PEAK_FLOPS
     print(f"SFT step: {dt*1e3:.0f} ms | {toks/dt:.0f} tokens/s "
           f"(B={B}, S={S}, {n_tok} video tokens/row, 7B int8 + LoRA r64, "
           f"flash, remat)", flush=True)
+    print(f"model FLOPs: {tflops:.1f} TFLOP/s sustained = {mfu*100:.1f}% "
+          f"of v5e bf16 peak (3x decoder fwd census + 1x frozen-ViT fwd)",
+          flush=True)
     print(json.dumps({
         "metric": "sft_step_ms_qwen25vl7b_int8_lora64_b4_s1536_16f",
         "value": round(dt * 1e3, 1), "unit": "ms/step",
-        "tokens_per_sec": round(toks / dt, 1)}))
+        "tokens_per_sec": round(toks / dt, 1),
+        "model_tflops_per_sec": round(tflops, 1),
+        "mfu_bf16_peak": round(mfu, 3)}))
 
 
 if __name__ == "__main__":

@@ -247,8 +247,12 @@ def test_next_chat_engine_judge(hf_next):
     with _pytest.raises(ValueError, match="paged"):
         ChatEngine(params, cfg, ByteTokenizer(), continuous=True,
                    engine_kind="paged")
+    # kv_quant in BATCH mode is supported since r5 (int8 KV strips for the
+    # full-attention layers); the slot engine's contiguous cache stays
+    # bf16-only, exactly like the transformer slot engine's
     with _pytest.raises(ValueError, match="kv_quant"):
-        ChatEngine(params, cfg, ByteTokenizer(), kv_quant="int8")
+        ChatEngine(params, cfg, ByteTokenizer(), continuous=True,
+                   kv_quant="int8")
 
 
 def test_next_spec_decode_token_exact(hf_next, rng):
@@ -353,6 +357,93 @@ def test_next_spec_sampled_matches_plain_distribution(hf_next, rng):
         dev = tv(spec, plain, t)
         assert dev < floor + 0.08, (t, dev, floor)
     assert len(np.unique(plain[:, 0])) >= 3
+
+
+def test_next_kv_quant_int8(hf_next, rng):
+    """cfg.kv_quant="int8": the 12/48 full-attention layers' KV strips
+    store int8 with factored per-token/head scales (VERDICT r4 #7 — the
+    32k-context judge KV halves). Contract mirrors the transformer
+    engines' (test_engine.test_kv_quant_and_chunked_prefill): the first
+    generated token comes from the full-precision prefill attention and
+    must match bf16 exactly; spec decode over the int8 cache is
+    token-exact vs the plain int8 loop; sharded int8 == single-device
+    int8."""
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import (QuantNextCache,
+                                                generate_packed,
+                                                generate_spec, prefill)
+    from video_r2_tpu.parallel.mesh import MeshConfig, make_mesh
+    from video_r2_tpu.parallel.sharding import shard_params
+
+    _, cfg, params = hf_next
+    qcfg = cfg.replace(kv_quant="int8")
+    T = 8
+    base = rng.integers(2, 127, 5).tolist()
+    ids = np.asarray([base * 3 + [3], (base * 4)[:16]], np.int32)
+    lens = np.array([16, 16], np.int32)
+    sp = SamplingParams(max_new_tokens=T, eos_token_ids=(), pad_token_id=0)
+
+    _, cache = prefill(params, qcfg, jnp.asarray(ids), jnp.asarray(lens), 32)
+    assert isinstance(cache, QuantNextCache)
+    assert cache.k.dtype == jnp.int8 and cache.k_scale.shape == (
+        cfg.num_groups, 2, 32, cfg.num_key_value_heads)
+
+    fp = generate_packed(params, cfg, ids, lens, sp)
+    q = generate_packed(params, qcfg, ids, lens, sp)
+    np.testing.assert_array_equal(fp.sequences[:, 0], q.sequences[:, 0])
+    spec = generate_spec(params, qcfg, ids, lens, sp, spec_k=4)
+    np.testing.assert_array_equal(spec.sequences, q.sequences)
+    mesh = make_mesh(MeshConfig(ep=2, tp=2, fsdp=2))
+    q_m = generate_packed(shard_params(params, mesh), qcfg, ids, lens, sp,
+                          mesh=mesh)
+    np.testing.assert_array_equal(q_m.sequences, q.sequences)
+
+
+def test_next_act_quant_w8a8(hf_next, rng):
+    """cfg.act_quant="int8" over int8 weight leaves: W8A8 prefill linears
+    (integer MXU). The quantized-activation forward must track the
+    weight-only int8 forward closely AND actually differ from it (the
+    branch engaged); float weights no-op."""
+    from video_r2_tpu.models.qwen3_next import (forward,
+                                                quantize_qwen3_next_params)
+
+    _, cfg, params = hf_next
+    qparams = quantize_qwen3_next_params(params, bits=8)
+    ids = jnp.asarray(rng.integers(2, 127, (2, 12)), jnp.int32)
+    wo = np.asarray(forward(qparams, cfg, ids))
+    w8a8 = np.asarray(forward(qparams, cfg.replace(act_quant="int8"), ids))
+    assert not np.array_equal(wo, w8a8), "W8A8 path did not engage"
+    scale = np.abs(wo).max()
+    np.testing.assert_allclose(w8a8, wo, atol=0.05 * scale)
+    # float weights: act_quant is a no-op (linear ignores it)
+    fp = np.asarray(forward(params, cfg, ids))
+    fp_aq = np.asarray(forward(params, cfg.replace(act_quant="int8"), ids))
+    np.testing.assert_array_equal(fp, fp_aq)
+
+
+def test_next_chat_engine_kv_quant(hf_next):
+    """ChatEngine(kv_quant="int8"[, spec_decode]) serves the Next family in
+    batch mode — the guard is gone; spec+int8 matches plain int8 text for
+    text; the prefix store is bypassed (bf16-only continue path)."""
+    from video_r2_tpu.engine.chat import ByteTokenizer
+    from video_r2_tpu.engine.server import ChatEngine
+
+    _, cfg, params = hf_next
+    cfg = cfg.replace(eos_token_id=1, pad_token_id=0)
+    mk = lambda **kw: ChatEngine(params, cfg, ByteTokenizer(specials={
+        "<|im_start|>": 2, "<|im_end|>": 1, "<|endoftext|>": 0}),
+        max_new_tokens=6, **kw)
+    msgs = [[{"role": "user", "content": f"judge {i} judge {i}"}]
+            for i in range(2)]
+    plain_q = mk(kv_quant="int8")
+    spec_q = mk(kv_quant="int8", spec_decode=3)
+    assert plain_q._prefix_store is None and spec_q._prefix_store is None
+    a = plain_q.chat_batch(msgs, temperature=0.0, max_tokens=6)
+    b = spec_q.chat_batch(msgs, temperature=0.0, max_tokens=6)
+    assert a == b
+    aq = mk(act_quant="int8")   # guard gone; float weights -> no-op
+    assert aq.chat_batch(msgs, temperature=0.0, max_tokens=6) == \
+        mk().chat_batch(msgs, temperature=0.0, max_tokens=6)
 
 
 def test_next_checkpoint_load(hf_next, rng, tmp_path):
@@ -565,6 +656,43 @@ def test_next_continuous_spec_mixed_pool(hf_next, rng):
             done[rid] = toks
     assert done[r0] == refs[0]
     assert done[r1] == refs[1]
+
+
+def test_next_continuous_chunked_prefill(hf_next, rng):
+    """prefill_chunk_tokens: a long prompt prefills one chunk per step(),
+    interleaved with decode — token-exact vs batch generate, for the plain
+    AND speculative engines (the B=1 accumulator cache commits through the
+    pause-masked DeltaNet state math, so partial last chunks stay exact).
+    The short prompt admitted first keeps decoding while the long one
+    prefills (its tokens must be identical to an un-chunked run)."""
+    from video_r2_tpu.engine.next_continuous import Qwen3NextContinuousEngine
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import generate_packed
+
+    _, cfg, params = hf_next
+    T = 6
+    short = rng.integers(2, 127, 7).tolist()
+    long_p = rng.integers(2, 127, 27).tolist()   # 4 chunks of 8, partial tail
+    sp = SamplingParams(max_new_tokens=T, eos_token_ids=(), pad_token_id=0)
+
+    def ref(p):
+        return generate_packed(params, cfg, np.asarray(p, np.int32)[None],
+                               np.array([len(p)], np.int32), sp
+                               ).sequences[0].tolist()
+
+    for spec in (0, 3):
+        eng = Qwen3NextContinuousEngine(
+            params, cfg, num_slots=2, max_len=64, sp=sp,
+            prompt_buckets=(8, 32), prefill_chunk_tokens=8, spec_decode=spec)
+        r0 = eng.submit(short, T)       # admits immediately (<= one chunk)
+        r1 = eng.submit(long_p, T)      # chunked: 4 step() calls to admit
+        assert eng.prefilling[1]
+        done = {}
+        while eng.num_active:
+            for rid, toks in eng.step():
+                done[rid] = toks
+        assert done[r0] == ref(short), f"spec={spec}"
+        assert done[r1] == ref(long_p), f"spec={spec}"
 
 
 def test_next_chat_engine_continuous(hf_next):

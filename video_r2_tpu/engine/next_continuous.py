@@ -99,6 +99,45 @@ def _step_jit(params, cache, last_logits, rng, temp, top_p, top_k,
     return tok, logits, cache, rng
 
 
+@partial(jax.jit, static_argnames=("cfg", "ck", "mesh"), donate_argnums=(2,))
+def _prefill_chunk_jit(params, cfg, sub_cache, chunk_ids, start, true_len,
+                       ck, mesh):
+    """One ck-token chunk of a single prompt's prefill, continuing a B=1
+    accumulator cache (chunked prefill, the vLLM interleaving). Reuses the
+    spec machinery: _extend_forward runs the chunk as a window at the
+    frontier and _commit advances the DeltaNet state through the VALID
+    tokens only (the last chunk's pad tail neither decays nor writes —
+    pause masking). One compiled variant serves every chunk position:
+    start/true_len are traced. The accumulator never touches the batched
+    cache, so decode steps between chunks can't corrupt the recurrent
+    state mid-prefill; _install_jit scatters it into the slot at the end."""
+    logits_w, saved, kv_new = _extend_forward(params, cfg, chunk_ids,
+                                              sub_cache, mesh=mesh)
+    n_valid = jnp.clip(true_len - start, 0, ck)
+    sub = _commit(cfg, sub_cache, saved, kv_new, n_valid[None])
+    last_local = jnp.clip(true_len - 1 - start, 0, ck - 1)
+    return logits_w[0, last_local], sub
+
+
+@partial(jax.jit, static_argnames=("cfg", "bucket", "mesh"),
+         donate_argnums=(1,))
+def _install_jit(cfg, cache, slot, sub, true_len, bucket, mesh):
+    """Scatter a completed chunked-prefill accumulator into `slot` of the
+    batched cache (the tail of _admit_jit, without the prefill)."""
+    conv = cache.conv.at[:, :, slot].set(sub.conv[:, :, 0])
+    rec = cache.rec.at[:, :, slot].set(sub.rec[:, :, 0])
+    k = cache.k.at[:, slot, :bucket].set(sub.k[:, 0, :bucket])
+    v = cache.v.at[:, slot, :bucket].set(sub.v[:, 0, :bucket])
+    length = cache.length.at[slot].set(true_len)
+    cache = Qwen3NextCache(conv=conv, rec=rec, k=k, v=v, length=length)
+    if mesh is not None:
+        from ..parallel.sharding import pin_next_cache
+
+        cache = pin_next_cache(cache, mesh, cfg.num_key_value_heads,
+                               cfg.linear_num_value_heads)
+    return cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "spec_k", "rounds", "greedy_only",
                                    "mesh"),
          donate_argnums=(2, 3))
@@ -162,7 +201,7 @@ class Qwen3NextContinuousEngine:
                  max_len: int = 4096, sp: SamplingParams | None = None,
                  mesh=None, prompt_buckets=(128, 256, 512, 1024, 2048),
                  seed: int = 0, attn_impl: str | None = None,
-                 spec_decode: int = 0, **_):
+                 spec_decode: int = 0, prefill_chunk_tokens: int = 0, **_):
         if mesh is not None:
             from ..parallel.sharding import shard_params
 
@@ -220,6 +259,13 @@ class Qwen3NextContinuousEngine:
                 self.hist = jax.device_put(self.hist, rep)
                 self._spec_rej = jax.device_put(self._spec_rej, rep)
         self.rng = jax.random.PRNGKey(seed)
+        # chunked prefill: long prompts prefill one chunk per step() call,
+        # interleaved with decode (bounded inter-token latency for active
+        # streams). The in-flight prompt accumulates in a B=1 sub-cache
+        # that only touches the batched cache at install time.
+        self.prefill_chunk_tokens = prefill_chunk_tokens
+        self.prefilling = np.zeros((N,), bool)
+        self._pending_prefill: list[dict] = []
         self.slot_req: list[Optional[_Req]] = [None] * N
         self.slot_temp = np.full((N,), 1.0, np.float32)
         self.slot_top_p = np.ones((N,), np.float32)
@@ -260,21 +306,50 @@ class Qwen3NextContinuousEngine:
                 min(max_new_tokens, self.max_len - true_len - 1), 1)
             bucket = next((b for b in self.prompt_buckets if b >= true_len),
                           self.max_len)
-            padded = np.full((1, bucket), self.cfg.pad_token_id, np.int32)
-            padded[0, :true_len] = ids
-            logits, self.cache = _admit_jit(
-                self.params, self.cfg, self.cache, jnp.int32(slot),
-                jnp.asarray(padded), jnp.int32(true_len), bucket, self.mesh)
-            self.last_logits = self.last_logits.at[slot].set(logits)
-            if self.hist is not None:
-                # reset the drafting history row: [prompt | pad...] — every
-                # admission must do this or drafting reads the previous
-                # occupant's tokens (acceptance collapses; tokens stay exact)
-                row = np.full((self.hist.shape[1],), self.sp.pad_token_id,
-                              np.int32)
-                row[:true_len] = ids
-                self.hist = self.hist.at[slot].set(jnp.asarray(row))
-                self._spec_rej = self._spec_rej.at[slot].set(-1)
+            ck = self.prefill_chunk_tokens
+            if ck and true_len > ck:
+                # chunked: defer to the step() loop (one chunk per step,
+                # interleaved with decode); the slot stays masked out of
+                # decode/spec until the accumulator installs
+                n_chunks = -(-bucket // ck)
+                width = n_chunks * ck
+                rows = np.full((1, width), self.cfg.pad_token_id, np.int32)
+                rows[0, :true_len] = ids
+                cfg = self.cfg
+                G, P1 = cfg.num_groups, cfg.full_attention_interval - 1
+                K = cfg.linear_conv_kernel_dim
+                dt = jnp.dtype(cfg.dtype)
+                sub = Qwen3NextCache(
+                    conv=jnp.zeros((G, P1, 1, K - 1, cfg.conv_dim), dt),
+                    rec=jnp.zeros((G, P1, 1, cfg.linear_num_value_heads,
+                                   cfg.linear_key_head_dim,
+                                   cfg.linear_value_head_dim), jnp.float32),
+                    k=jnp.zeros((G, 1, width, cfg.num_key_value_heads,
+                                 cfg.head_dim), dt),
+                    v=jnp.zeros((G, 1, width, cfg.num_key_value_heads,
+                                 cfg.head_dim), dt),
+                    length=jnp.zeros((1,), jnp.int32))
+                if self.mesh is not None:
+                    from ..parallel.sharding import replicated
+
+                    rep = replicated(self.mesh)
+                    sub = Qwen3NextCache(*(jax.device_put(c, rep)
+                                           for c in sub))
+                self._pending_prefill.append({
+                    "slot": slot, "rows": rows, "true_len": true_len,
+                    "bucket": min(bucket, width), "done": 0, "sub": sub,
+                    "ids": ids})
+                self.prefilling[slot] = True
+            else:
+                padded = np.full((1, bucket), self.cfg.pad_token_id,
+                                 np.int32)
+                padded[0, :true_len] = ids
+                logits, self.cache = _admit_jit(
+                    self.params, self.cfg, self.cache, jnp.int32(slot),
+                    jnp.asarray(padded), jnp.int32(true_len), bucket,
+                    self.mesh)
+                self.last_logits = self.last_logits.at[slot].set(logits)
+                self._write_hist_row(slot, ids, true_len)
             rsp = sp or self.sp
             self.slot_temp[slot] = max(rsp.temperature, 1e-6)
             self.slot_top_p[slot] = rsp.top_p
@@ -290,6 +365,41 @@ class Qwen3NextContinuousEngine:
         # no lock: called from tok_cb inside step()'s locked region
         self._cancelled.add(rid)
 
+    def _write_hist_row(self, slot: int, ids, true_len: int) -> None:
+        """Reset the spec-drafting history row for a newly admitted request
+        ([prompt | pad...]). Every admission path must do this or drafting
+        reads the previous occupant's tokens."""
+        if self.hist is None:
+            return
+        row = np.full((self.hist.shape[1],), self.sp.pad_token_id, np.int32)
+        row[:true_len] = ids
+        self.hist = self.hist.at[slot].set(jnp.asarray(row))
+        self._spec_rej = self._spec_rej.at[slot].set(-1)
+
+    def _advance_prefill(self) -> None:
+        """Chunked prefill: advance the oldest pending prompt by one chunk
+        (called once per step() — prefill interleaves with decode, bounding
+        active streams' inter-token latency by one chunk)."""
+        if not self._pending_prefill:
+            return
+        st = self._pending_prefill[0]
+        ck = self.prefill_chunk_tokens
+        start = st["done"]
+        chunk = st["rows"][:, start:start + ck]
+        logits, st["sub"] = _prefill_chunk_jit(
+            self.params, self.cfg, st["sub"], jnp.asarray(chunk),
+            jnp.int32(start), jnp.int32(st["true_len"]), ck, self.mesh)
+        st["done"] = start + ck
+        if st["done"] >= st["true_len"]:
+            slot = st["slot"]
+            self.cache = _install_jit(self.cfg, self.cache, jnp.int32(slot),
+                                      st["sub"], jnp.int32(st["true_len"]),
+                                      st["bucket"], self.mesh)
+            self.last_logits = self.last_logits.at[slot].set(logits)
+            self._write_hist_row(slot, st["ids"], st["true_len"])
+            self.prefilling[slot] = False
+            self._pending_prefill.pop(0)
+
     def step(self, steps: int = 1) -> list[tuple[int, list[int]]]:
         """Advance all slots `steps` tokens; return finished (rid, toks)."""
         finished: list[tuple[int, list[int]]] = []
@@ -299,6 +409,10 @@ class Qwen3NextContinuousEngine:
             if not self.num_active:
                 break
             with self._lock:
+                self._advance_prefill()   # one chunk per step, interleaved
+                if not any(r is not None and not self.prefilling[i]
+                           for i, r in enumerate(self.slot_req)):
+                    continue   # every active slot is still mid-prefill
                 tok, self.last_logits, self.cache, self.rng = _step_jit(
                     self.params, self.cache, self.last_logits, self.rng,
                     jnp.asarray(self.slot_temp),
@@ -308,7 +422,7 @@ class Qwen3NextContinuousEngine:
                     self.cfg, self.mesh)
                 tok_h = np.asarray(tok)
                 for i, req in enumerate(self.slot_req):
-                    if req is None:
+                    if req is None or self.prefilling[i]:
                         continue
                     if req.rid in self._cancelled:
                         self._cancelled.discard(req.rid)
@@ -341,7 +455,11 @@ class Qwen3NextContinuousEngine:
             return []
         finished: list[tuple[int, list[int]]] = []
         with self._lock:
-            active = np.asarray([r is not None for r in self.slot_req])
+            self._advance_prefill()   # one chunk per dispatch, interleaved
+            active = np.asarray([r is not None for r in self.slot_req]) \
+                & ~self.prefilling
+            if not active.any():
+                return []   # every active slot is still mid-prefill
             greedy_only = not bool(self.slot_do_sample[active].any())
             samp = (jnp.asarray(self.slot_temp),
                     jnp.asarray(self.slot_top_p),

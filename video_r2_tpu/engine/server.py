@@ -70,14 +70,21 @@ class ChatEngine:
             # never consults it (its attention is its own XLA graph)
             unsupported = [n for n, v in (
                 ("engine_kind=paged", continuous and engine_kind == "paged"),
-                ("continuous+prefill_chunk_tokens",
-                 continuous and prefill_chunk_tokens),
-                ("kv_quant", kv_quant), ("act_quant", act_quant)) if v]
+                # the slot engine's contiguous hybrid cache is bf16-only,
+                # exactly like the transformer slot engine's
+                ("continuous+kv_quant", continuous and kv_quant)) if v]
             if unsupported:
                 raise ValueError(
-                    "Qwen3-Next serving supports batch mode and "
-                    "slot-continuous mode, both incl. mesh + spec_decode: "
-                    f"unsupported option(s) {unsupported}")
+                    "Qwen3-Next serving supports batch mode (incl. mesh + "
+                    "spec + kv/act quant) and slot-continuous mode (incl. "
+                    "mesh + spec + chunked prefill): unsupported "
+                    f"option(s) {unsupported}")
+            # serving quantization rides the (static) model config: int8 KV
+            # strips for the 12/48 full-attention layers' 32k-context KV,
+            # W8A8 prefill linears (needs int8 weight leaves; no-op on
+            # float weights)
+            if kv_quant or act_quant:
+                cfg = cfg.replace(kv_quant=kv_quant, act_quant=act_quant)
         # mesh: tensor-parallel serving (the reference judge is an 80B at
         # TP=4, serve_qwen3.sh:13 — one chip can't hold it). Params shard per
         # parallel.sharding rules; the KV cache shards on heads over "tp".
@@ -117,7 +124,10 @@ class ChatEngine:
         # prefill only the per-sample suffixes. Exact; composes with
         # speculative decoding (the n-gram history spans the full prompt).
         self._prefix_store = None
-        if self._next and prefix_cache and not continuous:
+        # kv_quant bypasses the prefix store: prefill_continue extends a
+        # cached prefix state and carries bf16 KV only — bursts fall back
+        # to whole-prompt generate_packed (correct, no prefix reuse)
+        if self._next and prefix_cache and not continuous and not kv_quant:
             from ..models.qwen3_next import NextPrefixStore
 
             self._prefix_store = NextPrefixStore()
@@ -144,7 +154,8 @@ class ChatEngine:
                     params, cfg, num_slots=num_slots, max_len=max_len,
                     sp=SamplingParams(eos_token_ids=(cfg.eos_token_id,),
                                       pad_token_id=cfg.pad_token_id),
-                    mesh=mesh, spec_decode=self.spec_decode)
+                    mesh=mesh, spec_decode=self.spec_decode,
+                    prefill_chunk_tokens=prefill_chunk_tokens)
                 self._cont.decode_window = max(decode_window, 1)
             else:
                 # engine_kind="paged": serve over the paged KV pool (no

@@ -89,6 +89,15 @@ class Qwen3NextConfig:
     # path materializes [B, nh, S, S] scores — OOM at the judge's 32k
     # max-model-len, serve_qwen3.sh:14), XLA dense elsewhere/decode.
     attn_impl: str = "auto"                # auto | flash | xla
+    # serving quantization knobs (engine-set via cfg.replace — cfg is the
+    # one static object every jit already closes over):
+    # kv_quant="int8": the 12/48 full-attention layers' KV strips store
+    # int8 with per-token/head scales FACTORED out of both attention dots
+    # (models/decoder.py's scheme) — halves the 32k-context judge KV.
+    # act_quant="int8": W8A8 prefill linears on the integer MXU (dynamic
+    # per-token activation int8; needs int8 weight leaves, no-op on float).
+    kv_quant: str | None = None            # None | "int8"
+    act_quant: str | None = None           # None | "int8" (prefill only)
     tie_word_embeddings: bool = False
     eos_token_id: int = 151645
     pad_token_id: int = 151643
@@ -319,8 +328,14 @@ def _deltanet_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
     Returns (out [B, S, H], (conv_tail, state) or None)."""
     B, S, _ = h.shape
     K = cfg.linear_conv_kernel_dim
-    qkvz = linear(p["qkvz"], h)
-    ba = linear(p["ba"], h)
+    aq = cfg.act_quant
+    pq = None
+    if aq == "int8" and "kernel_q" in p["qkvz"]:
+        from .layers import quantize_act
+
+        pq = quantize_act(h)   # qkvz/ba share one activation quantization
+    qkvz = linear(p["qkvz"], h, aq, pq)
+    ba = linear(p["ba"], h, aq, pq)
     q, k, v, z, b, a = _split_qkvz_ba(cfg, qkvz, ba)
     mixed = jnp.concatenate([q.reshape(B, S, -1), k.reshape(B, S, -1),
                              v.reshape(B, S, -1)], -1)
@@ -348,7 +363,7 @@ def _deltanet_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
         q, k, v, g, beta, chunk_size=chunk_size,
         initial_state=init[1] if init is not None else None)
     out = rms_norm_gated(p["norm"], out, z, cfg.rms_norm_eps)
-    out = linear(p["out"], out.reshape(B, S, -1))
+    out = linear(p["out"], out.reshape(B, S, -1), aq)
     new_cache = None
     if want_state:
         tail_len = lengths if lengths is not None \
@@ -412,18 +427,25 @@ def _apply_partial_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
 
 
 def _gated_attn_qkv(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
-                    rope: tuple[jax.Array, jax.Array]):
+                    rope: tuple[jax.Array, jax.Array], aq=None):
     """Projections + per-head-dim zero-centered qk norm + partial RoPE +
     the sigmoid output gate stream. Returns q, k, v, gate. `rope` is the
     (cos, sin) pair — computed ONCE per forward by the caller (it is
-    loop-invariant and XLA does not hoist it out of the group scan)."""
+    loop-invariant and XLA does not hoist it out of the group scan).
+    aq="int8": W8A8 projections (prefill — the caller gates on phase);
+    q/k/v share one activation quantization."""
     B, S, _ = h.shape
     nh, kh, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
-    qg = linear(p["q"], h).reshape(B, S, nh, 2 * hd)
+    pq = None
+    if aq == "int8" and "kernel_q" in p["q"]:
+        from .layers import quantize_act
+
+        pq = quantize_act(h)
+    qg = linear(p["q"], h, aq, pq).reshape(B, S, nh, 2 * hd)
     q, gate = qg[..., :hd], qg[..., hd:].reshape(B, S, nh * hd)
-    k = linear(p["k"], h).reshape(B, S, kh, hd)
-    v = linear(p["v"], h).reshape(B, S, kh, hd)
+    k = linear(p["k"], h, aq, pq).reshape(B, S, kh, hd)
+    v = linear(p["v"], h, aq, pq).reshape(B, S, kh, hd)
     q = rms_norm_zc(p["q_norm"], q, cfg.rms_norm_eps)
     k = rms_norm_zc(p["k_norm"], k, cfg.rms_norm_eps)
     cos, sin = rope
@@ -448,6 +470,30 @@ def _attn_core(cfg: Qwen3NextConfig, q: jax.Array, k: jax.Array,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Sq, nh * hd)
 
 
+def _attn_core_q(cfg: Qwen3NextConfig, q: jax.Array, kq: jax.Array,
+                 vq: jax.Array, ks: jax.Array, vs: jax.Array,
+                 mask: jax.Array) -> jax.Array:
+    """Dense attention over an int8 KV with the per-token/head scales
+    FACTORED out of both dots (models/decoder.py's scheme — a naively
+    dequantized operand would materialize the full bf16 KV and erase the
+    capacity win). kq/vq [B,Sk,kh,hd] int8; ks/vs [B,Sk,kh] f32."""
+    B, Sq, nh, hd = q.shape
+    rep = nh // kq.shape[2]
+    kq = jnp.repeat(kq, rep, axis=2)
+    vq = jnp.repeat(vq, rep, axis=2)
+    ks = jnp.repeat(ks, rep, axis=2)
+    vs = jnp.repeat(vs, rep, axis=2)
+    scores = (jnp.einsum("bqhd,bkhd->bhqk", q, kq.astype(q.dtype))
+              .astype(jnp.float32)
+              * ks.transpose(0, 2, 1)[:, :, None, :] * (hd ** -0.5))
+    scores = jnp.where(mask[:, None, :, :] if mask.ndim == 3 else mask,
+                       scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, -1)
+    pv = (probs * vs.transpose(0, 2, 1)[:, :, None, :]).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", pv, vq.astype(q.dtype)
+                      ).reshape(B, Sq, nh * hd)
+
+
 def _use_flash(cfg: Qwen3NextConfig, S: int, mesh) -> bool:
     if cfg.attn_impl == "xla" or S <= 8:
         return False
@@ -465,7 +511,7 @@ def _full_attn_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
                        rope: tuple, want_state: bool,
                        lengths: jax.Array | None = None, mesh=None):
     B, S, _ = h.shape
-    q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope)
+    q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope, aq=cfg.act_quant)
     if _use_flash(cfg, S, mesh):
         from ..ops.flash import flash_attention
 
@@ -479,27 +525,53 @@ def _full_attn_prefill(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
         mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None]
         out = _attn_core(cfg, q, k, v, mask)
     out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-    out = linear(p["o"], out)
+    out = linear(p["o"], out, cfg.act_quant)
     return out, ((k, v) if want_state else None)
 
 
+def _write_rows(cache3, rows, cur):
+    """Scatter [B, W, ...] rows into a [B, Smax, ...] per-row buffer at each
+    row's frontier (3-d values or 2-d scales)."""
+    if cache3.ndim == 4:
+        return jax.vmap(lambda c, x, n: jax.lax.dynamic_update_slice(
+            c, x, (n, 0, 0)))(cache3, rows, cur)
+    return jax.vmap(lambda c, x, n: jax.lax.dynamic_update_slice(
+        c, x, (n, 0)))(cache3, rows, cur)
+
+
+def _kv_write(kv: tuple, k: jax.Array, v: jax.Array, cur: jax.Array):
+    """Write new K/V rows at the frontier. kv = (k, v) bf16 strips or
+    (kq, vq, ks, vs) int8 strips + scales (rows quantize on the way in —
+    the int8 KV contract of models/decoder.py, applied per strip)."""
+    if len(kv) == 4:
+        from .decoder import quantize_kv
+
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        return (_write_rows(kv[0], kq, cur), _write_rows(kv[1], vq, cur),
+                _write_rows(kv[2], ks, cur), _write_rows(kv[3], vs, cur))
+    return (_write_rows(kv[0], k, cur), _write_rows(kv[1], v, cur))
+
+
+def _kv_attn(cfg: Qwen3NextConfig, q: jax.Array, kv: tuple,
+             mask: jax.Array) -> jax.Array:
+    if len(kv) == 4:
+        return _attn_core_q(cfg, q, kv[0], kv[1], kv[2], kv[3], mask)
+    return _attn_core(cfg, q, kv[0], kv[1], mask)
+
+
 def _full_attn_decode(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
-                      k_cache: jax.Array, v_cache: jax.Array,
-                      cur_len: jax.Array, rope: tuple):
-    """h [B, 1, H]; k/v_cache [B, Smax, kh, hd]; cur_len [B] = the position
-    this token writes (and the number of valid cached keys before it)."""
+                      kv: tuple, cur_len: jax.Array, rope: tuple):
+    """h [B, 1, H]; kv = bf16 (k, v) [B, Smax, kh, hd] strips or int8
+    (kq, vq, ks, vs); cur_len [B] = the position this token writes (and
+    the number of valid cached keys before it)."""
     q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope)
-    k_cache = jax.vmap(
-        lambda c, kk, n: jax.lax.dynamic_update_slice(c, kk, (n, 0, 0)))(
-            k_cache, k, cur_len)
-    v_cache = jax.vmap(
-        lambda c, vv, n: jax.lax.dynamic_update_slice(c, vv, (n, 0, 0)))(
-            v_cache, v, cur_len)
-    Smax = k_cache.shape[1]
+    kv = _kv_write(kv, k, v, cur_len)
+    Smax = kv[0].shape[1]
     mask = (jnp.arange(Smax)[None] <= cur_len[:, None])[:, None, :]
-    out = _attn_core(cfg, q, k_cache, v_cache, mask)
+    out = _kv_attn(cfg, q, kv, mask)
     out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-    return linear(p["o"], out), (k_cache, v_cache)
+    return linear(p["o"], out), kv
 
 
 # ------------------------------------------------------------------ MLP/MoE
@@ -520,11 +592,13 @@ def _next_mlp(cfg: Qwen3NextConfig, p: dict, x: jax.Array,
             group_size=cfg.moe_group_size, mesh=mesh,
             ragged_decode=cfg.moe_ragged_decode and is_decode,
             gmm_prefill=cfg.moe_gmm_prefill and not is_decode)
-        shared = swiglu_mlp(p["shared"], x)
+        aq = None if is_decode else cfg.act_quant
+        shared = swiglu_mlp(p["shared"], x, act_quant=aq)
         sgate = jax.nn.sigmoid(
             linear(p["shared_gate"], x).astype(jnp.float32)).astype(x.dtype)
         return routed + shared * sgate
-    return swiglu_mlp(p["mlp"], x)
+    return swiglu_mlp(p["mlp"], x, act_quant=None if is_decode
+                      else cfg.act_quant)
 
 
 # ------------------------------------------------------------------- forward
@@ -537,6 +611,21 @@ class Qwen3NextCache(NamedTuple):
     rec: jax.Array
     k: jax.Array
     v: jax.Array
+    length: jax.Array
+
+
+class QuantNextCache(NamedTuple):
+    """cfg.kv_quant="int8" hybrid cache: the full-attention KV strips store
+    int8 with per-(token, head) absmax scales (decoder.quantize_kv) — the
+    DeltaNet conv/rec states are O(1)-size and stay float. Halves the
+    32k-context KV of the 12/48 full-attention judge layers
+    (serve_qwen3.sh:14)."""
+    conv: jax.Array
+    rec: jax.Array
+    k: jax.Array          # [G, B, Smax, kh, hd] int8
+    v: jax.Array          # [G, B, Smax, kh, hd] int8
+    k_scale: jax.Array    # [G, B, Smax, kh] f32
+    v_scale: jax.Array    # [G, B, Smax, kh] f32
     length: jax.Array
 
 
@@ -625,10 +714,24 @@ def prefill(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
                             want_cache=True, mesh=mesh)
     last = h[jnp.arange(B), lengths - 1]
     logits = _lm_head(params, cfg, last)
+    if cfg.kv_quant == "int8":
+        from .decoder import quantize_kv
+
+        kq, ks = quantize_kv(cache.k)
+        vq, vs = quantize_kv(cache.v)
+        cache = QuantNextCache(conv=cache.conv, rec=cache.rec, k=kq, v=vq,
+                               k_scale=ks, v_scale=vs, length=cache.length)
     if max_len > S:
         pad = ((0, 0), (0, 0), (0, max_len - S), (0, 0), (0, 0))
-        cache = cache._replace(k=jnp.pad(cache.k, pad),
-                               v=jnp.pad(cache.v, pad))
+        kw = {"k": jnp.pad(cache.k, pad), "v": jnp.pad(cache.v, pad)}
+        if isinstance(cache, QuantNextCache):
+            spad = pad[:-1]
+            # pad scales with ONES: a zero scale would make later writes'
+            # dequant exact but 0 * uninitialized is fine either way —
+            # ones keep the scale strictly positive (decoder.py contract)
+            kw["k_scale"] = jnp.pad(cache.k_scale, spad, constant_values=1.0)
+            kw["v_scale"] = jnp.pad(cache.v_scale, spad, constant_values=1.0)
+        cache = cache._replace(**kw)
     return logits, cache
 
 
@@ -638,9 +741,11 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
     """One decode step. token [B] int32 -> (logits [B, V], new cache)."""
     h = params["embed"]["weight"][token][:, None]                  # [B,1,H]
     rope = _rope_cos_sin(cfg, cache.length[:, None])  # once, not per group
+    kv_fields = _cache_kv(cache)
 
     def group_body(h, xs):
-        gp, conv_g, rec_g, k_g, v_g = xs
+        gp, conv_g, rec_g = xs[:3]
+        kv_g = xs[3:]
 
         def lin_body(h, xs2):
             lp, conv_s, rec_s = xs2
@@ -658,21 +763,38 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
                                           (gp["lin"], conv_g, rec_g))
         res = h
         hn = rms_norm_zc(gp["full"]["in_norm"], h, cfg.rms_norm_eps)
-        out, (k_g, v_g) = _full_attn_decode(cfg, gp["full"], hn, k_g, v_g,
-                                            cache.length, rope)
+        out, kv_g = _full_attn_decode(cfg, gp["full"], hn, kv_g,
+                                      cache.length, rope)
         h = res + out
         res = h
         hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)
         h = res + _next_mlp(cfg, gp["full"], hn, is_decode=True, mesh=mesh)
-        return h, (conv_g, rec_g, k_g, v_g)
+        return h, (conv_g, rec_g) + tuple(kv_g)
 
-    h, (conv, rec, k, v) = jax.lax.scan(
-        group_body, h, (params["groups"], cache.conv, cache.rec,
-                        cache.k, cache.v))
+    h, st = jax.lax.scan(
+        group_body, h, (params["groups"], cache.conv, cache.rec) + kv_fields)
     h = rms_norm_zc(params["final_norm"], h, cfg.rms_norm_eps)
     logits = _lm_head(params, cfg, h[:, 0])
-    return logits, Qwen3NextCache(conv=conv, rec=rec, k=k, v=v,
-                                  length=cache.length + 1)
+    return logits, _rebuild_cache(cache, st[0], st[1], st[2:],
+                                  cache.length + 1)
+
+
+def _cache_kv(cache) -> tuple:
+    """The cache's KV strip fields as a tuple — (k, v) for the bf16 cache,
+    (k, v, k_scale, v_scale) for the int8 one."""
+    if isinstance(cache, QuantNextCache):
+        return (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    return (cache.k, cache.v)
+
+
+def _rebuild_cache(old, conv, rec, kv: tuple, length):
+    """Type-preserving cache rebuild (pin_kv_cache's lesson: a hand-rolled
+    2-leaf rebuild once silently dropped scale pages)."""
+    if isinstance(old, QuantNextCache):
+        return QuantNextCache(conv=conv, rec=rec, k=kv[0], v=kv[1],
+                              k_scale=kv[2], v_scale=kv[3], length=length)
+    return Qwen3NextCache(conv=conv, rec=rec, k=kv[0], v=kv[1],
+                          length=length)
 
 
 class NextGenResult(NamedTuple):
@@ -1087,25 +1209,21 @@ def _deltanet_window(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
 
 
 def _full_attn_window(cfg: Qwen3NextConfig, p: dict, h: jax.Array,
-                      k_cache: jax.Array, v_cache: jax.Array,
-                      cur: jax.Array, rope: tuple):
+                      kv: tuple, cur: jax.Array, rope: tuple):
     """W-token attention verify step: write the whole window's KV at each
     row's frontier (entries beyond the eventual acceptance stay stale and
-    masked — the engines' standard trick), causal-within-window mask."""
+    masked — the engines' standard trick), causal-within-window mask.
+    kv: bf16 (k, v) or int8 (kq, vq, ks, vs) strips — verify chunks
+    quantize at the row frontier exactly like the plain decode write."""
     q, k, v, gate = _gated_attn_qkv(cfg, p, h, rope)
-    k_cache = jax.vmap(
-        lambda c, kk, n: jax.lax.dynamic_update_slice(c, kk, (n, 0, 0)))(
-            k_cache, k, cur)
-    v_cache = jax.vmap(
-        lambda c, vv, n: jax.lax.dynamic_update_slice(c, vv, (n, 0, 0)))(
-            v_cache, v, cur)
-    Smax = k_cache.shape[1]
+    kv = _kv_write(kv, k, v, cur)
+    Smax = kv[0].shape[1]
     W = h.shape[1]
     mask = (jnp.arange(Smax)[None, None, :]
             <= cur[:, None, None] + jnp.arange(W)[None, :, None])
-    out = _attn_core(cfg, q, k_cache, v_cache, mask)
+    out = _kv_attn(cfg, q, kv, mask)
     out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-    return linear(p["o"], out), (k_cache, v_cache)
+    return linear(p["o"], out), kv
 
 
 def _extend_forward(params: dict, cfg: Qwen3NextConfig, tokens: jax.Array,
@@ -1117,9 +1235,11 @@ def _extend_forward(params: dict, cfg: Qwen3NextConfig, tokens: jax.Array,
     h = params["embed"]["weight"][tokens]
     rope = _rope_cos_sin(
         cfg, cache.length[:, None] + jnp.arange(W)[None, :])
+    kv_fields = _cache_kv(cache)
 
     def group_body(h, xs):
-        gp, conv_g, rec_g, k_g, v_g = xs
+        gp, conv_g, rec_g = xs[:3]
+        kv_g = xs[3:]
 
         def lin_body(h, xs2):
             lp, conv_s, rec_s = xs2
@@ -1136,20 +1256,19 @@ def _extend_forward(params: dict, cfg: Qwen3NextConfig, tokens: jax.Array,
                                     (gp["lin"], conv_g, rec_g))
         res = h
         hn = rms_norm_zc(gp["full"]["in_norm"], h, cfg.rms_norm_eps)
-        out, (k_g, v_g) = _full_attn_window(cfg, gp["full"], hn, k_g, v_g,
-                                            cache.length, rope)
+        out, kv_g = _full_attn_window(cfg, gp["full"], hn, kv_g,
+                                      cache.length, rope)
         h = res + out
         res = h
         hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)
         h = res + _next_mlp(cfg, gp["full"], hn, is_decode=True, mesh=mesh)
-        return h, (lin_saved, k_g, v_g)
+        return h, (lin_saved,) + tuple(kv_g)
 
-    h, (saved, k_new, v_new) = jax.lax.scan(
-        group_body, h, (params["groups"], cache.conv, cache.rec,
-                        cache.k, cache.v))
+    h, st = jax.lax.scan(
+        group_body, h, (params["groups"], cache.conv, cache.rec) + kv_fields)
     h = rms_norm_zc(params["final_norm"], h, cfg.rms_norm_eps)
     logits = _lm_head(params, cfg, h)
-    return logits, saved, (k_new, v_new)
+    return logits, st[0], st[1:]
 
 
 def _commit_layer(conv_s, rec_s, window, k, v, g, beta, n_adv, K):
@@ -1175,8 +1294,8 @@ def _commit_layer(conv_s, rec_s, window, k, v, g, beta, n_adv, K):
     return conv_s, rec_s
 
 
-def _commit(cfg: Qwen3NextConfig, cache: Qwen3NextCache, saved: dict,
-            kv_new: tuple, n_adv: jax.Array) -> Qwen3NextCache:
+def _commit(cfg: Qwen3NextConfig, cache, saved: dict,
+            kv_new: tuple, n_adv: jax.Array):
     commit = jax.vmap(jax.vmap(
         _commit_layer,
         in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)),
@@ -1184,8 +1303,7 @@ def _commit(cfg: Qwen3NextConfig, cache: Qwen3NextCache, saved: dict,
     conv, rec = commit(cache.conv, cache.rec, saved["window"], saved["k"],
                        saved["v"], saved["g"], saved["beta"], n_adv,
                        cfg.linear_conv_kernel_dim)
-    return Qwen3NextCache(conv=conv, rec=rec, k=kv_new[0], v=kv_new[1],
-                          length=cache.length + n_adv)
+    return _rebuild_cache(cache, conv, rec, kv_new, cache.length + n_adv)
 
 
 @partial(jax.jit, static_argnames=("cfg", "sp", "spec_k", "mesh"))

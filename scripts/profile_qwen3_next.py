@@ -104,19 +104,22 @@ def main():
         params, jnp.asarray(ids), jnp.asarray(lens))
 
     @jax.jit
-    def steps8(cache, tok):
+    def steps8(p, cache, tok):
+        # params ride as an ARGUMENT — a closure bakes the whole int8
+        # slice (2.84 GB) into the executable as constants (the LoRA-step
+        # lesson, VERDICT r4 #3)
         def body(c, _):
             cache, tok = c
-            logits, cache = decode_step(params, cfg, tok, cache)
+            logits, cache = decode_step(p, cfg, tok, cache)
             return (cache, jnp.argmax(logits, -1).astype(jnp.int32)), ()
         (cache, tok), _ = jax.lax.scan(body, (cache, tok), length=8)
         return tok.sum()
 
     tok0 = jnp.zeros((B,), jnp.int32) + 5
-    _ = float(steps8(cache, tok0))
+    _ = float(steps8(params, cache, tok0))
     t0 = time.perf_counter()
     for _ in range(3):
-        _ = float(steps8(cache, tok0))
+        _ = float(steps8(params, cache, tok0))
     dt = (time.perf_counter() - t0) / 3 / 8
     print(f"decode step: {dt*1e3:.2f} ms ({B/dt:.0f} tok/s)")
 

@@ -50,12 +50,14 @@ def convert_hf_state_dict(state: dict, cfg: ModelConfig,
     (30B+) otherwise hold the full checkpoint in host RAM TWICE during
     conversion."""
     dtype = jnp.dtype(dtype or cfg.dtype)
-    sd = {_normalize_key(k): v for k, v in state.items()}
-    if consume:
-        state.clear()
+    # map normalized -> raw keys WITHOUT touching values: `state` may be a
+    # LazyStateDict whose tensors materialize one at a time on pop/[] —
+    # an eager values copy would hold the whole checkpoint again
+    keymap = {_normalize_key(k): k for k in list(state.keys())}
 
     def fetch(k):
-        return sd.pop(k) if consume else sd[k]
+        raw = keymap[k]
+        return state.pop(raw) if consume else state[raw]
 
     def get(k, transpose=False):
         a = _np(fetch(k)).astype(np.float32)

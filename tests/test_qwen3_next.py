@@ -435,12 +435,23 @@ def test_next_chat_engine_kv_quant(hf_next):
         max_new_tokens=6, **kw)
     msgs = [[{"role": "user", "content": f"judge {i} judge {i}"}]
             for i in range(2)]
-    plain_q = mk(kv_quant="int8")
-    spec_q = mk(kv_quant="int8", spec_decode=3)
-    assert plain_q._prefix_store is None and spec_q._prefix_store is None
+    plain_q = mk(kv_quant="int8", prefix_cache=False)
+    spec_q = mk(kv_quant="int8", spec_decode=3, prefix_cache=False)
     a = plain_q.chat_batch(msgs, temperature=0.0, max_tokens=6)
     b = spec_q.chat_batch(msgs, temperature=0.0, max_tokens=6)
     assert a == b
+    # the PREFIX STORE composes with kv_quant: the bf16 prefix/continue
+    # chain quantizes at the packed path's boundary — token-exact vs it
+    from video_r2_tpu.models.qwen3_next import NextPrefixStore
+
+    store_q = mk(kv_quant="int8")
+    assert store_q._prefix_store is not None
+    # tiny test prompts share a short chat-template prefix — drop the
+    # store's thresholds so the reuse path actually engages
+    store_q._prefix_store = NextPrefixStore(min_prefix=8, bucket=8)
+    c = store_q.chat_batch(msgs, temperature=0.0, max_tokens=6)
+    assert c == a
+    assert store_q._prefix_store.misses > 0
     aq = mk(act_quant="int8")   # guard gone; float weights -> no-op
     assert aq.chat_batch(msgs, temperature=0.0, max_tokens=6) == \
         mk().chat_batch(msgs, temperature=0.0, max_tokens=6)

@@ -202,6 +202,11 @@ class Qwen3NextContinuousEngine:
                  mesh=None, prompt_buckets=(128, 256, 512, 1024, 2048),
                  seed: int = 0, attn_impl: str | None = None,
                  spec_decode: int = 0, prefill_chunk_tokens: int = 0, **_):
+        if cfg.kv_quant:
+            raise ValueError(
+                "Qwen3NextContinuousEngine carries a contiguous bf16 hybrid "
+                "cache; cfg.kv_quant is batch-mode only (ChatEngine guards "
+                "this — a direct construction must pass a bf16 cfg)")
         if mesh is not None:
             from ..parallel.sharding import shard_params
 

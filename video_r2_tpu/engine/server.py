@@ -124,12 +124,12 @@ class ChatEngine:
         # prefill only the per-sample suffixes. Exact; composes with
         # speculative decoding (the n-gram history spans the full prompt).
         self._prefix_store = None
-        # kv_quant bypasses the prefix store: prefill_continue extends a
-        # cached prefix state and carries bf16 KV only — bursts fall back
-        # to whole-prompt generate_packed (correct, no prefix reuse)
-        if self._next and prefix_cache and not continuous and not kv_quant:
+        if self._next and prefix_cache and not continuous:
             from ..models.qwen3_next import NextPrefixStore
 
+            # composes with kv_quant: the prefix/continue chain runs bf16
+            # and the finished prompt cache quantizes at the same boundary
+            # the packed int8 path does (token-exact vs it)
             self._prefix_store = NextPrefixStore()
         if engine_kind != "slots" and not continuous:
             raise ValueError(

@@ -715,12 +715,7 @@ def prefill(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
     last = h[jnp.arange(B), lengths - 1]
     logits = _lm_head(params, cfg, last)
     if cfg.kv_quant == "int8":
-        from .decoder import quantize_kv
-
-        kq, ks = quantize_kv(cache.k)
-        vq, vs = quantize_kv(cache.v)
-        cache = QuantNextCache(conv=cache.conv, rec=cache.rec, k=kq, v=vq,
-                               k_scale=ks, v_scale=vs, length=cache.length)
+        cache = _quantize_next_cache(cache)
     if max_len > S:
         pad = ((0, 0), (0, 0), (0, max_len - S), (0, 0), (0, 0))
         kw = {"k": jnp.pad(cache.k, pad), "v": jnp.pad(cache.v, pad)}
@@ -1052,6 +1047,20 @@ def broadcast_prefix_cache(cache: Qwen3NextCache, B: int) -> Qwen3NextCache:
         length=jnp.repeat(cache.length, B, axis=0))
 
 
+@jax.jit
+def _quantize_next_cache(cache: Qwen3NextCache) -> QuantNextCache:
+    """bf16 hybrid cache -> int8 KV strips + scales. Applying this right
+    after a (full-precision) prefill/continue is exactly where
+    prefill(cfg.kv_quant="int8") quantizes, so prefix-store bursts match
+    the packed int8 path token for token."""
+    from .decoder import quantize_kv
+
+    kq, ks = quantize_kv(cache.k)
+    vq, vs = quantize_kv(cache.v)
+    return QuantNextCache(conv=cache.conv, rec=cache.rec, k=kq, v=vq,
+                          k_scale=ks, v_scale=vs, length=cache.length)
+
+
 @partial(jax.jit, static_argnames=("cfg", "prefix_len", "max_len",
                                    "chunk_size", "mesh"))
 def _continue_jit(params, cfg, ids, suffix_lengths, cache, prefix_len,
@@ -1146,13 +1155,20 @@ class NextPrefixStore:
         B, S = packed.input_ids.shape
         T = sp.max_new_tokens
         W = spec_k + 1 if spec_k else 0
-        cache1 = self.prefix_cache(params, cfg, prefix, mesh=mesh,
+        # the prefix/continue chain runs bf16 (prefill_continue extends a
+        # float cache); with cfg.kv_quant the finished prompt cache
+        # quantizes at the same boundary the packed path does, so int8
+        # bursts stay token-exact vs generate_packed(kv_quant)
+        pre_cfg = cfg.replace(kv_quant=None) if cfg.kv_quant else cfg
+        cache1 = self.prefix_cache(params, pre_cfg, prefix, mesh=mesh,
                                    chunk_size=chunk_size)
         cache = broadcast_prefix_cache(cache1, B)
         logits, cache = _continue_jit(
-            params, cfg, jnp.asarray(packed.input_ids),
+            params, pre_cfg, jnp.asarray(packed.input_ids),
             jnp.asarray(packed.lengths, jnp.int32), cache, P,
             P + S + T + W, chunk_size, mesh)
+        if cfg.kv_quant == "int8":
+            cache = _quantize_next_cache(cache)
         if spec_k:
             full_lens = P + np.asarray(packed.lengths, np.int64)
             hist0 = np.zeros((B, P + S + T + W), np.int32)

@@ -123,6 +123,23 @@ def main():
     dt = (time.perf_counter() - t0) / 3 / 8
     print(f"decode step: {dt*1e3:.2f} ms ({B/dt:.0f} tok/s)")
 
+    # r5 serving quantization: int8 KV strips on the full-attention
+    # layers (kv_quant — halves the 32k-context judge KV) and W8A8
+    # prefill linears (act_quant, int8 weights -> integer MXU)
+    for label, qcfg in (("kv_quant=int8", cfg.replace(kv_quant="int8")),
+                        ("act_quant=int8", cfg.replace(act_quant="int8")),
+                        ("kv+act int8", cfg.replace(kv_quant="int8",
+                                                    act_quant="int8"))):
+        t0 = time.perf_counter()
+        _ = generate_packed(params, qcfg, ids, lens, sp)
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = generate_packed(params, qcfg, ids, lens, sp)
+        tq = time.perf_counter() - t0
+        print(f"generate {label}: {tq*1e3:.1f} ms warm "
+              f"({B*T/tq:.0f} tok/s, {t_gen/tq:.2f}x bf16-KV plain, "
+              f"first-call {warm:.1f}s)")
+
 
 if __name__ == "__main__":
     main()

@@ -45,9 +45,11 @@ def main():
                         pad_token_id=cfg.pad_token_id)
 
     def pool(spec, kv):
+        # page_size=128: int8 scale pages must stay 128-lane aligned on
+        # real Mosaic (the guard this smoke caught the need for)
         eng = PagedContinuousEngine(
             params, cfg, num_slots=2, max_len=256, sp=sp,
-            prompt_buckets=(128,), page_size=32, spec_decode=spec,
+            prompt_buckets=(128,), page_size=128, spec_decode=spec,
             kv_quant=kv)
         rids = [eng.submit(list(p), max_new_tokens=T) for p in prompts]
         done = {}

@@ -1345,6 +1345,16 @@ class PagedContinuousEngine(ContinuousEngine):
         # half the KV bytes per token, so ~2x the pool capacity per HBM GB
         # (the paged counterpart of the dense engine's kv_quant="int8")
         assert kv_quant in (None, "int8"), kv_quant
+        if (kv_quant and page_size % 128 != 0
+                and jax.default_backend() == "tpu"):
+            # the quant kernel's per-page scale DMA must stay aligned to
+            # the 128-lane tiling (real-Mosaic contract, caught on chip
+            # r5 at page_size=32; paged_attention raises too — this one
+            # fails at construction instead of first decode). Interpret
+            # mode (CPU tests) has no tiling and stays permissive.
+            raise ValueError(
+                f"kv_quant='int8' requires page_size % 128 == 0 on TPU "
+                f"(got {page_size})")
         self.kv_quant = kv_quant
         # cap the tokens prefilled per batched-admission dispatch: the
         # batch prefill materializes a dense [K, bucket] tmp cache + MLP

@@ -323,6 +323,16 @@ def paged_decode_attention_stacked(
     quant = k_scales is not None
 
     if quant:
+        if page_size % 128 != 0 and not interpret:
+            # the per-page scale DMA slices a [page_size] f32 run out of
+            # the (1, 128)-tiled scale pool — real Mosaic rejects slices
+            # not aligned to the 128-lane tiling (caught on chip r5;
+            # interpret mode accepts silently). The value pages are fine
+            # (their minor dim is hd). Engines default to page_size=128.
+            raise ValueError(
+                f"int8 paged KV needs page_size % 128 == 0 on TPU "
+                f"(got {page_size}): the scale-page DMA must stay "
+                f"lane-aligned")
         kernel = functools.partial(
             _paged_decode_kernel_stacked_quant, page_size=page_size,
             scale=hd ** -0.5, max_pages=max_pages, num_queries=W)

@@ -359,6 +359,33 @@ def test_next_spec_sampled_matches_plain_distribution(hf_next, rng):
     assert len(np.unique(plain[:, 0])) >= 3
 
 
+def test_next_large_batch_decode_gmm(rng):
+    """cfg.moe_gmm_decode (OPT-IN — see its r5 kernel-fault note): decode
+    steps with T = B > RAGGED_MAX_TOKENS (judge bursts, spec verify
+    windows) route through the sorted GMM instead of the E x-oversized
+    exact einsum. Token-exact vs the einsum path, spec included."""
+    from video_r2_tpu.engine.sampling import SamplingParams
+    from video_r2_tpu.models.qwen3_next import (generate_packed,
+                                                generate_spec,
+                                                init_qwen3_next_params)
+
+    cfg_e = tiny_next_config()
+    cfg_g = tiny_next_config(moe_gmm_prefill=True, moe_gmm_decode=True)
+    params = init_qwen3_next_params(cfg_e, seed=0)
+    B, S, T = 40, 24, 6    # decode steps carry 40 tokens (> 32)
+    ids = rng.integers(2, 127, (B, S))
+    lens = np.full((B,), S, np.int32)
+    sp = SamplingParams(max_new_tokens=T, eos_token_ids=(), pad_token_id=0)
+    a = generate_packed(params, cfg_e, ids, lens, sp).sequences
+    b = generate_packed(params, cfg_g, ids, lens, sp).sequences
+    np.testing.assert_array_equal(a, b)
+    # spec verify windows: B=8 x W=5 = 40 rows also take the GMM path
+    c = generate_spec(params, cfg_g, ids[:8], lens[:8], sp,
+                      spec_k=4).sequences
+    d = generate_packed(params, cfg_g, ids[:8], lens[:8], sp).sequences
+    np.testing.assert_array_equal(c, d)
+
+
 def test_next_kv_quant_int8(hf_next, rng):
     """cfg.kv_quant="int8": the 12/48 full-attention layers' KV strips
     store int8 with factored per-token/head scales (VERDICT r4 #7 — the

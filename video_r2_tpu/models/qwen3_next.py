@@ -85,6 +85,14 @@ class Qwen3NextConfig:
     moe_group_size: int = 256
     moe_ragged_decode: bool = True         # ops/moe_ragged.py on decode steps
     moe_gmm_prefill: bool = True           # ops/moe_gmm.py on prefill
+    # route LARGE-batch decode steps (T = B > RAGGED_MAX_TOKENS: judge
+    # bursts, spec verify windows) through the sorted GMM instead of the
+    # Ex-oversized exact einsum. Token-exact (test_next_large_batch_
+    # decode_gmm) but OPT-IN: the r5 on-chip probe hit a TPU worker
+    # kernel fault at B=64 inside the decode scan (the same kernel is
+    # chip-proven at prefill shapes) — r6 must root-cause the small-
+    # block-rows decode geometry before this defaults on.
+    moe_gmm_decode: bool = False
     # full-attention prefill impl: "auto" = Pallas flash on TPU (the dense
     # path materializes [B, nh, S, S] scores — OOM at the judge's 32k
     # max-model-len, serve_qwen3.sh:14), XLA dense elsewhere/decode.
@@ -585,13 +593,18 @@ def _next_mlp(cfg: Qwen3NextConfig, p: dict, x: jax.Array,
     """Routed experts (models/moe.py — including the ragged/GMM kernels)
     plus the shared expert scaled by sigmoid(shared_expert_gate(x))."""
     if cfg.num_experts > 0:
+        # moe_mlp's own dispatch picks ragged for small steps
+        # (T <= RAGGED_MAX_TOKENS) and the sorted GMM otherwise; decode
+        # reaches the GMM only via the OPT-IN cfg.moe_gmm_decode (see the
+        # config field's note on the r5 on-chip kernel fault)
+        gmm = (cfg.moe_gmm_decode if is_decode else cfg.moe_gmm_prefill)
         routed = moe_mlp(
             {"router": p["router"], "experts": p["experts"]}, x,
             cfg.num_experts_per_tok, cfg.norm_topk_prob,
             capacity_factor=cfg.moe_capacity_factor,
             group_size=cfg.moe_group_size, mesh=mesh,
             ragged_decode=cfg.moe_ragged_decode and is_decode,
-            gmm_prefill=cfg.moe_gmm_prefill and not is_decode)
+            gmm_prefill=gmm)
         aq = None if is_decode else cfg.act_quant
         shared = swiglu_mlp(p["shared"], x, act_quant=aq)
         sgate = jax.nn.sigmoid(

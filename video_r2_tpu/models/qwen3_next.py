@@ -743,6 +743,23 @@ def prefill(params: dict, cfg: Qwen3NextConfig, input_ids: jax.Array,
     return logits, cache
 
 
+def _gmm_decode_barrier(cfg: Qwen3NextConfig, hn, state):
+    """Serialize this layer's cache-state update against the sorted-GMM
+    decode kernel (r6 worker-fault fix). XLA overlaps the decode scan's
+    cache-strip dynamic_update_slice with the Pallas kernel's own DMAs,
+    and at T = B > 32 decode geometries that concurrency FAULTS the TPU
+    worker (scripts/gmm_fault_ablate.py: a stacked-layer scan + a carried-
+    buffer DUS + the kernel crashes on chip; either ingredient alone
+    passes, and the einsum control passes). One optimization_barrier over
+    (h, state) pins the scatter before the kernel launch — the same repro
+    then runs clean (onchip_r6/ablate_barrier.log). Active only on the
+    opt-in moe_gmm_decode path; identity elsewhere."""
+    if not cfg.moe_gmm_decode:
+        return hn, state
+    hn, state = jax.lax.optimization_barrier((hn, state))
+    return hn, state
+
+
 def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
                 cache: Qwen3NextCache, mesh=None
                 ) -> tuple[jax.Array, Qwen3NextCache]:
@@ -764,6 +781,8 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
             h = res + out
             res = h
             hn = rms_norm_zc(lp["post_norm"], h, cfg.rms_norm_eps)
+            hn, (conv_s, rec_s) = _gmm_decode_barrier(cfg, hn,
+                                                      (conv_s, rec_s))
             h = res + _next_mlp(cfg, lp, hn, is_decode=True, mesh=mesh)
             return h, (conv_s, rec_s)
 
@@ -776,6 +795,7 @@ def decode_step(params: dict, cfg: Qwen3NextConfig, token: jax.Array,
         h = res + out
         res = h
         hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)
+        hn, kv_g = _gmm_decode_barrier(cfg, hn, tuple(kv_g))
         h = res + _next_mlp(cfg, gp["full"], hn, is_decode=True, mesh=mesh)
         return h, (conv_g, rec_g) + tuple(kv_g)
 
@@ -1278,6 +1298,7 @@ def _extend_forward(params: dict, cfg: Qwen3NextConfig, tokens: jax.Array,
             h = res + out
             res = h
             hn = rms_norm_zc(lp["post_norm"], h, cfg.rms_norm_eps)
+            hn, saved = _gmm_decode_barrier(cfg, hn, saved)
             h = res + _next_mlp(cfg, lp, hn, is_decode=True, mesh=mesh)
             return h, saved
 
@@ -1290,6 +1311,7 @@ def _extend_forward(params: dict, cfg: Qwen3NextConfig, tokens: jax.Array,
         h = res + out
         res = h
         hn = rms_norm_zc(gp["full"]["post_norm"], h, cfg.rms_norm_eps)
+        hn, kv_g = _gmm_decode_barrier(cfg, hn, tuple(kv_g))
         h = res + _next_mlp(cfg, gp["full"], hn, is_decode=True, mesh=mesh)
         return h, (lin_saved,) + tuple(kv_g)
 
